@@ -1,0 +1,190 @@
+"""Pure-Python reference oracle (no Spark).
+
+Independently computes the index contents and BM25 top-k that the Spark
+engine must reproduce rank-identically (SURVEY.md §4.3, §5.2).  It shares
+only :mod:`search_engine_spark.textproc` with the engine — everything else
+(indexing, scoring, top-k) is a simple single-node implementation.
+
+Scoring contract (SURVEY.md §4.3, from the reference's precomputed-metrics
+path):
+
+    idf(t)       = ln((1 + N) / (1 + df(t))) + 1        # IndexerService.java:966
+    tf_bm25(t,d) = f * (k1+1) / (f + k1 * (1 - b + b * |d|/avgdl))
+                                                        # IndexerService.java:1069-1070
+    score(q,d)   = Σ over UNIQUE query terms t (sorted lexicographically,
+                   fixed summation order) with f(t,d) > 0
+    k1 = 1.2, b = 0.75                                  # IndexerService.java:1029-1030
+
+* ``N`` = total turns (all turns, including empty ones), ``avgdl`` = mean
+  stemmed-token count over all turns.
+* Duplicate query terms contribute ONCE (set semantics).
+* Ties break by ascending ``(conv_id, turn_idx)``.
+* Phrase queries match consecutive positions in the post-stopword,
+  post-stem token stream of a turn; scored as BM25 over the phrase terms
+  restricted to matching turns.
+* Boolean queries (both operands quoted, exactly one of AND/OR/NOT —
+  QueryService.java:80-104) combine the two phrase match sets and score
+  over the union of the operand terms (left terms only for NOT).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from .config import BM25_B, BM25_K1
+from .textproc import analyze_query, analyze_text
+
+DocKey = tuple[str, int]
+
+# QueryService.java:50-51
+PHRASE_PATTERN = re.compile(r'"([^"]*)"')
+OPERATOR_PATTERN = re.compile(r"\s+(AND|OR|NOT)\s+")
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int
+    avgdl: float
+    doclen: dict[DocKey, int]
+    # term -> list of (doc_key, tf, positions) in ascending doc_key order
+    postings: dict[str, list[tuple[DocKey, int, list[int]]]]
+    tokens: dict[DocKey, list[str]] = field(repr=False, default_factory=dict)
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def idf(self, term: str) -> float:
+        return math.log((1.0 + self.n_docs) / (1.0 + self.df(term))) + 1.0
+
+    def tf_bm25(self, f: int, dl: int) -> float:
+        return (
+            f * (BM25_K1 + 1.0) / (f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
+        )
+
+
+def build_oracle_index(transcripts: pd.DataFrame) -> OracleIndex:
+    """Index a transcripts DataFrame under stable (conv_id, turn_idx) order."""
+    df = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    doclen: dict[DocKey, int] = {}
+    postings: dict[str, list[tuple[DocKey, int, list[int]]]] = {}
+    tokens: dict[DocKey, list[str]] = {}
+    for conv_id, turn_idx, text in zip(df["conv_id"], df["turn_idx"], df["text"]):
+        key = (str(conv_id), int(turn_idx))
+        toks = analyze_text(text if isinstance(text, str) else "")
+        tokens[key] = toks
+        doclen[key] = len(toks)
+        per_term: dict[str, tuple[int, list[int]]] = {}
+        for pos, t in enumerate(toks):
+            if t in per_term:
+                f, ps = per_term[t]
+                ps.append(pos)
+                per_term[t] = (f + 1, ps)
+            else:
+                per_term[t] = (1, [pos])
+        for t, (f, ps) in per_term.items():
+            postings.setdefault(t, []).append((key, f, ps))
+    n = len(doclen)
+    avgdl = (sum(doclen.values()) / n) if n else 0.0
+    return OracleIndex(n_docs=n, avgdl=avgdl, doclen=doclen, postings=postings, tokens=tokens)
+
+
+def _score_candidates(
+    index: OracleIndex, terms: list[str], candidates: set[DocKey] | None
+) -> dict[DocKey, float]:
+    """BM25 over unique sorted terms; restrict to candidates if given."""
+    scores: dict[DocKey, float] = {}
+    for t in sorted(set(terms)):
+        plist = index.postings.get(t)
+        if not plist:
+            continue
+        idf = index.idf(t)
+        for key, f, _pos in plist:
+            if candidates is not None and key not in candidates:
+                continue
+            scores[key] = scores.get(key, 0.0) + index.tf_bm25(f, index.doclen[key]) * idf
+    return scores
+
+
+def _topk(scores: dict[DocKey, float], k: int) -> list[tuple[DocKey, float]]:
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:k]
+
+
+def _phrase_match_docs(index: OracleIndex, phrase_terms: list[str]) -> set[DocKey]:
+    """Turns where phrase_terms occur at consecutive positions (post-stem stream)."""
+    if not phrase_terms:
+        return set()
+    first = index.postings.get(phrase_terms[0], [])
+    if len(phrase_terms) == 1:
+        return {key for key, _f, _p in first}
+    rest = [
+        {key: set(pos) for key, _f, pos in index.postings.get(t, [])}
+        for t in phrase_terms[1:]
+    ]
+    out: set[DocKey] = set()
+    for key, _f, pos0 in first:
+        for p in pos0:
+            if all(key in r and (p + i + 1) in r[key] for i, r in enumerate(rest)):
+                out.add(key)
+                break
+    return out
+
+
+def oracle_topk(
+    index: OracleIndex, query_text: str, mode: str = "disjunctive", k: int = 10
+) -> list[tuple[DocKey, float]]:
+    """Golden top-k for one query: list of ((conv_id, turn_idx), score)."""
+    if mode == "boolean":
+        return _boolean_topk(index, query_text, k)
+    if mode == "phrase":
+        phrase = PHRASE_PATTERN.search(query_text)
+        text = phrase.group(1) if phrase else query_text
+        terms = analyze_text(text)
+        docs = _phrase_match_docs(index, terms)
+        return _topk(_score_candidates(index, terms, docs), k)
+
+    terms = analyze_query(query_text)
+    if not terms:
+        return []
+    if mode == "conjunctive":
+        # QueryService.java:595-615 — docs containing ALL unique terms
+        sets = []
+        for t in set(terms):
+            sets.append({key for key, _f, _p in index.postings.get(t, [])})
+        candidates = set.intersection(*sets) if sets else set()
+        if not candidates:
+            return []
+        return _topk(_score_candidates(index, terms, candidates), k)
+    return _topk(_score_candidates(index, terms, None), k)
+
+
+def _boolean_topk(index: OracleIndex, query_text: str, k: int) -> list[tuple[DocKey, float]]:
+    """Both operands quoted, exactly one AND/OR/NOT (QueryService.java:80-104)."""
+    op_match = OPERATOR_PATTERN.search(query_text)
+    phrases = PHRASE_PATTERN.findall(query_text)
+    if not op_match or len(phrases) != 2:
+        raise ValueError(f"invalid boolean query: {query_text!r}")
+    op = op_match.group(1)
+    lterms = analyze_text(phrases[0])
+    rterms = analyze_text(phrases[1])
+    ldocs = _phrase_match_docs(index, lterms)
+    rdocs = _phrase_match_docs(index, rterms)
+    if op == "AND":
+        docs, terms = ldocs & rdocs, lterms + rterms
+    elif op == "OR":
+        docs, terms = ldocs | rdocs, lterms + rterms
+    else:  # NOT
+        docs, terms = ldocs - rdocs, lterms
+    return _topk(_score_candidates(index, terms, docs), k)
+
+
+def golden_stats(index: OracleIndex) -> dict:
+    return {
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "n_terms": len(index.postings),
+        "n_postings": sum(len(v) for v in index.postings.values()),
+    }
