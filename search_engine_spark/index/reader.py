@@ -1,0 +1,219 @@
+"""Query engine over the compressed index (SURVEY.md §4.4 step 2, M3).
+
+Physical plan per query::
+
+    idf parquet  --bucket-pruned scan--> driver (|terms| rows, broadcast)
+    postings parquet --bucket-pruned, term-filtered scan-->
+        groupBy(group) cogroup doclen.groupBy(group)
+        applyInPandas(per-group WAND / exact kernel)   # ≤ G·k rows out
+    join docmap (broadcast of the tiny candidate side)
+    orderBy(score desc, conv_id, turn_idx) limit k     # TakeOrderedAndProject
+
+Bucket pruning is the Spark analog of the reference's B-tree index seek
+``SELECT ... WHERE word_id = ?`` (QueryService.java:448-452): the scan
+touches only ``pmod(xxhash64(term), NB)`` partitions, never the full
+postings table.  Every stage is a DataFrame op; per-group kernels are the
+only Python, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..oracle import OPERATOR_PATTERN, PHRASE_PATTERN
+from ..textproc import analyze_query, analyze_text
+from .build import IndexPaths
+from .kernels import (
+    DocLens,
+    TermPostings,
+    conjunctive_candidates,
+    exact_topk,
+    phrase_candidates,
+    wand_topk,
+)
+
+RESULT_SCHEMA = "doc_id long, score double"
+# below this many decoded postings the vectorized exact kernel beats the
+# document-at-a-time WAND loop; above it WAND's skipping wins
+WAND_MIN_POSTINGS = 50_000
+
+
+def _bucket_of(term: str, num_buckets: int, spark: SparkSession) -> int:
+    # computed via Spark's own xxhash64 so it always matches the writer
+    row = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(term)), F.lit(num_buckets)).cast("int").alias("b")
+    ).collect()[0]
+    return int(row["b"])
+
+
+@dataclass
+class QuerySpec:
+    mode: str  # disjunctive | conjunctive | phrase | boolean
+    score_terms: list[str]  # unique, sorted — summation set
+    phrase_a: list[str] | None = None  # ordered phrase terms
+    phrase_b: list[str] | None = None
+    bool_op: str | None = None
+
+
+def parse_query(query_text: str, mode: str) -> QuerySpec | None:
+    """Reference query parsing (QueryService.java:73-134, 80-104)."""
+    if mode == "boolean":
+        m = OPERATOR_PATTERN.search(query_text)
+        phrases = PHRASE_PATTERN.findall(query_text)
+        if not m or len(phrases) != 2:
+            raise ValueError(f"invalid boolean query: {query_text!r}")
+        op = m.group(1)
+        lt, rt = analyze_text(phrases[0]), analyze_text(phrases[1])
+        score = sorted(set(lt)) if op == "NOT" else sorted(set(lt + rt))
+        return QuerySpec("boolean", score, lt, rt, op)
+    if mode == "phrase":
+        pm = PHRASE_PATTERN.search(query_text)
+        terms = analyze_text(pm.group(1) if pm else query_text)
+        if not terms:
+            return None
+        return QuerySpec("phrase", sorted(set(terms)), terms)
+    terms = analyze_query(query_text)
+    if not terms:
+        return None
+    return QuerySpec(mode, sorted(set(terms)))
+
+
+class CompressedIndex:
+    """Reader over an index directory produced by :class:`IndexBuilder`."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.meta) as f:
+            self.meta = json.load(f)
+        self.n_docs = int(self.meta["n_docs"])
+        self.avgdl = float(self.meta["avgdl"])
+        self.num_buckets = int(self.meta["num_buckets"])
+        self._doclen = spark.read.parquet(self.paths.doclen)
+        self._docmap = spark.read.parquet(self.paths.docmap)
+        self._bucket_cache: dict[str, int] = {}
+
+    # -- lookups -----------------------------------------------------
+
+    def _buckets(self, terms: list[str]) -> list[int]:
+        missing = [t for t in terms if t not in self._bucket_cache]
+        if missing:
+            rows = (
+                self.spark.createDataFrame([(t,) for t in missing], "term string")
+                .select(
+                    "term",
+                    F.pmod(F.xxhash64("term"), F.lit(self.num_buckets))
+                    .cast("int")
+                    .alias("b"),
+                )
+                .collect()
+            )
+            for r in rows:
+                self._bucket_cache[r["term"]] = int(r["b"])
+        return sorted({self._bucket_cache[t] for t in terms})
+
+    def idf_map(self, terms: list[str]) -> dict[str, float]:
+        """Bucket-pruned idf lookup; absent terms get df=0 idf (oracle parity)."""
+        import math
+
+        uniq = sorted(set(terms))
+        if not uniq:
+            return {}
+        buckets = self._buckets(uniq)
+        rows = (
+            self.spark.read.parquet(self.paths.idf)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+            .select("term", "idf")
+            .collect()
+        )
+        found = {r["term"]: float(r["idf"]) for r in rows}
+        absent = math.log((1.0 + self.n_docs) / 1.0) + 1.0
+        return {t: found.get(t, absent) for t in uniq}
+
+    def postings_df(self, terms: list[str]) -> DataFrame:
+        buckets = self._buckets(terms)
+        return self.spark.read.parquet(self.paths.postings).filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    # -- query -------------------------------------------------------
+
+    def topk(
+        self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
+    ) -> DataFrame:
+        """Top-k → DataFrame(conv_id, turn_idx, score), oracle-identical."""
+        spec = parse_query(query_text, mode)
+        empty = self.spark.createDataFrame([], "conv_id string, turn_idx int, score double")
+        if spec is None:
+            return empty
+        fetch_terms = sorted(
+            set(spec.score_terms)
+            | set(spec.phrase_a or [])
+            | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        avgdl = self.avgdl
+        kernel = _make_group_kernel(spec, idf, avgdl, k, algo)
+        post = self.postings_df(fetch_terms)
+        cand = (
+            post.groupBy("group")
+            .cogroup(self._doclen.groupBy("group"))
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        )
+        return (
+            cand.join(self._docmap.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+            .select("conv_id", "turn_idx", "score")
+            .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(k)
+        )
+
+
+def _make_group_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float, k: int, algo: str):
+    """Build the per-group cogroup kernel for one parsed query."""
+
+    def kernel(key: tuple, post_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(post_pdf) == 0:
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "score": pd.array([], dtype="float64")})
+        doclens = DocLens(dl_pdf)
+        plists: dict[str, TermPostings] = {}
+        for term, tdf in post_pdf.groupby("term", sort=True):
+            plists[str(term)] = TermPostings(str(term), tdf, idf.get(str(term), 0.0))
+
+        score_lists = {t: p for t, p in plists.items() if t in idf}
+        if spec.mode == "disjunctive":
+            total = sum(p.doc_ids.size for p in score_lists.values())
+            use_wand = algo == "wand" or (algo == "auto" and total >= WAND_MIN_POSTINGS)
+            if use_wand:
+                docs, scores = wand_topk(score_lists, idf, doclens, avgdl, k)
+            else:
+                docs, scores = exact_topk(score_lists, idf, doclens, avgdl, k)
+        elif spec.mode == "conjunctive":
+            need = {t: plists[t] for t in spec.score_terms if t in plists}
+            if len(need) < len(spec.score_terms):
+                docs = np.empty(0, dtype=np.int64)
+                scores = np.empty(0, dtype=np.float64)
+            else:
+                cand = conjunctive_candidates(need)
+                docs, scores = exact_topk(score_lists, idf, doclens, avgdl, k, candidates=cand)
+        elif spec.mode == "phrase":
+            cand = phrase_candidates(spec.phrase_a or [], plists)
+            docs, scores = exact_topk(score_lists, idf, doclens, avgdl, k, candidates=cand)
+        else:  # boolean
+            la = phrase_candidates(spec.phrase_a or [], plists)
+            rb = phrase_candidates(spec.phrase_b or [], plists)
+            if spec.bool_op == "AND":
+                cand = np.intersect1d(la, rb, assume_unique=True)
+            elif spec.bool_op == "OR":
+                cand = np.union1d(la, rb)
+            else:
+                cand = np.setdiff1d(la, rb, assume_unique=True)
+            docs, scores = exact_topk(score_lists, idf, doclens, avgdl, k, candidates=cand)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    return kernel
