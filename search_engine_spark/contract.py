@@ -1,0 +1,826 @@
+"""Driver contract: named queries + DuckDB oracle SQL twins.
+
+Each entry maps one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator) to a (spark_fn, oracle_sql) pair over
+the driver's testdata tables.  Column names and float rounding are
+identical on both sides — the driver compares row count, schema, and an
+order-insensitive value hash.
+
+Entries whose semantics cannot be expressed in SQL (Porter-stemmed
+transcript engine, MinHash/SimHash sketches, LSH ANN, sha256 feature
+stubs) are registered without an oracle → the driver records a
+rows-only check; their real correctness gate is the pytest oracle suite.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import BM25_B, BM25_K1, BuildConfig
+from .operators import docs_bm25
+from .functions import rnd
+from .pipeline import dedup, multimodal, similarity, textstats
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# =====================================================================
+# §2.2/§2.4 — tokenization, doc stats, postings (A1, A3, A4, A5, A6, A10)
+# =====================================================================
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@q(
+    "tf_postings",
+    f"""
+SELECT doc_id, token AS term, count(*) AS tf
+FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+WHERE token IN ('spark', 'merge', 'window', 'vector')
+GROUP BY doc_id, token
+""",
+)
+def tf_postings(spark, sf_dir):
+    """A1/S5: per-(doc, term) frequency, filtered to a probe term set."""
+    docs = load(spark, sf_dir, "documents")
+    return docs_bm25.term_freqs(docs).filter(
+        F.col("term").isin("spark", "merge", "window", "vector")
+    )
+
+
+@q(
+    "doc_lengths",
+    f"SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents",
+)
+def doc_lengths(spark, sf_dir):
+    """A3: token count per document."""
+    return docs_bm25.doc_lengths(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "term_stats",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT term, df, round(ln((1.0 + n.n) / (1.0 + df)) + 1.0 + 1e-9, 5) AS idf
+FROM d CROSS JOIN n WHERE df >= 50
+""",
+)
+def term_stats(spark, sf_dir):
+    """A4/A6: per-term document frequency + contract idf (head terms)."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    return (
+        docs_bm25.term_stats(docs, n)
+        .filter(F.col("df") >= 50)
+        .select("term", "df", rnd(F.col("idf"), 5).alias("idf"))
+    )
+
+
+@q(
+    "corpus_stats",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(DISTINCT term) FROM tf) AS n_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tf)) AS n_postings,
+       (SELECT round(avg(dl::DOUBLE) + 1e-9, 5) FROM dl) AS avgdl
+""",
+)
+def corpus_stats(spark, sf_dir):
+    """A5/A10: corpus size, vocabulary, postings count, avg doc length."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs_bm25.simple_tokens(docs)
+    post = toks.distinct()
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(post.agg(F.countDistinct("token").alias("n_terms")))
+        .crossJoin(post.agg(F.count("*").alias("n_postings")))
+        .crossJoin(
+            docs_bm25.doc_lengths(docs).agg(
+                rnd(F.avg(F.col("dl").cast("double")), 5).alias("avgdl")
+            )
+        )
+    )
+
+
+# =====================================================================
+# §4.3 — BM25 scoring (J1, J2, T1) + conjunctive (J4)
+# =====================================================================
+
+_BM25_TERMS = ["spark", "merge", "window"]
+_BM25_CONJ_TERMS = ["table", "join", "query"]
+
+
+@q("bm25_topk", docs_bm25.bm25_topk_sql("documents", _BM25_TERMS, k=10))
+def bm25_topk(spark, sf_dir):
+    """Disjunctive BM25 top-10 (broadcast term join → agg → TakeOrdered)."""
+    return docs_bm25.bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@q(
+    "bm25_conjunctive",
+    docs_bm25.bm25_topk_sql("documents", _BM25_CONJ_TERMS, k=10, conjunctive=True),
+)
+def bm25_conjunctive(spark, sf_dir):
+    """Conjunctive (all-terms, QueryService.java:595-615) BM25 top-10."""
+    return docs_bm25.bm25_topk(
+        load(spark, sf_dir, "documents"), _BM25_CONJ_TERMS, k=10, conjunctive=True
+    )
+
+
+# =====================================================================
+# §2.2 P6 + §2.7 U1-U3 — phrase predicate and boolean set ops
+# =====================================================================
+
+
+@q(
+    "phrase_contains",
+    """
+SELECT doc_id FROM documents
+WHERE ' ' || lower(trim(text)) || ' ' LIKE '% merge batch %'
+""",
+)
+def phrase_contains(spark, sf_dir):
+    """P6: phrase candidate predicate (string containment on token stream)."""
+    docs = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
+    return docs.filter(padded.like("% merge batch %")).select("doc_id")
+
+
+_L_PRED = "' ' || lower(trim(text)) || ' ' LIKE '% merge batch %'"
+_R_PRED = "' ' || lower(trim(text)) || ' ' LIKE '% table value %'"
+
+
+def _match_sets(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
+    l = docs.filter(padded.like("% merge batch %")).select("doc_id")
+    r = docs.filter(padded.like("% table value %")).select("doc_id")
+    return l, r
+
+
+@q(
+    "boolean_and",
+    f"SELECT doc_id FROM documents WHERE {_L_PRED} INTERSECT SELECT doc_id FROM documents WHERE {_R_PRED}",
+)
+def boolean_and(spark, sf_dir):
+    """U1: AND — intersect of phrase match sets."""
+    l, r = _match_sets(spark, sf_dir)
+    return l.intersect(r)
+
+
+@q(
+    "boolean_or",
+    f"SELECT doc_id FROM documents WHERE {_L_PRED} UNION SELECT doc_id FROM documents WHERE {_R_PRED}",
+)
+def boolean_or(spark, sf_dir):
+    """U2: OR — union (distinct) of phrase match sets."""
+    l, r = _match_sets(spark, sf_dir)
+    return l.union(r).distinct()
+
+
+@q(
+    "boolean_not",
+    f"SELECT doc_id FROM documents WHERE {_L_PRED} EXCEPT SELECT doc_id FROM documents WHERE {_R_PRED}",
+)
+def boolean_not(spark, sf_dir):
+    """U3/J5: NOT — left-anti of phrase match sets."""
+    l, r = _match_sets(spark, sf_dir)
+    return l.join(r, "doc_id", "left_anti")
+
+
+# =====================================================================
+# §2.4 A7-A9, §2.5 W1-W2 — totals, normalization windows, ranks
+# =====================================================================
+
+
+@q(
+    "term_totals",
+    f"""
+SELECT token AS term, count(*) AS total_freq
+FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+GROUP BY token ORDER BY total_freq DESC, term ASC LIMIT 20
+""",
+)
+def term_totals(spark, sf_dir):
+    """A7: corpus-wide term frequency, top-20."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs_bm25.simple_tokens(docs)
+        .groupBy(F.col("token").alias("term"))
+        .agg(F.count("*").alias("total_freq"))
+        .orderBy(F.desc("total_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@q(
+    "match_count_rank",
+    f"""
+WITH m AS (
+  SELECT doc_id, count(DISTINCT token) AS n_matched
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+  WHERE token IN ('spark', 'merge', 'window', 'vector', 'stream')
+  GROUP BY doc_id
+)
+SELECT doc_id, n_matched,
+       row_number() OVER (ORDER BY n_matched DESC, doc_id ASC) AS rnk
+FROM m ORDER BY rnk LIMIT 25
+""",
+)
+def match_count_rank(spark, sf_dir):
+    """A9 + W2: per-doc query-term match count, ranked (fallback ranking)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    m = (
+        docs_bm25.simple_tokens(docs)
+        .filter(F.col("token").isin("spark", "merge", "window", "vector", "stream"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("n_matched"))
+    )
+    w = Window.orderBy(F.desc("n_matched"), F.asc("doc_id"))
+    return m.withColumn("rnk", F.row_number().over(w)).orderBy("rnk").limit(25)
+
+
+@q(
+    "tfidf_norm_window",
+    f"""
+WITH tf AS (
+  SELECT doc_id, token AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+  WHERE token IN ('spark', 'merge', 'window', 'vector')
+  GROUP BY doc_id, token
+)
+SELECT doc_id, term,
+       round(tf::DOUBLE / max(tf) OVER (PARTITION BY term) + 1e-9, 5) AS norm_tf
+FROM tf
+""",
+)
+def tfidf_norm_window(spark, sf_dir):
+    """A8/W1: per-term max normalization via window (IndexerService.java:1052-1096)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tf = docs_bm25.term_freqs(docs).filter(
+        F.col("term").isin("spark", "merge", "window", "vector")
+    )
+    w = Window.partitionBy("term")
+    return tf.select(
+        "doc_id",
+        "term",
+        rnd(F.col("tf").cast("double") / F.max("tf").over(w), 5).alias("norm_tf"),
+    )
+
+
+# =====================================================================
+# §2.5 W3 + events — sessionization and time windows
+# =====================================================================
+
+
+@q(
+    "events_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+FROM e GROUP BY user_id
+""",
+)
+def events_sessionize(spark, sf_dir):
+    """W3: per-user session segmentation (30-min gap rule) via lag window."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800),
+                    1,
+                ).otherwise(0)
+            ).alias("n_sessions"),
+        )
+    )
+
+
+@q(
+    "events_hourly_agg",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value) + 1e-9, 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly_agg(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (batch form of the streaming op)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), rnd(F.sum("value"), 4).alias("total_value"))
+
+
+# =====================================================================
+# Relational coverage on the TPC-H-ish tables (S4, J2, A-class, T1)
+# =====================================================================
+
+
+@q(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+       round(avg(l_quantity) + 1e-9, 5) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style scan+agg: predicate pushdown + partial aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            rnd(F.avg("l_quantity"), 5).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "top_customers_by_revenue",
+    """
+SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+       round(sum(o.o_totalprice) + 1e-9, 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, custkey ASC LIMIT 15
+""",
+)
+def top_customers_by_revenue(spark, sf_dir):
+    """J2/T1: shuffle join + broadcast dim join + top-k."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(15)
+    )
+
+
+# =====================================================================
+# Dedup (training-data pipeline)
+# =====================================================================
+
+
+@q(
+    "dedup_exact",
+    """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+       count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content."""
+    return dedup.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents WHERE len({_TOKS_SQL}) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM t, unnest(range(1, len(tk) - 1)) AS u(i)
+)
+"""
+
+
+@q(
+    "shingle_stats",
+    _SHINGLE_SQL
+    + "SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id",
+)
+def shingle_stats(spark, sf_dir):
+    """Distinct 3-gram shingles per doc (the dedup feature extractor)."""
+    return (
+        dedup.shingles(load(spark, sf_dir, "documents"), 3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _SHINGLE_SQL
+    + """,
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter) + 1e-9, 6) AS jaccard
+FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
+           JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter) + 1e-9, 6) >= 0.008
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (shingle self-join)."""
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), 3, threshold=0.008)
+
+
+@q("dedup_minhash_lsh")  # sketch — rows-only check; pytest gates recall
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs, verified by exact Jaccard ≥ 0.5
+    (the 16-band × 2-row layout collides w.p. ≈0.99 at j=0.5)."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.5
+    )
+
+
+@q("dedup_simhash")  # sketch — rows-only check; pytest gates vs hamming
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3) via 16-bit chunk banding."""
+    return dedup.simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# =====================================================================
+# Similarity search (embeddings)
+# =====================================================================
+
+_COS_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS c
+  FROM embeddings e CROSS JOIN q
+)
+"""
+
+
+@q(
+    "cosine_topk",
+    _COS_SQL
+    + "SELECT vec_id, round(c + 1e-9, 5) AS cos FROM s ORDER BY round(c + 1e-9, 5) DESC, vec_id ASC LIMIT 10",
+)
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        rnd(
+            similarity._dot(F.col("embedding"), F.col("qv"))
+            / (similarity._norm(F.col("embedding")) * similarity._norm(F.col("qv"))),
+            5,
+        ).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
+
+
+@q(
+    "embedding_norms",
+    """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) + 1e-9, 5) AS norm
+FROM embeddings
+""",
+)
+def embedding_norms(spark, sf_dir):
+    """Vector norms via higher-order aggregate (zip_with/aggregate, JVM)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", rnd(similarity._norm(F.col("embedding")), 5).alias("norm")
+    )
+
+
+@q(
+    "cosine_label_centroid_match",
+    """
+WITH c AS (
+  SELECT label, avg(x) AS cx, i
+  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+cent AS (SELECT label, array_agg(cx ORDER BY i) AS cv FROM c GROUP BY label)
+SELECT e.vec_id, e.label,
+       round(list_dot_product(e.embedding::DOUBLE[], cent.cv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(cent.cv, cent.cv))) + 1e-9, 4) AS cos_to_centroid
+FROM embeddings e JOIN cent ON e.label = cent.label
+""",
+)
+def cosine_label_centroid_match(spark, sf_dir):
+    """Per-label centroid + cosine of each vector to its centroid
+    (the IVF coarse-quantizer building block)."""
+    emb = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    cent = (
+        el.groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("s"))
+        .select("label", F.transform("s", lambda t: t["cx"]).alias("cv"))
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    return joined.select(
+        "vec_id",
+        "label",
+        rnd(
+            similarity._dot(F.col("embedding"), F.col("cv"))
+            / (similarity._norm(F.col("embedding")) * similarity._norm(F.col("cv"))),
+            4,
+        ).alias("cos_to_centroid"),
+    )
+
+
+@q("ann_lsh_topk")  # hyperplane seed lives in numpy — rows-only; pytest gates recall
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-10 (random-hyperplane signatures, exact rerank)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [r["x"] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode(F.col("embedding")).alias("x")).collect()]
+    return similarity.lsh_cosine_topk(emb, qv, k=10, bits=4, tables=16)
+
+
+@q(
+    "knn_join",
+    """
+WITH l AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 20),
+s AS (
+  SELECT l.lid, r.vec_id AS rid,
+         round(list_dot_product(l.lv::DOUBLE[], r.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(l.lv::DOUBLE[], l.lv::DOUBLE[]))
+                  * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))) + 1e-9, 5) AS cos
+  FROM l JOIN embeddings r ON l.lid <> r.vec_id
+)
+SELECT lid, rid, cos, rank FROM (
+  SELECT lid, rid, cos, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+""",
+)
+def knn_join(spark, sf_dir):
+    """k-NN join: 3 nearest neighbors by cosine for the first 20 vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    res = similarity.knn_join(left, emb, k=3)
+    # exclude self-matches like the oracle
+    return res.filter(F.col("lid") != F.col("rid")).filter(F.col("rank") <= 3)
+
+
+# =====================================================================
+# Text analysis (training-data pipeline)
+# =====================================================================
+
+
+@q(
+    "token_counts",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       length(text) AS n_chars,
+       round(CASE WHEN len(tk) > 0
+             THEN list_reduce(list_prepend(0.0, [length(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk)
+             ELSE 0.0 END + 1e-9, 5) AS avg_token_len
+FROM t
+""",
+)
+def token_counts(spark, sf_dir):
+    """Token/char counts + mean token length per doc."""
+    return textstats.token_counts(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "quality_scores",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(tk) AS n_tokens,
+         len(list_filter(tk, x -> list_contains(['the','and','of','is','a'], x))) AS n_stop,
+         length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0 THEN n_punct::DOUBLE / length(text) ELSE 0.0 END AS punct_ratio,
+         least(n_tokens::DOUBLE / 100.0, 1.0) AS len_score
+  FROM m
+)
+SELECT doc_id, n_tokens, round(stop_ratio + 1e-9, 5) AS stop_ratio,
+       round(punct_ratio + 1e-9, 5) AS punct_ratio,
+       round(least(greatest(0.4 * len_score + 0.3 * least(stop_ratio * 3.0, 1.0)
+                            + 0.3 * (1.0 - punct_ratio), 0.0), 1.0) + 1e-9, 5) AS quality
+FROM r
+""",
+)
+def quality_scores(spark, sf_dir):
+    """Quality features: length score, stopword ratio, punctuation ratio."""
+    return textstats.quality_scores(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "lang_id",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+c AS (
+  SELECT doc_id,
+    len(list_filter(tk, x -> list_contains(['the','and','of','is','a'], x))) AS c_en,
+    len(list_filter(tk, x -> list_contains(['der','die','und','das','ist'], x))) AS c_de,
+    len(list_filter(tk, x -> list_contains(['le','la','les','est','et'], x))) AS c_fr,
+    len(list_filter(tk, x -> list_contains(['el','los','es','una','y'], x))) AS c_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+       WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+       WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+       WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM c
+""",
+)
+def lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic (argmax, ties → ascending code)."""
+    return textstats.lang_id(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "fingerprints",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT, [ (length(x)::BIGINT * 17 + ascii(x))::BIGINT for x in tk ]),
+    (a, b) -> (a * 31 + b) % {textstats.FP_MOD}
+  ) AS fingerprint
+FROM t
+""",
+)
+def fingerprints(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint."""
+    return textstats.fingerprints(load(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Multimodal plumbing
+# =====================================================================
+
+
+@q(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 4)))) AS header
+FROM documents
+""",
+)
+def multimodal_meta(spark, sf_dir):
+    """Binary payload metadata (byte length + 4-byte header hex)."""
+    blobs = multimodal.to_blob_table(load(spark, sf_dir, "documents"))
+    return blobs.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("header"),
+    )
+
+
+@q("multimodal_features")  # sha256 stub features — rows-only; pytest gates determinism
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads (stub codec)."""
+    blobs = multimodal.to_blob_table(load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(blobs)
+
+
+@q(
+    "frame_sample",
+    """
+SELECT doc_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx
+FROM (SELECT doc_id, (octet_length(encode(text)) // 64)::INT AS n_frames FROM documents)
+WHERE n_frames > 0
+""",
+)
+def frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: every-10th frame index explode."""
+    blobs = multimodal.to_blob_table(load(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(blobs, every_n=10)
+
+
+# =====================================================================
+# Transcript engine (reference-parity path — non-SQL, pytest-gated)
+# =====================================================================
+
+_XS_INDEX: dict[str, str] = {}
+
+
+def _xs_index(spark):
+    """Build (once per process) the compressed index over the deterministic
+    xs transcript corpus — the engine the pytest oracle certifies."""
+    if "path" not in _XS_INDEX:
+        from .corpus import write_transcripts_parquet
+        from .index.build import build_index
+
+        d = tempfile.mkdtemp(prefix="sgs_entry_")
+        pq = os.path.join(d, "transcripts.parquet")
+        write_transcripts_parquet(pq, "xs")
+        build_index(
+            spark, spark.read.parquet(pq), os.path.join(d, "idx"), BuildConfig(num_groups=2)
+        )
+        _XS_INDEX["path"] = os.path.join(d, "idx")
+    from .index.reader import CompressedIndex
+
+    return CompressedIndex(spark, _XS_INDEX["path"])
+
+
+@q("transcripts_bm25_wand")  # Porter-stemmed engine — not SQL-expressible
+def transcripts_bm25_wand(spark, sf_dir):
+    """Full engine: compressed index + block-max WAND over the transcript
+    corpus (rank-identity vs the pure-Python oracle is the pytest gate)."""
+    idx = _xs_index(spark)
+    return idx.topk("term0001 term0002", "disjunctive", 10, algo="wand").select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+@q("transcripts_phrase")  # positional phrase over compressed positions
+def transcripts_phrase(spark, sf_dir):
+    """Positional phrase query on the compressed index."""
+    idx = _xs_index(spark)
+    return idx.topk('"phrase alpha beta"', "phrase", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: BM25 top-10 over sf0.001 documents (JVM path)."""
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    return docs_bm25.bm25_topk(docs, _BM25_TERMS, k=10)

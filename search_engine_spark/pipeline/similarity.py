@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline — a single narrow
+map + TakeOrderedAndProject, no shuffle of the vectors.  The scale path
+is random-hyperplane LSH: b sign-bits per vector (fixed seed), candidates
+restricted to bucket collisions (multi-probe = exact-bucket here), then
+exact cosine rerank of candidates only.  All arithmetic is built-in
+higher-order functions (``zip_with`` + ``aggregate``) — JVM, no Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import rnd
+
+ROUND = 5
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_scores(embeddings: DataFrame, query_vec: list[float]) -> DataFrame:
+    """(vec_id, cos) for every vector vs the query — exact, unrounded."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return embeddings.select(
+        "vec_id",
+        (_dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))).alias("cos"),
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, cos rounded)."""
+    return (
+        cosine_scores(embeddings, query_vec)
+        .select("vec_id", rnd(F.col("cos"), ROUND).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """All-pairs cosine ≥ threshold (exact; the LSH verifier)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nv")
+    )
+    return (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            rnd(
+                _dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nv") * F.col("y.nv")), ROUND
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def _table_sig(planes: np.ndarray):
+    """Column: sign bit per hyperplane packed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, row in enumerate(planes):
+        h = F.array(*[F.lit(float(v)) for v in row])
+        sig = sig + F.when(
+            _dot(F.col("embedding"), h) >= 0, F.lit(int(2**i)).cast("long")
+        ).otherwise(0)
+    return sig
+
+
+def lsh_signatures(
+    embeddings: DataFrame, dim: int, bits: int = 4, tables: int = 8, seed: int = 42
+) -> DataFrame:
+    """(vec_id, embedding, table, bucket) — one row per hash table.
+
+    Multi-table random-hyperplane LSH: a vector lands in ``tables``
+    independent buckets; a query probes its bucket in every table and
+    candidates are the union (classic L-table LSH — recall
+    1−(1−p^bits)^tables for collision prob p per plane).
+    """
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _table_sig(hyperplanes(dim, bits, seed + t)).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    return embeddings.select(
+        "vec_id", "embedding", F.explode(sigs).alias("tb")
+    ).select("vec_id", "embedding", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: exact-rerank the union of the query's buckets across tables.
+
+    At 100 TB the per-table bucket lookup replaces a full scan with a
+    partition-prunable equi-join on (table, bucket); recall vs brute
+    force is measured in tests (pipeline recall gate), not assumed.
+    """
+    dim = len(query_vec)
+    qbuckets = []
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, seed + t)
+        qbuckets.append(
+            (t, int(sum(2**i for i, row in enumerate(planes) if float(np.dot(row, query_vec)) >= 0)))
+        )
+    sigs = lsh_signatures(embeddings, dim, bits, tables, seed)
+    probe = F.lit(False)
+    for t, bkt in qbuckets:
+        probe = probe | ((F.col("table") == t) & (F.col("bucket") == bkt))
+    cand = sigs.filter(probe).select("vec_id", "embedding").distinct()
+    return cosine_topk(cand, query_vec, k)
+
+
+def knn_join(
+    left: DataFrame, right: DataFrame, k: int = 3, exclude_self: bool = True
+) -> DataFrame:
+    """For each left vector, its k nearest right vectors by cosine.
+
+    Exact block nested-loop via crossJoin + per-left window top-k; the
+    broadcast of the smaller side keeps it a map-side operation.  The
+    LSH-bucketed variant bounds candidates at scale.
+    """
+    from pyspark.sql.window import Window
+
+    l = left.select(F.col("vec_id").alias("lid"), F.col("embedding").alias("lv"),
+                    _norm(F.col("embedding")).alias("ln"))
+    r = right.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"),
+                     _norm(F.col("embedding")).alias("rn"))
+    scored = l.crossJoin(F.broadcast(r))
+    if exclude_self:
+        scored = scored.filter(F.col("lid") != F.col("rid"))
+    scored = scored.select(
+        "lid",
+        "rid",
+        rnd(_dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn")), ROUND).alias("cos"),
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "cos", "rank")
+    )

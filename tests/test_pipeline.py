@@ -1,0 +1,191 @@
+"""Training-data pipeline tests: dedup sketches vs exact, ANN recall,
+multimodal stub determinism, text-analysis invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_counts(docs):
+    from search_engine_spark.pipeline.dedup import exact_duplicates
+
+    rows = exact_duplicates(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(r["n_docs"] >= 1 for r in rows)
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates must recover ≥90% of truly-similar pairs, and every
+    reported pair must carry the exact (verified) jaccard."""
+    from search_engine_spark.pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    # threshold chosen in LSH's operating regime: with 16 bands × 2 rows
+    # the band-collision probability at j=0.5 is 1−(1−0.25)^16 ≈ 0.99
+    thresh = 0.5
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 3, thresh).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=thresh).collect()
+    }
+    assert exact, "corpus should contain near-dup pairs at this threshold"
+    # verified pairs are a subset of exact pairs with identical scores
+    for pair, j in lsh.items():
+        assert pair in exact
+        assert j == pytest.approx(exact[pair], abs=1e-9)
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall:.2f}"
+
+
+def test_simhash_pairs_verified(docs, spark):
+    from search_engine_spark.pipeline.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    assert pairs, "Zipf corpus should contain simhash near-dups"
+    for r in pairs:
+        ham = bin((fps[r["doc_a"]] ^ fps[r["doc_b"]]) & ((1 << 64) - 1)).count("1")
+        assert ham == r["hamming"] and ham <= 3
+
+
+def test_shingles_semantics(spark):
+    from search_engine_spark.pipeline.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "a b c d a b c d")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["shingle"]) for r in shingles(df, 3).collect()
+    }
+    assert got == {
+        (1, "a b c"), (1, "b c d"),
+        (3, "a b c"), (3, "b c d"), (3, "c d a"), (3, "d a b"),
+    }
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_lsh_ann_recall(emb):
+    from search_engine_spark.pipeline.similarity import cosine_topk, lsh_cosine_topk
+
+    qv = [
+        r["x"]
+        for r in emb.filter(F.col("vec_id") == 0)
+        .select(F.explode("embedding").alias("x"))
+        .collect()
+    ]
+    brute = [r["vec_id"] for r in cosine_topk(emb, qv, 10).collect()]
+    ann = [r["vec_id"] for r in lsh_cosine_topk(emb, qv, 10, bits=4, tables=16).collect()]
+    assert ann, "query vector must at least find its own bucket"
+    assert 0 in ann  # self-match survives bucketing
+    recall = len(set(ann) & set(brute)) / 10
+    assert recall >= 0.6, f"ANN recall@10 too low: {recall:.2f}"
+
+
+def test_knn_join_self_excluded_and_ranked(emb):
+    from search_engine_spark.pipeline.similarity import knn_join
+
+    left = emb.filter(F.col("vec_id") < 5)
+    rows = knn_join(left, emb, k=3).collect()
+    assert len(rows) == 15
+    by_l = {}
+    for r in rows:
+        assert r["lid"] != r["rid"]
+        by_l.setdefault(r["lid"], []).append((r["rank"], r["cos"]))
+    for lid, rs in by_l.items():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3]
+        assert rs[0][1] >= rs[1][1] >= rs[2][1]
+
+
+# ---------------------------------------------------------------- textstats
+
+
+def test_fingerprint_order_sensitive(spark):
+    from search_engine_spark.pipeline.textstats import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
+    assert got[1] == got[3]
+    assert got[1] != got[2]
+
+
+def test_lang_id_marker_behavior(spark):
+    from search_engine_spark.pipeline.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ist das"),
+            (3, "xyzzy qwerty plugh"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und", 4: "und"}
+
+
+def test_quality_monotone_in_length(spark):
+    from search_engine_spark.pipeline.textstats import quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "word " * 5), (2, "word " * 200)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["quality"] for r in quality_scores(df).collect()}
+    assert got[2] > got[1]
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features_deterministic(docs):
+    from search_engine_spark.pipeline.multimodal import extract_features, to_blob_table
+
+    blobs = to_blob_table(docs.limit(20))
+    a = {r["doc_id"]: (r["header"], tuple(r["features"])) for r in extract_features(blobs).collect()}
+    b = {r["doc_id"]: (r["header"], tuple(r["features"])) for r in extract_features(blobs).collect()}
+    assert a == b
+    assert all(len(f) == 8 and all(0.0 <= x <= 1.0 for x in f) for _h, f in a.values())
+
+
+def test_decode_image_is_stubbed():
+    from search_engine_spark.pipeline.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    from search_engine_spark.pipeline.multimodal import frame_sample_plan, to_blob_table
+
+    df = spark.createDataFrame([(1, "x" * 640)], "doc_id long, text string")
+    rows = frame_sample_plan(to_blob_table(df), every_n=3).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6, 9]
+    assert all(r["n_frames"] == 10 for r in rows)
