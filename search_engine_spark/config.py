@@ -35,3 +35,7 @@ class BuildConfig:
     num_groups: int = DEFAULT_NUM_GROUPS
     block_size: int = BLOCK_SIZE
     shuffle_partitions: int = SHUFFLE_PARTITIONS
+    # True → tokenize one group per job (checkpoint/resume unit, amortizes
+    # on huge corpora); False → single-job tokenize (fast path, identical
+    # on-disk layout).  build(resume=True) always uses the group loop.
+    checkpoint: bool = False

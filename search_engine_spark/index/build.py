@@ -10,30 +10,36 @@ Spark-first staged build over the transcripts table:
            ``Ranker1.java:128-137``), plus ``group = pmod(xxhash64(conv_id), G)``
            — the checkpoint/shard unit.  Staged parquet is partitioned by
            ``group`` so every later phase prunes to 1/G of the corpus.
-  phase 1  per-group tokenize (resumable): Arrow-batched ``mapInPandas``
-           kernel → one parquet of (doc_id, term, tf, pos varbyte-blob, dl)
-           rows per group + a lineage row (tokens/docs/rows counters).
-           A crashed build re-runs ONLY the missing groups.
+  phase 1  tokenize + per-partition posting-FRAGMENT construction in one
+           Arrow-batched ``mapInPandas`` kernel: within each input batch,
+           postings are aggregated per term and emitted as delta+varbyte
+           compressed fragment rows (term, group, n, min_doc, doc/tf/pos/dl
+           blobs) — a map-side combine that shrinks the shuffle from one
+           row per (doc, term) to one row per (batch, term).  Doc-length
+           rows ride along as ``term IS NULL`` fragments.  Two modes with
+           identical on-disk layout: one job for the whole corpus (fast
+           path) or one job per group (checkpoint/resume unit + lineage).
   phase 2  corpus stats: N, avgdl (``IndexerService.java:1017-1020`` path).
-  phase 3  merge: shuffle on ``(term, group)`` — the *group* key is the
-           doc-range salt that spreads one Zipf head term over G reducers
-           instead of one (SURVEY.md §4.1 "skew handling") — then an
-           ``applyInPandas`` kernel packs sorted postings into
-           delta+varbyte blocks of ``block_size`` with block-max BM25
-           partial upper bounds for WAND.  Written partitioned by
+  phase 3  merge: ONE hash shuffle on ``(term, group)`` — the *group* key
+           is the doc-range salt that spreads one Zipf head term over G
+           reducers instead of one (SURVEY.md §4.1 "skew handling") —
+           sort-within-partition by (term, group, min_doc), then a
+           ``mapInPandas`` kernel (one invocation per Arrow batch, NOT per
+           term) concatenates fragments into sorted posting runs and packs
+           them into blocks of ``block_size`` with block-max BM25 partial
+           upper bounds for WAND.  Written partitioned by
            ``bucket = pmod(xxhash64(term), NB)`` for query-time partition
            pruning (the Iceberg ``bucket(term)`` analog).
   phase 4  idf table (``idf = ln((1+N)/(1+df)) + 1``, IndexerService.java:966)
            and per-group doclen blobs for the query kernels.
 
-All heavy work is DataFrame ops + Arrow-batched pandas kernels; no
-per-row Python, no driver-side loops over data.
+All heavy work is DataFrame ops + Arrow-batched numpy kernels; no
+per-row Python in any hot path, no driver-side loops over data.
 """
 
 from __future__ import annotations
 
 import json
-import math
 import os
 import shutil
 import time
@@ -46,9 +52,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import BM25_B, BM25_K1, BuildConfig
 from ..textproc import analyze_text
-from .codec import varbyte_encode
+from .codec import stream_byte_offsets, varbyte_decode, varbyte_encode
 
-TOKENS_SCHEMA = "doc_id long, term string, tf int, pos binary, dl int"
+# term IS NULL rows are doclen fragments: doc_blob=delta(doc_ids),
+# dl_blob=varbyte(dls), n=doc count, sum_dl=Σdl (for avgdl).
+FRAGMENTS_SCHEMA = (
+    "term string, group int, n int, min_doc long, sum_dl long, "
+    "doc_blob binary, tf_blob binary, pos_blob binary, dl_blob binary"
+)
 BLOCKS_SCHEMA = (
     "term string, group int, block_id int, n int, first_doc long, last_doc long, "
     "doc_blob binary, tf_blob binary, pos_blob binary, max_tf int, max_partial double"
@@ -66,8 +77,7 @@ def _dir(base: str, name: str) -> str:
 class IndexPaths:
     root: str
     staged: str = field(init=False)
-    docmap: str = field(init=False)
-    tokens: str = field(init=False)
+    tokens: str = field(init=False)  # fragment table (kept name for layout compat)
     postings: str = field(init=False)
     idf: str = field(init=False)
     doclen: str = field(init=False)
@@ -76,8 +86,7 @@ class IndexPaths:
 
     def __post_init__(self) -> None:
         self.staged = _dir(self.root, "staged")
-        self.docmap = _dir(self.root, "docmap")
-        self.tokens = _dir(self.root, "tokens")
+        self.tokens = _dir(self.root, "fragments")
         self.postings = _dir(self.root, "postings")
         self.idf = _dir(self.root, "idf")
         self.doclen = _dir(self.root, "doclen")
@@ -133,119 +142,208 @@ def assign_doc_ids(transcripts: DataFrame, num_groups: int) -> tuple[DataFrame, 
 # ---------------------------------------------------------------- phase 1
 
 
-def _tokenize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id, text) batches → (doc_id, term, tf, pos, dl) rows.
+def _delta(a: np.ndarray) -> np.ndarray:
+    d = np.empty_like(a)
+    d[0] = a[0]
+    d[1:] = a[1:] - a[:-1]
+    return d
 
-    One sentinel row per doc with ``term = NULL`` carries ``dl`` (so empty
-    turns appear in doclen — N and avgdl count ALL turns, oracle parity).
-    ``pos`` is the per-(doc, term) varbyte(delta(positions)) blob; varbyte
-    is self-delimiting so the merge kernel can concatenate these blobs
-    without re-encoding.
+
+def _fragment_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(group, doc_id, text) batches → compressed fragment rows.
+
+    Map-side combine: one output row per (term, group) per batch, postings
+    already sorted by doc_id (input order within a staged file is doc-id
+    ascending) and delta+varbyte packed.  One ``term IS NULL`` row per
+    (group, batch) carries the doclen fragment.
     """
     stem_cache: dict[str, str] = {}
     for pdf in batches:
-        doc_ids: list[int] = []
-        terms: list[str | None] = []
-        tfs: list[int] = []
-        blobs: list[bytes | None] = []
-        dls: list[int] = []
-        for did, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = analyze_text(text if isinstance(text, str) else "", _stem_cache=stem_cache)
-            dl = len(toks)
-            doc_ids.append(int(did))
-            terms.append(None)
-            tfs.append(0)
-            blobs.append(None)
-            dls.append(dl)
-            per_term: dict[str, list[int]] = {}
-            for pos, tk in enumerate(toks):
-                per_term.setdefault(tk, []).append(pos)
-            for tk, ps in per_term.items():
-                a = np.asarray(ps, dtype=np.int64)
-                d = np.empty_like(a)
-                d[0] = a[0]
-                d[1:] = a[1:] - a[:-1]
-                doc_ids.append(int(did))
-                terms.append(tk)
-                tfs.append(len(ps))
-                blobs.append(varbyte_encode(d.astype(np.uint64)))
-                dls.append(dl)
+        rows: list = []
+        for group, gdf in pdf.groupby("group", sort=False):
+            per_term: dict[str, list] = {}
+            doc_ids_all: list[int] = []
+            dls_all: list[int] = []
+            for did, text in zip(gdf["doc_id"], gdf["text"]):
+                did = int(did)
+                toks = analyze_text(
+                    text if isinstance(text, str) else "", _stem_cache=stem_cache
+                )
+                doc_ids_all.append(did)
+                dls_all.append(len(toks))
+                per_doc: dict[str, list[int]] = {}
+                for pos, tk in enumerate(toks):
+                    per_doc.setdefault(tk, []).append(pos)
+                dl = len(toks)
+                for tk, ps in per_doc.items():
+                    per_term.setdefault(tk, []).append((did, len(ps), ps, dl))
+            g = int(group)
+            # doclen fragment
+            da = np.asarray(doc_ids_all, dtype=np.int64)
+            dla = np.asarray(dls_all, dtype=np.int64)
+            order = np.argsort(da, kind="stable")
+            da, dla = da[order], dla[order]
+            rows.append(
+                (
+                    None, g, len(da), int(da[0]), int(dla.sum()),
+                    varbyte_encode(_delta(da).astype(np.uint64)),
+                    None, None,
+                    varbyte_encode(dla.astype(np.uint64)),
+                )
+            )
+            # posting fragments
+            for tk, plist in per_term.items():
+                docs = np.asarray([p[0] for p in plist], dtype=np.int64)
+                tfs = np.asarray([p[1] for p in plist], dtype=np.int64)
+                dls = np.asarray([p[3] for p in plist], dtype=np.int64)
+                if not np.all(docs[1:] >= docs[:-1]):
+                    o = np.argsort(docs, kind="stable")
+                    docs, tfs, dls = docs[o], tfs[o], dls[o]
+                    plist = [plist[i] for i in o]
+                pos_blob = b"".join(
+                    varbyte_encode(_delta(np.asarray(p[2], dtype=np.int64)).astype(np.uint64))
+                    for p in plist
+                )
+                rows.append(
+                    (
+                        tk, g, len(docs), int(docs[0]), 0,
+                        varbyte_encode(_delta(docs).astype(np.uint64)),
+                        varbyte_encode(tfs.astype(np.uint64)),
+                        pos_blob,
+                        varbyte_encode(dls.astype(np.uint64)),
+                    )
+                )
         yield pd.DataFrame(
-            {
-                "doc_id": pd.array(doc_ids, dtype="int64"),
-                "term": terms,
-                "tf": pd.array(tfs, dtype="int32"),
-                "pos": blobs,
-                "dl": pd.array(dls, dtype="int32"),
-            }
+            rows,
+            columns=[
+                "term", "group", "n", "min_doc", "sum_dl",
+                "doc_blob", "tf_blob", "pos_blob", "dl_blob",
+            ],
         )
 
 
 # ---------------------------------------------------------------- phase 3
 
 
-def _make_merge_kernel(avgdl: float, block_size: int):
-    """applyInPandas kernel over one (term, group): fragments → blocks."""
-    k1, b = BM25_K1, BM25_B
+_BLOCK_COLS = [
+    "term", "group", "block_id", "n", "first_doc", "last_doc",
+    "doc_blob", "tf_blob", "pos_blob", "max_tf", "max_partial",
+]
 
-    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, group = key
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.float64)
-        blobs = pdf["pos"].to_numpy(dtype=object)[order]
-        partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        rows = []
-        for bi, s in enumerate(range(0, len(doc_ids), block_size)):
-            e = min(s + block_size, len(doc_ids))
-            d = np.asarray(doc_ids[s:e], dtype=np.int64)
-            t = tfs[s:e]
-            deltas = np.empty_like(d)
-            deltas[0] = d[0]
-            deltas[1:] = d[1:] - d[:-1]
-            rows.append(
-                (
-                    term,
-                    group,
-                    bi,
-                    e - s,
-                    int(d[0]),
-                    int(d[-1]),
-                    varbyte_encode(deltas.astype(np.uint64)),
-                    varbyte_encode(t.astype(np.uint64)),
-                    b"".join(blobs[s:e]),
-                    int(t.max()),
-                    float(partial[s:e].max()),
-                )
+
+def _emit_blocks(rows: list, term: str, group: int, doc_ids: np.ndarray,
+                 tfs: np.ndarray, dls: np.ndarray, pos_stream: bytes,
+                 avgdl: float, block_size: int) -> None:
+    """Pack one doc-sorted (term, group) posting run into block rows."""
+    k1, b = BM25_K1, BM25_B
+    partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+    if len(doc_ids) > block_size:
+        pos_offsets = stream_byte_offsets(pos_stream, tfs)
+    for bi, s in enumerate(range(0, len(doc_ids), block_size)):
+        e = min(s + block_size, len(doc_ids))
+        d = doc_ids[s:e]
+        t = tfs[s:e]
+        pos_part = (
+            pos_stream
+            if len(doc_ids) <= block_size
+            else bytes(pos_stream[pos_offsets[s] : pos_offsets[e]])
+        )
+        rows.append(
+            (
+                term, group, bi, e - s, int(d[0]), int(d[-1]),
+                varbyte_encode(_delta(d).astype(np.uint64)),
+                varbyte_encode(t.astype(np.uint64)),
+                pos_part,
+                int(t.max()),
+                float(partial[s:e].max()),
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "group", "block_id", "n", "first_doc", "last_doc",
-                "doc_blob", "tf_blob", "pos_blob", "max_tf", "max_partial",
-            ],
         )
 
-    return merge
+
+def _merge_run(rows: list, pdf: pd.DataFrame, avgdl: float, block_size: int) -> None:
+    """Merge the fragments of ONE (term, group), already min_doc-sorted."""
+    term = str(pdf["term"].iloc[0])
+    group = int(pdf["group"].iloc[0])
+    docs = np.concatenate(
+        [np.cumsum(varbyte_decode(b).astype(np.int64)) for b in pdf["doc_blob"]]
+    )
+    tfs = np.concatenate([varbyte_decode(b).astype(np.int64) for b in pdf["tf_blob"]])
+    dls = np.concatenate([varbyte_decode(b).astype(np.int64) for b in pdf["dl_blob"]])
+    pos_stream = b"".join(pdf["pos_blob"])
+    if not np.all(docs[1:] > docs[:-1]):
+        # fragments overlapped (never happens for disjoint staged files;
+        # kept as a correctness fallback) — reorder per posting
+        offsets = stream_byte_offsets(pos_stream, tfs)
+        o = np.argsort(docs, kind="stable")
+        pos_stream = b"".join(
+            pos_stream[offsets[i] : offsets[i + 1]] for i in o
+        )
+        docs, tfs, dls = docs[o], tfs[o], dls[o]
+    _emit_blocks(rows, term, group, docs, tfs, dls, pos_stream, avgdl, block_size)
+
+
+def _make_merge_mapper(avgdl: float, block_size: int):
+    """mapInPandas kernel over a (term, group)-hash partition sorted by
+    (term, group, min_doc): one invocation per Arrow batch (a corpus has
+    millions of terms — per-key applyInPandas overhead would dominate).
+    A (term, group) run can span batch boundaries, so each batch's
+    trailing run is carried over."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if len(pdf) == 0:
+                continue
+            t = pdf["term"].to_numpy()
+            g = pdf["group"].to_numpy()
+            tail_mask = (t == t[-1]) & (g == g[-1])
+            tail_len = int(tail_mask[::-1].argmin()) if not tail_mask.all() else len(pdf)
+            head_end = len(pdf) - tail_len
+            buf = pdf.iloc[head_end:].reset_index(drop=True)
+            if head_end:
+                yield _merge_frame(pdf.iloc[:head_end], avgdl, block_size)
+        if buf is not None and len(buf):
+            yield _merge_frame(buf, avgdl, block_size)
+
+    return mapper
+
+
+def _merge_frame(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
+    terms = pdf["term"].to_numpy()
+    groups = pdf["group"].to_numpy()
+    change = np.flatnonzero((terms[1:] != terms[:-1]) | (groups[1:] != groups[:-1])) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(pdf)]])
+    rows: list = []
+    for s, e in zip(starts, ends):
+        _merge_run(rows, pdf.iloc[s:e], avgdl, block_size)
+    return pd.DataFrame(rows, columns=_BLOCK_COLS)
+
+
+# ---------------------------------------------------------------- phase 4
 
 
 def _doclen_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Doclen fragments of one group → a single (group, blobs) row."""
     (group,) = key
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
-    deltas = np.empty_like(doc_ids)
-    if len(doc_ids):
-        deltas[0] = doc_ids[0]
-        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    pdf = pdf.sort_values("min_doc", kind="mergesort")
+    docs = np.concatenate(
+        [np.cumsum(varbyte_decode(b).astype(np.int64)) for b in pdf["doc_blob"]]
+    )
+    dls = np.concatenate([varbyte_decode(b).astype(np.int64) for b in pdf["dl_blob"]])
+    if not np.all(docs[1:] > docs[:-1]):
+        o = np.argsort(docs, kind="stable")
+        docs, dls = docs[o], dls[o]
     return pd.DataFrame(
         [
             (
                 int(group),
-                len(doc_ids),
-                varbyte_encode(deltas.astype(np.uint64)),
-                varbyte_encode(dls),
+                len(docs),
+                varbyte_encode(_delta(docs).astype(np.uint64)),
+                varbyte_encode(dls.astype(np.uint64)),
             )
         ],
         columns=["group", "n_docs", "doc_blob", "dl_blob"],
@@ -263,8 +361,8 @@ class IndexBuilder:
     """Checkpoint-resumable build driver.
 
     ``build()`` runs every phase; ``build(resume=True)`` after a crash
-    skips groups whose tokenize output committed (per-group marker +
-    lineage row) — the resume test asserts byte-identical final output.
+    skips groups whose fragment output committed (per-group marker +
+    lineage row) — the resume test asserts the final index is identical.
     """
 
     def __init__(self, spark: SparkSession, out_dir: str, config: BuildConfig | None = None):
@@ -280,10 +378,8 @@ class IndexBuilder:
         staged, pinned = assign_doc_ids(transcripts, self.config.num_groups)
         staged.write.mode("overwrite").partitionBy("group").parquet(self.paths.staged)
         pinned.unpersist()
-        docmap = self.spark.read.parquet(self.paths.staged).select(
-            "doc_id", "conv_id", "turn_idx", "group"
-        )
-        docmap.write.mode("overwrite").parquet(self.paths.docmap)
+        with open(os.path.join(self.paths.root, "_STAGED_SUCCESS"), "w") as f:
+            f.write("ok")
 
     def groups_done(self) -> set[int]:
         return {
@@ -292,38 +388,60 @@ class IndexBuilder:
             if os.path.exists(_group_done_marker(self.paths, g))
         }
 
+    def _lineage_rows(self, frags: DataFrame, wall_s: float) -> list[dict]:
+        rows = (
+            frags.groupBy("group")
+            .agg(
+                F.sum(F.when(F.col("term").isNull(), F.col("n")).otherwise(0)).alias("docs"),
+                F.sum(F.when(F.col("term").isNull(), F.col("sum_dl")).otherwise(0)).alias("tokens"),
+                F.sum(F.when(F.col("term").isNotNull(), F.col("n")).otherwise(0)).alias("postings"),
+                F.sum(
+                    F.when(F.col("term").isNotNull(), F.octet_length("pos_blob")).otherwise(0)
+                ).alias("pos_bytes"),
+            )
+            .collect()
+        )
+        return [
+            {
+                "group": int(r["group"]),
+                "phase": "tokenize",
+                "n_docs": int(r["docs"] or 0),
+                "n_tokens": int(r["tokens"] or 0),
+                "n_posting_rows": int(r["postings"] or 0),
+                "pos_bytes": int(r["pos_bytes"] or 0),
+                "wall_s": wall_s,
+                "status": "complete",
+            }
+            for r in rows
+        ]
+
     def tokenize_group(self, group: int) -> dict:
-        """Phase 1 for one group; idempotent (overwrites its own dir)."""
+        """Phase 1 (checkpoint path) for one group; idempotent."""
         t0 = time.time()
         staged = self.spark.read.parquet(self.paths.staged).filter(F.col("group") == group)
-        tokens = staged.select("doc_id", "text").mapInPandas(
-            _tokenize_kernel, schema=TOKENS_SCHEMA
-        )
+        frags = staged.select("group", "doc_id", "text").mapInPandas(
+            _fragment_kernel, schema=FRAGMENTS_SCHEMA
+        ).drop("group")
         gdir = os.path.join(self.paths.tokens, f"group={group}")
-        tokens.write.mode("overwrite").parquet(gdir)
-        out = self.spark.read.parquet(gdir)
-        row = out.agg(
-            F.count("*").alias("rows"),
-            F.sum(F.when(F.col("term").isNull(), 1).otherwise(0)).alias("docs"),
-            F.sum(F.when(F.col("term").isNull(), F.col("dl")).otherwise(0)).alias("tokens"),
-            F.sum(F.when(F.col("term").isNotNull(), F.octet_length("pos")).otherwise(0)).alias(
-                "pos_bytes"
-            ),
-        ).collect()[0]
-        lineage = {
-            "group": group,
-            "phase": "tokenize",
-            "n_docs": int(row["docs"] or 0),
-            "n_tokens": int(row["tokens"] or 0),
-            "n_posting_rows": int(row["rows"] or 0) - int(row["docs"] or 0),
-            "pos_bytes": int(row["pos_bytes"] or 0),
-            "wall_s": round(time.time() - t0, 3),
-            "status": "complete",
-        }
+        frags.write.mode("overwrite").parquet(gdir)
+        out = self.spark.read.parquet(gdir).withColumn("group", F.lit(group))
+        lineage = self._lineage_rows(out, round(time.time() - t0, 3))[0]
         with open(_group_done_marker(self.paths, group), "w") as f:
             json.dump(lineage, f)
         self.metrics.append(lineage)
         return lineage
+
+    def tokenize_all(self) -> None:
+        """Phase 1 fast path: ONE job for every group, same on-disk layout."""
+        t0 = time.time()
+        staged = self.spark.read.parquet(self.paths.staged).select("group", "doc_id", "text")
+        frags = staged.mapInPandas(_fragment_kernel, schema=FRAGMENTS_SCHEMA)
+        frags.write.mode("overwrite").partitionBy("group").parquet(self.paths.tokens)
+        wall = round(time.time() - t0, 3)
+        for lineage in self._lineage_rows(self._tokens(), wall):
+            with open(_group_done_marker(self.paths, lineage["group"]), "w") as f:
+                json.dump(lineage, f)
+            self.metrics.append(lineage)
 
     def _tokens(self) -> DataFrame:
         return self.spark.read.option("basePath", self.paths.tokens).parquet(
@@ -335,16 +453,21 @@ class IndexBuilder:
 
     def corpus_stats(self) -> tuple[int, float]:
         doc_rows = self._tokens().filter(F.col("term").isNull())
-        r = doc_rows.agg(F.count("*").alias("n"), F.sum("dl").alias("tok")).collect()[0]
+        r = doc_rows.agg(F.sum("n").alias("n"), F.sum("sum_dl").alias("tok")).collect()[0]
         n = int(r["n"] or 0)
         avgdl = (int(r["tok"] or 0) / n) if n else 0.0
         return n, avgdl
 
     def merge(self, avgdl: float) -> None:
         """Phase 3: salted (term, group) shuffle → block rows → bucketed parquet."""
-        frags = self._tokens().filter(F.col("term").isNotNull())
-        blocks = frags.groupBy("term", "group").applyInPandas(
-            _make_merge_kernel(avgdl, self.config.block_size), schema=BLOCKS_SCHEMA
+        frags = self._tokens().filter(F.col("term").isNotNull()).select(
+            "term", "group", "n", "min_doc", "doc_blob", "tf_blob", "pos_blob", "dl_blob"
+        )
+        clustered = frags.repartition(
+            self.config.shuffle_partitions, "term", "group"
+        ).sortWithinPartitions("term", "group", "min_doc")
+        blocks = clustered.mapInPandas(
+            _make_merge_mapper(avgdl, self.config.block_size), schema=BLOCKS_SCHEMA
         )
         blocks = blocks.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)).cast("int")
@@ -366,13 +489,16 @@ class IndexBuilder:
         )
         idf.write.mode("overwrite").partitionBy("bucket").parquet(self.paths.idf)
 
-        doc_rows = self._tokens().filter(F.col("term").isNull()).select("group", "doc_id", "dl")
+        doc_rows = self._tokens().filter(F.col("term").isNull()).select(
+            "group", "min_doc", "doc_blob", "dl_blob"
+        )
         doclen = doc_rows.groupBy("group").applyInPandas(_doclen_kernel, schema=DOCLEN_SCHEMA)
         doclen.write.mode("overwrite").parquet(self.paths.doclen)
 
-        lineage_df = self.spark.createDataFrame(pd.DataFrame(self.metrics)) if self.metrics else None
-        if lineage_df is not None:
-            lineage_df.write.mode("overwrite").parquet(self.paths.lineage)
+        if self.metrics:
+            self.spark.createDataFrame(pd.DataFrame(self.metrics)).write.mode(
+                "overwrite"
+            ).parquet(self.paths.lineage)
 
         meta = {
             "n_docs": n_docs,
@@ -382,7 +508,7 @@ class IndexBuilder:
             "block_size": self.config.block_size,
             "k1": BM25_K1,
             "b": BM25_B,
-            "format_version": 1,
+            "format_version": 2,
         }
         with open(self.paths.meta, "w") as f:
             json.dump(meta, f, indent=2)
@@ -394,15 +520,18 @@ class IndexBuilder:
             if os.path.exists(self.paths.root):
                 shutil.rmtree(self.paths.root)
             os.makedirs(self.paths.root, exist_ok=True)
-        if not resume or not os.path.exists(self.paths.docmap):
+        if not resume or not os.path.exists(os.path.join(self.paths.root, "_STAGED_SUCCESS")):
             self.stage(transcripts)
-        done = self.groups_done() if resume else set()
-        for g in range(self.config.num_groups):
-            if g in done:
-                with open(_group_done_marker(self.paths, g)) as f:
-                    self.metrics.append(json.load(f))
-                continue
-            self.tokenize_group(g)
+        if resume or self.config.checkpoint:
+            done = self.groups_done() if resume else set()
+            for g in range(self.config.num_groups):
+                if g in done:
+                    with open(_group_done_marker(self.paths, g)) as f:
+                        self.metrics.append(json.load(f))
+                    continue
+                self.tokenize_group(g)
+        else:
+            self.tokenize_all()
         n_docs, avgdl = self.corpus_stats()
         self.merge(avgdl)
         self.finalize(n_docs, avgdl)

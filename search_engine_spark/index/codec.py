@@ -117,6 +117,25 @@ def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
     return varbyte_encode(np.concatenate([counts.astype(_U64), flat]))
 
 
+def stream_byte_offsets(blob: bytes | memoryview, counts: np.ndarray) -> np.ndarray:
+    """Byte boundaries of per-doc runs inside a concatenated varbyte stream.
+
+    ``counts[i]`` = number of varbyte values belonging to doc i.  Returns
+    ``offsets`` with len(counts)+1 entries such that doc i's bytes are
+    ``blob[offsets[i]:offsets[i+1]]``.  Vectorized: terminal bytes have
+    the high bit clear.
+    """
+    b = np.frombuffer(blob, dtype=np.uint8)
+    ends = np.flatnonzero((b & 0x80) == 0)  # index of last byte of each value
+    cum = np.cumsum(np.asarray(counts, dtype=np.int64))
+    offsets = np.zeros(len(cum) + 1, dtype=np.int64)
+    nz = cum > 0
+    offsets[1:][nz] = ends[cum[nz] - 1] + 1
+    # docs with zero values inherit the previous offset
+    np.maximum.accumulate(offsets, out=offsets)
+    return offsets
+
+
 def decode_positions(blob: bytes, n_docs: int) -> list[np.ndarray]:
     """Inverse of :func:`encode_positions` for a block of ``n_docs`` docs."""
     vals = varbyte_decode(blob)

@@ -95,7 +95,11 @@ class CompressedIndex:
         self.avgdl = float(self.meta["avgdl"])
         self.num_buckets = int(self.meta["num_buckets"])
         self._doclen = spark.read.parquet(self.paths.doclen)
-        self._docmap = spark.read.parquet(self.paths.docmap)
+        # docmap is a pruned projection of the staged table (Parquet reads
+        # only these three columns; the text pages are never touched)
+        self._docmap = spark.read.parquet(self.paths.staged).select(
+            "doc_id", "conv_id", "turn_idx"
+        )
         self._bucket_cache: dict[str, int] = {}
 
     # -- lookups -----------------------------------------------------
