@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line on stdout.
+
+Workload:
+  1. index build over the deterministic ``md`` transcript corpus
+     (100k turns) → build seconds + turns/sec
+  2. BM25 query latency: the 30-query reference set against the built
+     compressed index (WAND auto) → p50/p95/total
+  3. docs-engine + pipeline workload at $SPARK_GRAFT_SF_DIR (default
+     /root/testdata/sf0.1): BM25, dedup, similarity, text analysis,
+     relational queries from the driver contract
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_SCALE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "md")
+
+# contract entries benched at sf_dir (a representative, fast subset)
+CONTRACT_QUERIES = [
+    "bm25_topk",
+    "bm25_conjunctive",
+    "phrase_contains",
+    "term_totals",
+    "match_count_rank",
+    "events_sessionize",
+    "events_hourly_agg",
+    "pricing_summary",
+    "top_customers_by_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "cosine_topk",
+    "knn_join",
+    "ann_lsh_topk",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "fingerprints",
+]
+
+
+def corpus_parquet(scale: str) -> tuple[str, int]:
+    from search_engine_spark.corpus import SCALES, write_transcripts_parquet
+
+    spec = SCALES[scale]
+    n_turns = spec["n_convs"] * spec["turns_per_conv"]
+    path = os.path.join(tempfile.gettempdir(), f"sgs_bench_{scale}.parquet")
+    if not os.path.exists(path):
+        write_transcripts_parquet(path, scale)
+    return path, n_turns
+
+
+def main() -> None:
+    from search_engine_spark import contract
+    from search_engine_spark.config import BuildConfig
+    from search_engine_spark.corpus import REFERENCE_QUERIES
+    from search_engine_spark.index.build import build_index
+    from search_engine_spark.index.reader import CompressedIndex
+    from search_engine_spark.session import get_spark
+
+    results: dict[str, float] = {}
+    t_all = time.time()
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    # -- 1. index build ------------------------------------------------
+    pq, n_turns = corpus_parquet(SCALE)
+    idx_dir = os.path.join(tempfile.mkdtemp(prefix="sgs_bench_idx_"), "idx")
+    t0 = time.time()
+    build_index(spark, spark.read.parquet(pq), idx_dir, BuildConfig(num_groups=8))
+    build_s = time.time() - t0
+    results["build_index"] = round(build_s, 3)
+
+    # -- 2. BM25 query latency over the reference set ------------------
+    index = CompressedIndex(spark, idx_dir)
+    lat: list[float] = []
+    t0 = time.time()
+    for q in REFERENCE_QUERIES:
+        t1 = time.time()
+        index.topk(q["query_text"], q["mode"], q["k"]).collect()
+        lat.append(time.time() - t1)
+    results["bm25_query_set"] = round(time.time() - t0, 3)
+    lat.sort()
+    p50 = statistics.median(lat)
+    p95 = lat[max(0, int(len(lat) * 0.95) - 1)]
+
+    # -- 3. contract workload at sf_dir --------------------------------
+    qs = contract.QUERIES
+    for name in CONTRACT_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        results[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    out = {
+        "metric": "e2e_bench_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "queries": results,
+        "build": {
+            "scale": SCALE,
+            "n_turns": n_turns,
+            "seconds": round(build_s, 3),
+            "turns_per_sec": round(n_turns / build_s, 1),
+            "cores": CPUS,
+        },
+        "query_latency": {
+            "n_queries": len(lat),
+            "p50_ms": round(p50 * 1000, 1),
+            "p95_ms": round(p95 * 1000, 1),
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Scaling-efficiency evidence: the same build job at two parallelism
+levels (local[N] vs local[4N]) on identical input.
+
+Sandbox stand-in for the north rule's N vs 4N *executors* criterion
+(no real cluster here — per driver instruction).  Writes
+BENCH_SCALING.json and prints a markdown row for BASELINE.md.
+
+Usage: python scripts/scaling.py [--scale lg] [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_build(cores: int, pq: str, out_dir: str, n_turns: int) -> float:
+    from search_engine_spark.config import BuildConfig
+    from search_engine_spark.index.build import build_index
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling_{cores}", cores=cores, shuffle_partitions=max(cores, 8)
+    )
+    tr = spark.read.parquet(pq)
+    t0 = time.time()
+    build_index(spark, tr, out_dir, BuildConfig(num_groups=8))
+    dt = time.time() - t0
+    spark.stop()
+    print(f"cores={cores}: {dt:.1f}s  ({n_turns / dt:.0f} turns/s)", file=sys.stderr)
+    return dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="lg")
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    import tempfile
+
+    from search_engine_spark.corpus import SCALES, write_transcripts_parquet
+
+    spec = SCALES[args.scale]
+    n_turns = spec["n_convs"] * spec["turns_per_conv"]
+    pq = os.path.join(tempfile.gettempdir(), f"sgs_scaling_{args.scale}.parquet")
+    if not os.path.exists(pq):
+        print(f"generating {args.scale} corpus ({n_turns} turns)...", file=sys.stderr)
+        write_transcripts_parquet(pq, args.scale)
+
+    base = tempfile.mkdtemp(prefix="sgs_scaling_")
+    # high first: any OS page-cache warm-up then favors the LOW run,
+    # which makes the reported efficiency conservative
+    t_high = run_build(args.high, pq, os.path.join(base, f"idx{args.high}"), n_turns)
+    t_low = run_build(args.low, pq, os.path.join(base, f"idx{args.low}"), n_turns)
+
+    ratio = args.high / args.low
+    speedup = t_low / t_high
+    eff = speedup / ratio
+    out = {
+        "scale": args.scale,
+        "n_turns": n_turns,
+        "cores_low": args.low,
+        "cores_high": args.high,
+        "seconds_low": round(t_low, 1),
+        "seconds_high": round(t_high, 1),
+        "turns_per_sec_low": round(n_turns / t_low, 1),
+        "turns_per_sec_high": round(n_turns / t_high, 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    print(
+        f"| index build ({args.scale}, {n_turns} turns) | local[{args.low}]: {t_low:.1f}s "
+        f"({n_turns/t_low:.0f} turns/s) | local[{args.high}]: {t_high:.1f}s "
+        f"({n_turns/t_high:.0f} turns/s) | {eff:.2f} |",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""CLI entrypoints: build / query / bench / resume.
+
+The spark-submit surface of the engine (north rule: "run via
+spark-submit --py-files"), also runnable as
+``python -m search_engine_spark.cli <cmd>`` locally.
+
+  build   --input <transcripts parquet/dir> --output <index dir>
+          [--groups 8] [--checkpoint] [--resume]
+  query   --index <index dir> --query "<text>" [--mode disjunctive]
+          [--k 10] [--algo auto]
+  bench   (delegates to bench.py's workload at $SPARK_GRAFT_SF_DIR)
+
+The reference's equivalents are the REST endpoints /reindex and
+/api/search (ReindexController.java:40-104, SearchController.java:182-276);
+ours are batch jobs over Parquet/Iceberg tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(cores: int | None):
+    from .session import get_spark
+
+    return get_spark(app_name="search_engine_spark.cli", cores=cores)
+
+
+def cmd_build(args: argparse.Namespace) -> None:
+    from .config import BuildConfig
+    from .index.build import IndexBuilder
+
+    spark = _spark(args.cores)
+    cfg = BuildConfig(num_groups=args.groups, checkpoint=args.checkpoint)
+    t0 = time.time()
+    b = IndexBuilder(spark, args.output, cfg)
+    b.build(spark.read.parquet(args.input), resume=args.resume)
+    n, avgdl = b.corpus_stats()
+    print(
+        json.dumps(
+            {
+                "index": args.output,
+                "n_docs": n,
+                "avgdl": round(avgdl, 3),
+                "groups": args.groups,
+                "seconds": round(time.time() - t0, 2),
+                "lineage": b.metrics,
+            }
+        )
+    )
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    from .index.reader import CompressedIndex
+
+    spark = _spark(args.cores)
+    idx = CompressedIndex(spark, args.index)
+    t0 = time.time()
+    rows = idx.topk(args.query, args.mode, args.k, algo=args.algo).collect()
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "mode": args.mode,
+                "seconds": round(time.time() - t0, 3),
+                "results": [
+                    {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "score": r["score"]}
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
+def cmd_bench(_args: argparse.Namespace) -> None:
+    import runpy
+
+    runpy.run_module("bench", run_name="__main__")
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="search_engine_spark")
+    ap.add_argument("--cores", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a compressed inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--groups", type=int, default=8)
+    b.add_argument("--checkpoint", action="store_true", help="one job per group (resumable)")
+    b.add_argument("--resume", action="store_true", help="resume a crashed build")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k query against an index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--mode", default="disjunctive",
+                   choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--algo", default="auto", choices=["auto", "exact", "wand"])
+    q.set_defaults(fn=cmd_query)
+
+    be = sub.add_parser("bench", help="run the headline benchmark")
+    be.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -51,7 +51,8 @@ PHRASE = "phrase alpha beta"
 _XS = dict(n_convs=20, turns_per_conv=5)
 _SM = dict(n_convs=200, turns_per_conv=25)
 _MD = dict(n_convs=2000, turns_per_conv=50)
-SCALES = {"xs": _XS, "sm": _SM, "md": _MD}
+_LG = dict(n_convs=20000, turns_per_conv=50)  # 1M turns — scaling evidence
+SCALES = {"xs": _XS, "sm": _SM, "md": _MD, "lg": _LG}
 
 
 def _vocab() -> list[str]:

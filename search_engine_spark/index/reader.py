@@ -36,19 +36,12 @@ from .kernels import (
     phrase_candidates,
     wand_topk,
 )
+from .xxhash import term_bucket
 
 RESULT_SCHEMA = "doc_id long, score double"
 # below this many decoded postings the vectorized exact kernel beats the
 # document-at-a-time WAND loop; above it WAND's skipping wins
 WAND_MIN_POSTINGS = 50_000
-
-
-def _bucket_of(term: str, num_buckets: int, spark: SparkSession) -> int:
-    # computed via Spark's own xxhash64 so it always matches the writer
-    row = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(term)), F.lit(num_buckets)).cast("int").alias("b")
-    ).collect()[0]
-    return int(row["b"])
 
 
 @dataclass
@@ -94,32 +87,22 @@ class CompressedIndex:
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.num_buckets = int(self.meta["num_buckets"])
-        self._doclen = spark.read.parquet(self.paths.doclen)
-        # docmap is a pruned projection of the staged table (Parquet reads
-        # only these three columns; the text pages are never touched)
-        self._docmap = spark.read.parquet(self.paths.staged).select(
-            "doc_id", "conv_id", "turn_idx"
+        # doclen is G rows of blobs; the docmap projection of staged reads
+        # only three pruned columns.  Both are hot on every query → cache.
+        self._doclen = spark.read.parquet(self.paths.doclen).cache()
+        self._docmap = (
+            spark.read.parquet(self.paths.staged)
+            .select("doc_id", "conv_id", "turn_idx")
+            .cache()
         )
-        self._bucket_cache: dict[str, int] = {}
+        self._idf_cache: dict[str, float] = {}
 
     # -- lookups -----------------------------------------------------
 
     def _buckets(self, terms: list[str]) -> list[int]:
-        missing = [t for t in terms if t not in self._bucket_cache]
-        if missing:
-            rows = (
-                self.spark.createDataFrame([(t,) for t in missing], "term string")
-                .select(
-                    "term",
-                    F.pmod(F.xxhash64("term"), F.lit(self.num_buckets))
-                    .cast("int")
-                    .alias("b"),
-                )
-                .collect()
-            )
-            for r in rows:
-                self._bucket_cache[r["term"]] = int(r["b"])
-        return sorted({self._bucket_cache[t] for t in terms})
+        # driver-side XXH64 — identical to the writer's Spark xxhash64,
+        # no job launch (parity pinned by tests/test_xxhash.py)
+        return sorted({term_bucket(t, self.num_buckets) for t in terms})
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         """Bucket-pruned idf lookup; absent terms get df=0 idf (oracle parity)."""
@@ -128,16 +111,20 @@ class CompressedIndex:
         uniq = sorted(set(terms))
         if not uniq:
             return {}
-        buckets = self._buckets(uniq)
-        rows = (
-            self.spark.read.parquet(self.paths.idf)
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
-            .select("term", "idf")
-            .collect()
-        )
-        found = {r["term"]: float(r["idf"]) for r in rows}
-        absent = math.log((1.0 + self.n_docs) / 1.0) + 1.0
-        return {t: found.get(t, absent) for t in uniq}
+        missing = [t for t in uniq if t not in self._idf_cache]
+        if missing:
+            buckets = self._buckets(missing)
+            rows = (
+                self.spark.read.parquet(self.paths.idf)
+                .filter(F.col("bucket").isin(buckets) & F.col("term").isin(missing))
+                .select("term", "idf")
+                .collect()
+            )
+            found = {r["term"]: float(r["idf"]) for r in rows}
+            absent = math.log((1.0 + self.n_docs) / 1.0) + 1.0
+            for t in missing:
+                self._idf_cache[t] = found.get(t, absent)
+        return {t: self._idf_cache[t] for t in uniq}
 
     def postings_df(self, terms: list[str]) -> DataFrame:
         buckets = self._buckets(terms)

@@ -1,0 +1,213 @@
+"""Structured Streaming extensions.
+
+The reference has NO streaming operators (SURVEY.md §2.9) — its
+"real-time search" is interactive HTTP latency.  These are the
+Spark-native extensions a transcript pipeline needs:
+
+* :class:`IncrementalIndexer` — append-only transcript ingestion via
+  ``readStream`` + ``foreachBatch``: each micro-batch is tokenized with
+  the SAME fragment kernel as the batch build and appended as fragment
+  rows under ``batches/batch=<id>/``; idempotent per batch id (re-run
+  micro-batches skip committed directories — exactly-once on top of
+  at-least-once delivery).  ``compact()`` then runs the standard merge
+  to produce the queryable block-max postings format.  Doc ids are
+  ``(high-watermark offset + rank within batch)`` — monotonically
+  increasing, stable under replay, persisted in ``stream_state.json``.
+
+* :func:`windowed_event_counts` — watermarked tumbling-window
+  aggregation over an event stream (late data handled by the
+  watermark), the Structured Streaming form of the batch
+  ``events_hourly_agg`` contract query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import BuildConfig
+from ..index.build import (
+    BLOCKS_SCHEMA,
+    FRAGMENTS_SCHEMA,
+    NUM_BUCKETS,
+    IndexPaths,
+    _fragment_kernel,
+    _make_merge_mapper,
+)
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+class IncrementalIndexer:
+    """Streaming transcript ingestion → incremental index fragments."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, config: BuildConfig | None = None):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.config = config or BuildConfig()
+        self.batches_dir = os.path.join(out_dir, "batches")
+        self.state_path = os.path.join(out_dir, "stream_state.json")
+        os.makedirs(self.batches_dir, exist_ok=True)
+
+    # -- state -------------------------------------------------------
+
+    def _state(self) -> dict:
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                return json.load(f)
+        return {"next_doc_id": 0, "batches": {}}
+
+    def _save_state(self, state: dict) -> None:
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.state_path)
+
+    # -- micro-batch sink --------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: tokenize + append fragments, idempotently."""
+        state = self._state()
+        key = str(batch_id)
+        bdir = os.path.join(self.batches_dir, f"batch={batch_id}")
+        if key in state["batches"] and os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            return  # replayed micro-batch — already committed
+        from pyspark.sql.window import Window
+
+        offset = state["next_doc_id"]
+        n = batch_df.count()
+        if n == 0:
+            state["batches"][key] = {"n_docs": 0, "offset": offset}
+            self._save_state(state)
+            return
+        w = Window.orderBy("conv_id", "turn_idx")
+        staged = (
+            batch_df.select("conv_id", "turn_idx", "text")
+            .withColumn("doc_id", F.lit(offset) + F.row_number().over(w) - 1)
+            .withColumn(
+                "group",
+                F.pmod(F.xxhash64("conv_id"), F.lit(self.config.num_groups)).cast("int"),
+            )
+        )
+        staged.select("doc_id", "conv_id", "turn_idx", "group").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(bdir, "docmap"))
+        frags = staged.select("group", "doc_id", "text").mapInPandas(
+            _fragment_kernel, schema=FRAGMENTS_SCHEMA
+        )
+        frags.write.mode("overwrite").parquet(os.path.join(bdir, "fragments"))
+        with open(os.path.join(bdir, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        state["next_doc_id"] = offset + n
+        state["batches"][key] = {"n_docs": n, "offset": offset}
+        self._save_state(state)
+
+    def start(self, input_dir: str, trigger_available_now: bool = True):
+        """readStream on a transcript parquet directory → fragment sink."""
+        stream = (
+            self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(input_dir)
+        )
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", os.path.join(self.out_dir, "checkpoint")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- compaction ---------------------------------------------------
+
+    def fragments(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.batches_dir, "batch=*", "fragments")
+        )
+
+    def compact(self, index_dir: str | None = None) -> str:
+        """Merge all committed batch fragments into the standard
+        block-max postings layout (queryable via CompressedIndex)."""
+        index_dir = index_dir or os.path.join(self.out_dir, "index")
+        paths = IndexPaths(index_dir)
+        os.makedirs(index_dir, exist_ok=True)
+        frags = self.fragments()
+        doc_rows = frags.filter(F.col("term").isNull())
+        r = doc_rows.agg(F.sum("n").alias("n"), F.sum("sum_dl").alias("tok")).collect()[0]
+        n_docs = int(r["n"] or 0)
+        avgdl = (int(r["tok"] or 0) / n_docs) if n_docs else 0.0
+
+        post = frags.filter(F.col("term").isNotNull()).select(
+            "term", "group", "n", "min_doc", "doc_blob", "tf_blob", "pos_blob", "dl_blob"
+        )
+        clustered = post.repartition(
+            self.config.shuffle_partitions, "term", "group"
+        ).sortWithinPartitions("term", "group", "min_doc")
+        blocks = clustered.mapInPandas(
+            _make_merge_mapper(avgdl, self.config.block_size), schema=BLOCKS_SCHEMA
+        ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)).cast("int"))
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
+
+        idf = (
+            self.spark.read.parquet(paths.postings)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .withColumn(
+                "idf",
+                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+                + F.lit(1.0),
+            )
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)).cast("int"))
+        )
+        idf.write.mode("overwrite").partitionBy("bucket").parquet(paths.idf)
+
+        from ..index.build import DOCLEN_SCHEMA, _doclen_kernel
+
+        doc_rows.select("group", "min_doc", "doc_blob", "dl_blob").groupBy(
+            "group"
+        ).applyInPandas(_doclen_kernel, schema=DOCLEN_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(paths.doclen)
+
+        # staged projection for the reader's docmap
+        self.spark.read.parquet(
+            os.path.join(self.batches_dir, "batch=*", "docmap")
+        ).write.mode("overwrite").partitionBy("group").parquet(paths.staged)
+
+        with open(paths.meta, "w") as f:
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "avgdl": avgdl,
+                    "num_groups": self.config.num_groups,
+                    "num_buckets": NUM_BUCKETS,
+                    "block_size": self.config.block_size,
+                    "k1": 1.2,
+                    "b": 0.75,
+                    "format_version": 2,
+                    "source": "streaming",
+                },
+                f,
+            )
+        return index_dir
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (streaming DF in,
+    streaming DF out); late rows beyond the watermark are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
