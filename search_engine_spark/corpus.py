@@ -52,7 +52,9 @@ _XS = dict(n_convs=20, turns_per_conv=5)
 _SM = dict(n_convs=200, turns_per_conv=25)
 _MD = dict(n_convs=2000, turns_per_conv=50)
 _LG = dict(n_convs=20000, turns_per_conv=50)  # 1M turns — scaling evidence
-SCALES = {"xs": _XS, "sm": _SM, "md": _MD, "lg": _LG}
+_XL = dict(n_convs=80000, turns_per_conv=50)  # 4M turns — formal scaling run
+_XXL = dict(n_convs=160000, turns_per_conv=50)  # 8M turns — scaling headline
+SCALES = {"xs": _XS, "sm": _SM, "md": _MD, "lg": _LG, "xl": _XL, "xxl": _XXL}
 
 
 def _vocab() -> list[str]:
@@ -156,7 +158,13 @@ def write_transcripts_parquet(path: str, scale: str = "sm", seed: int = SEED) ->
             pa.field("ts", pa.timestamp("us")),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+    # small row groups: Spark file splits can only parallelize across row
+    # groups — a single-row-group file makes every read effectively 1 task
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+        path,
+        row_group_size=20000,
+    )
     return path
 
 

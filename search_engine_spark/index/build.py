@@ -62,11 +62,23 @@ FRAGMENTS_SCHEMA = (
 )
 BLOCKS_SCHEMA = (
     "term string, group int, block_id int, n int, first_doc long, last_doc long, "
-    "doc_blob binary, tf_blob binary, pos_blob binary, max_tf int, max_partial double"
+    "doc_blob binary, tf_blob binary, pos_blob binary, max_tf int, min_dl int"
 )
-DOCLEN_SCHEMA = "group int, n_docs long, doc_blob binary, dl_blob binary"
+# (max_tf, min_dl) give an avgdl-INDEPENDENT block upper bound:
+# tf_bm25 is increasing in tf and decreasing in dl, so
+# partial(max_tf, min_dl) >= partial(tf_i, dl_i) for every posting in the
+# block at ANY avgdl — the bound is computed at query time, which lets the
+# merge run without a corpus-stats pre-pass (single fused build job).
+DOCLEN_SCHEMA = "group int, n_docs long, sum_dl long, doc_blob binary, dl_blob binary"
 
 NUM_BUCKETS = 64  # term-hash partitions of the postings/idf tables
+
+# doc_id = conv_rank << TURN_BITS | turn_idx: order-isomorphic to
+# (conv_id, turn_idx), deterministic, assigned with ONE tiny job over
+# distinct conv_ids — the corpus itself is read exactly once (by the
+# fragment kernel).  2^21 turns per conversation max.
+TURN_BITS = 21
+TURN_MASK = (1 << TURN_BITS) - 1
 
 
 def _dir(base: str, name: str) -> str:
@@ -76,7 +88,8 @@ def _dir(base: str, name: str) -> str:
 @dataclass
 class IndexPaths:
     root: str
-    staged: str = field(init=False)
+    convs: str = field(init=False)  # conv_id ↔ conv_rank table (batch builds)
+    docmap: str = field(init=False)  # per-doc map (streaming/dense builds)
     tokens: str = field(init=False)  # fragment table (kept name for layout compat)
     postings: str = field(init=False)
     idf: str = field(init=False)
@@ -85,7 +98,8 @@ class IndexPaths:
     meta: str = field(init=False)
 
     def __post_init__(self) -> None:
-        self.staged = _dir(self.root, "staged")
+        self.convs = _dir(self.root, "convs")
+        self.docmap = _dir(self.root, "docmap")
         self.tokens = _dir(self.root, "fragments")
         self.postings = _dir(self.root, "postings")
         self.idf = _dir(self.root, "idf")
@@ -97,30 +111,31 @@ class IndexPaths:
 # ---------------------------------------------------------------- phase 0
 
 
-def assign_doc_ids(transcripts: DataFrame, num_groups: int) -> tuple[DataFrame, DataFrame]:
-    """transcripts → (group, doc_id, conv_id, turn_idx, text).
+def conv_ranks(transcripts: DataFrame, num_groups: int) -> DataFrame:
+    """Distinct conversations → (conv_id, conv_rank, group).
 
-    ``doc_id`` is the global rank under ``(conv_id ASC, turn_idx ASC)`` —
-    deterministic regardless of where the range-partition boundaries fall,
-    because range partitions are contiguous in sort order and the offset of
-    a partition is the count of rows in all earlier partitions.  No global
-    single-task sort: rank is computed per partition + a driver-side
-    prefix sum over per-partition counts (O(P) driver work).
+    ``conv_rank`` is the global rank of ``conv_id`` among distinct
+    conversations — deterministic regardless of where the range-partition
+    boundaries fall, because range partitions are contiguous in sort
+    order and a partition's offset is the count of rows in all earlier
+    partitions.  This runs over the ~N/turns-per-conv DISTINCT conv ids,
+    not the corpus: the corpus itself is read once, by the fragment
+    kernel, with doc ids computed as ``conv_rank << TURN_BITS | turn_idx``.
     """
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     p = max(transcripts.sparkSession.sparkContext.defaultParallelism, 8)
     t = (
-        transcripts.select("conv_id", "turn_idx", "text")
-        .repartitionByRange(p, "conv_id", "turn_idx")
+        transcripts.select("conv_id")
+        .distinct()
+        .repartitionByRange(p, "conv_id")
         .withColumn("_pid", F.spark_partition_id())
     )
     # Pin the sampled range boundaries: repartitionByRange re-samples per
     # job, so the counts job and the rank job MUST see the same physical
-    # partitioning.  DISK_ONLY — one corpus-sized spill, same order of
-    # cost as the staged write itself; released right after staging.
-    t = t.persist(StorageLevel.DISK_ONLY)
+    # partitioning.  This is the thin distinct-convs projection — cheap.
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {r["_pid"]: r["c"] for r in t.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -129,14 +144,35 @@ def assign_doc_ids(transcripts: DataFrame, num_groups: int) -> tuple[DataFrame, 
     off_df = t.sparkSession.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
-    staged = (
+    w = Window.partitionBy("_pid").orderBy("conv_id")
+    ranked = (
         t.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", F.col("_off") + F.row_number().over(w) - 1)
+        .withColumn("conv_rank", F.col("_off") + F.row_number().over(w) - 1)
         .withColumn("group", F.pmod(F.xxhash64("conv_id"), F.lit(num_groups)).cast("int"))
-        .select("group", "doc_id", "conv_id", "turn_idx", "text")
+        .select("conv_id", "conv_rank", "group")
     )
-    return staged, t  # caller unpersists t after materializing staged
+    return ranked
+
+
+def with_doc_ids(transcripts: DataFrame, convs: DataFrame, hint_broadcast: bool = True) -> DataFrame:
+    """transcripts ⋈ convs → (group, doc_id, text) with encoded doc ids.
+
+    The conv table is broadcast when it fits (≲5M conversations); beyond
+    that Spark falls back to a shuffle join of the THIN key table — the
+    corpus side still streams through once either way.
+    """
+    c = F.broadcast(convs) if hint_broadcast else convs
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .join(c, "conv_id")
+        .select(
+            "group",
+            (F.shiftleft(F.col("conv_rank"), TURN_BITS) + F.col("turn_idx"))
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+    )
 
 
 # ---------------------------------------------------------------- phase 1
@@ -153,64 +189,99 @@ def _fragment_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(group, doc_id, text) batches → compressed fragment rows.
 
     Map-side combine: one output row per (term, group) per batch, postings
-    already sorted by doc_id (input order within a staged file is doc-id
-    ascending) and delta+varbyte packed.  One ``term IS NULL`` row per
-    (group, batch) carries the doclen fragment.
+    sorted by doc_id and delta+varbyte packed.  One ``term IS NULL`` row
+    per (group, batch) carries the doclen fragment.
+
+    Per-posting work is vectorized: a fragment's per-doc position lists
+    are concatenated and encoded with ONE ``varbyte_encode`` call (the
+    per-doc streams are delta-encoded in place via boundary fix-up) —
+    encoding call count is O(distinct terms per batch), not O(postings).
     """
     stem_cache: dict[str, str] = {}
+    ones_cache: np.ndarray = np.ones(0, dtype=np.int64)
     for pdf in batches:
         rows: list = []
         for group, gdf in pdf.groupby("group", sort=False):
-            per_term: dict[str, list] = {}
-            doc_ids_all: list[int] = []
-            dls_all: list[int] = []
-            for did, text in zip(gdf["doc_id"], gdf["text"]):
-                did = int(did)
-                toks = analyze_text(
-                    text if isinstance(text, str) else "", _stem_cache=stem_cache
-                )
-                doc_ids_all.append(did)
-                dls_all.append(len(toks))
-                per_doc: dict[str, list[int]] = {}
-                for pos, tk in enumerate(toks):
-                    per_doc.setdefault(tk, []).append(pos)
-                dl = len(toks)
-                for tk, ps in per_doc.items():
-                    per_term.setdefault(tk, []).append((did, len(ps), ps, dl))
             g = int(group)
-            # doclen fragment
-            da = np.asarray(doc_ids_all, dtype=np.int64)
-            dla = np.asarray(dls_all, dtype=np.int64)
-            order = np.argsort(da, kind="stable")
-            da, dla = da[order], dla[order]
+            gdf = gdf.sort_values("doc_id", kind="mergesort")
+            toks_per_doc = [
+                analyze_text(t if isinstance(t, str) else "", _stem_cache=stem_cache)
+                for t in gdf["text"]
+            ]
+            doc_ids = gdf["doc_id"].to_numpy(dtype=np.int64)
+            lens = np.fromiter(map(len, toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
+            # doclen fragment (one per (group, batch))
             rows.append(
                 (
-                    None, g, len(da), int(da[0]), int(dla.sum()),
-                    varbyte_encode(_delta(da).astype(np.uint64)),
+                    None, g, len(doc_ids), int(doc_ids[0]), int(lens.sum()),
+                    varbyte_encode(_delta(doc_ids).astype(np.uint64)),
                     None, None,
-                    varbyte_encode(dla.astype(np.uint64)),
+                    varbyte_encode(lens.astype(np.uint64)),
                 )
             )
-            # posting fragments
-            for tk, plist in per_term.items():
-                docs = np.asarray([p[0] for p in plist], dtype=np.int64)
-                tfs = np.asarray([p[1] for p in plist], dtype=np.int64)
-                dls = np.asarray([p[3] for p in plist], dtype=np.int64)
-                if not np.all(docs[1:] >= docs[:-1]):
-                    o = np.argsort(docs, kind="stable")
-                    docs, tfs, dls = docs[o], tfs[o], dls[o]
-                    plist = [plist[i] for i in o]
-                pos_blob = b"".join(
-                    varbyte_encode(_delta(np.asarray(p[2], dtype=np.int64)).astype(np.uint64))
-                    for p in plist
-                )
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            # flatten: token stream + owning doc index + in-doc position
+            flat = np.empty(total, dtype=object)
+            off = 0
+            for t in toks_per_doc:
+                n = len(t)
+                flat[off : off + n] = t
+                off += n
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            # factorize terms (C-speed) and cluster by (term, doc, pos)
+            codes, uniques = pd.factorize(flat, sort=False)
+            order = np.lexsort((pos, doc_idx, codes))
+            codes_s = codes[order]
+            doc_s = doc_idx[order]
+            pos_s = pos[order]
+            # posting boundaries = change of (term, doc)
+            newpost = np.empty(total, dtype=bool)
+            newpost[0] = True
+            newpost[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+            post_starts = np.flatnonzero(newpost)
+            tfs_all = np.diff(np.concatenate([post_starts, [total]]))
+            post_code = codes_s[post_starts]
+            post_doc = doc_ids[doc_s[post_starts]]
+            post_dl = lens[doc_s[post_starts]]
+            # fragment boundaries = change of term over postings
+            npost = len(post_starts)
+            newfrag = np.empty(npost, dtype=bool)
+            newfrag[0] = True
+            newfrag[1:] = post_code[1:] != post_code[:-1]
+            frag_starts = np.flatnonzero(newfrag)
+            frag_ends = np.concatenate([frag_starts[1:], [npost]])
+            # ONE varbyte stream per quantity, sliced per fragment/posting
+            pos_deltas = pos_s.copy()
+            pos_deltas[1:] -= pos_s[:-1]
+            pos_deltas[post_starts] = pos_s[post_starts]
+            pos_stream = varbyte_encode(pos_deltas.astype(np.uint64))
+            pos_off = stream_byte_offsets(pos_stream, tfs_all)
+
+            doc_deltas = post_doc.copy()
+            doc_deltas[1:] -= post_doc[:-1]
+            doc_deltas[frag_starts] = post_doc[frag_starts]
+            doc_stream = varbyte_encode(doc_deltas.astype(np.uint64))
+            if len(ones_cache) < npost:
+                ones_cache = np.ones(npost, dtype=np.int64)
+            ones = ones_cache[:npost]
+            doc_off = stream_byte_offsets(doc_stream, ones)
+            tf_stream = varbyte_encode(tfs_all.astype(np.uint64))
+            tf_off = stream_byte_offsets(tf_stream, ones)
+            dl_stream = varbyte_encode(post_dl.astype(np.uint64))
+            dl_off = stream_byte_offsets(dl_stream, ones)
+
+            for fs, fe in zip(frag_starts, frag_ends):
                 rows.append(
                     (
-                        tk, g, len(docs), int(docs[0]), 0,
-                        varbyte_encode(_delta(docs).astype(np.uint64)),
-                        varbyte_encode(tfs.astype(np.uint64)),
-                        pos_blob,
-                        varbyte_encode(dls.astype(np.uint64)),
+                        str(uniques[post_code[fs]]), g, int(fe - fs), int(post_doc[fs]), 0,
+                        doc_stream[doc_off[fs] : doc_off[fe]],
+                        tf_stream[tf_off[fs] : tf_off[fe]],
+                        pos_stream[pos_off[fs] : pos_off[fe]],
+                        dl_stream[dl_off[fs] : dl_off[fe]],
                     )
                 )
         yield pd.DataFrame(
@@ -227,51 +298,63 @@ def _fragment_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 _BLOCK_COLS = [
     "term", "group", "block_id", "n", "first_doc", "last_doc",
-    "doc_blob", "tf_blob", "pos_blob", "max_tf", "max_partial",
+    "doc_blob", "tf_blob", "pos_blob", "max_tf", "min_dl",
 ]
 
 
-def _emit_blocks(rows: list, term: str, group: int, doc_ids: np.ndarray,
-                 tfs: np.ndarray, dls: np.ndarray, pos_stream: bytes,
-                 avgdl: float, block_size: int) -> None:
-    """Pack one doc-sorted (term, group) posting run into block rows."""
-    k1, b = BM25_K1, BM25_B
-    partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
-    if len(doc_ids) > block_size:
+def _emit_blocks(rows: list, term: str | None, group: int, doc_ids: np.ndarray,
+                 tfs: np.ndarray, dls: np.ndarray | None, pos_stream: bytes | None,
+                 block_size: int) -> None:
+    """Pack one doc-sorted (term, group) posting run into block rows.
+
+    ``term is None`` packs a DOCLEN run: tf_blob carries the dl stream,
+    pos_blob is empty, bounds are zero.
+    """
+    if pos_stream is not None and len(doc_ids) > block_size:
         pos_offsets = stream_byte_offsets(pos_stream, tfs)
     for bi, s in enumerate(range(0, len(doc_ids), block_size)):
         e = min(s + block_size, len(doc_ids))
         d = doc_ids[s:e]
         t = tfs[s:e]
-        pos_part = (
-            pos_stream
-            if len(doc_ids) <= block_size
-            else bytes(pos_stream[pos_offsets[s] : pos_offsets[e]])
-        )
+        if pos_stream is None:
+            pos_part = None
+        elif len(doc_ids) <= block_size:
+            pos_part = pos_stream
+        else:
+            pos_part = bytes(pos_stream[pos_offsets[s] : pos_offsets[e]])
         rows.append(
             (
                 term, group, bi, e - s, int(d[0]), int(d[-1]),
                 varbyte_encode(_delta(d).astype(np.uint64)),
                 varbyte_encode(t.astype(np.uint64)),
                 pos_part,
-                int(t.max()),
-                float(partial[s:e].max()),
+                0 if term is None else int(t.max()),
+                0 if term is None else int(dls[s:e].min()),
             )
         )
 
 
-def _merge_run(rows: list, pdf: pd.DataFrame, avgdl: float, block_size: int) -> None:
+def _merge_run(rows: list, pdf: pd.DataFrame, block_size: int) -> None:
     """Merge the fragments of ONE (term, group), already min_doc-sorted."""
-    term = str(pdf["term"].iloc[0])
+    term_v = pdf["term"].iloc[0]
+    term = None if term_v is None or (isinstance(term_v, float) and np.isnan(term_v)) else str(term_v)
     group = int(pdf["group"].iloc[0])
     docs = np.concatenate(
         [np.cumsum(varbyte_decode(b).astype(np.int64)) for b in pdf["doc_blob"]]
     )
+    if term is None:
+        # doclen run: pack (doc_id, dl) stream; dl rides in tf_blob
+        dls = np.concatenate([varbyte_decode(b).astype(np.int64) for b in pdf["dl_blob"]])
+        if not np.all(docs[1:] > docs[:-1]):
+            o = np.argsort(docs, kind="stable")
+            docs, dls = docs[o], dls[o]
+        _emit_blocks(rows, None, group, docs, dls, None, None, block_size)
+        return
     tfs = np.concatenate([varbyte_decode(b).astype(np.int64) for b in pdf["tf_blob"]])
     dls = np.concatenate([varbyte_decode(b).astype(np.int64) for b in pdf["dl_blob"]])
     pos_stream = b"".join(pdf["pos_blob"])
     if not np.all(docs[1:] > docs[:-1]):
-        # fragments overlapped (never happens for disjoint staged files;
+        # fragments overlapped (never happens for disjoint input splits;
         # kept as a correctness fallback) — reorder per posting
         offsets = stream_byte_offsets(pos_stream, tfs)
         o = np.argsort(docs, kind="stable")
@@ -279,10 +362,10 @@ def _merge_run(rows: list, pdf: pd.DataFrame, avgdl: float, block_size: int) -> 
             pos_stream[offsets[i] : offsets[i + 1]] for i in o
         )
         docs, tfs, dls = docs[o], tfs[o], dls[o]
-    _emit_blocks(rows, term, group, docs, tfs, dls, pos_stream, avgdl, block_size)
+    _emit_blocks(rows, term, group, docs, tfs, dls, pos_stream, block_size)
 
 
-def _make_merge_mapper(avgdl: float, block_size: int):
+def _make_merge_mapper(block_size: int):
     """mapInPandas kernel over a (term, group)-hash partition sorted by
     (term, group, min_doc): one invocation per Arrow batch (a corpus has
     millions of terms — per-key applyInPandas overhead would dominate).
@@ -299,55 +382,194 @@ def _make_merge_mapper(avgdl: float, block_size: int):
                 continue
             t = pdf["term"].to_numpy()
             g = pdf["group"].to_numpy()
-            tail_mask = (t == t[-1]) & (g == g[-1])
+            tail_mask = _eq(t, t[-1]) & (g == g[-1])
             tail_len = int(tail_mask[::-1].argmin()) if not tail_mask.all() else len(pdf)
             head_end = len(pdf) - tail_len
             buf = pdf.iloc[head_end:].reset_index(drop=True)
             if head_end:
-                yield _merge_frame(pdf.iloc[:head_end], avgdl, block_size)
+                yield _merge_frame(pdf.iloc[:head_end], block_size)
         if buf is not None and len(buf):
-            yield _merge_frame(buf, avgdl, block_size)
+            yield _merge_frame(buf, block_size)
 
     return mapper
 
 
-def _merge_frame(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
+def _eq(a: np.ndarray, v) -> np.ndarray:
+    """Elementwise equality treating None/NaN as equal to None/NaN."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return np.asarray([x is None or (isinstance(x, float) and np.isnan(x)) for x in a])
+    return a == v
+
+
+def _neq_shift(a: np.ndarray) -> np.ndarray:
+    """a[1:] != a[:-1] with None==None (object arrays)."""
+    out = a[1:] != a[:-1]
+    nulls = np.asarray([x is None or (isinstance(x, float) and np.isnan(x)) for x in a])
+    both_null = nulls[1:] & nulls[:-1]
+    return np.asarray(out & ~both_null, dtype=bool)
+
+
+def _merge_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     terms = pdf["term"].to_numpy()
     groups = pdf["group"].to_numpy()
-    change = np.flatnonzero((terms[1:] != terms[:-1]) | (groups[1:] != groups[:-1])) + 1
+    change = np.flatnonzero(_neq_shift(terms) | (groups[1:] != groups[:-1])) + 1
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(pdf)]])
     rows: list = []
     for s, e in zip(starts, ends):
-        _merge_run(rows, pdf.iloc[s:e], avgdl, block_size)
+        _merge_run(rows, pdf.iloc[s:e], block_size)
     return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
 
 # ---------------------------------------------------------------- phase 4
 
 
-def _doclen_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Doclen fragments of one group → a single (group, blobs) row."""
+def _doclen_concat_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Doclen BLOCK rows of one group → a single (group, blobs) row.
+
+    Input: the ``term IS NULL`` block rows (dl stream rides in tf_blob),
+    block_id-ordered so docs are globally ascending per group.
+    """
     (group,) = key
-    pdf = pdf.sort_values("min_doc", kind="mergesort")
+    pdf = pdf.sort_values("block_id", kind="mergesort")
     docs = np.concatenate(
         [np.cumsum(varbyte_decode(b).astype(np.int64)) for b in pdf["doc_blob"]]
     )
-    dls = np.concatenate([varbyte_decode(b).astype(np.int64) for b in pdf["dl_blob"]])
-    if not np.all(docs[1:] > docs[:-1]):
-        o = np.argsort(docs, kind="stable")
-        docs, dls = docs[o], dls[o]
+    dls = np.concatenate([varbyte_decode(b).astype(np.int64) for b in pdf["tf_blob"]])
     return pd.DataFrame(
         [
             (
                 int(group),
                 len(docs),
+                int(dls.sum()),
                 varbyte_encode(_delta(docs).astype(np.uint64)),
                 varbyte_encode(dls.astype(np.uint64)),
             )
         ],
-        columns=["group", "n_docs", "doc_blob", "dl_blob"],
+        columns=["group", "n_docs", "sum_dl", "doc_blob", "dl_blob"],
     )
+
+
+def write_blocks(
+    frags: DataFrame, paths: IndexPaths, shuffle_partitions: int, block_size: int
+) -> None:
+    """(term, group)-salted shuffle → merge kernel → bucketed postings.
+
+    Doclen fragments (term IS NULL) flow through the same shuffle and land
+    in the reserved ``bucket=-1`` partition.
+    """
+    clustered = frags.select(
+        "term", "group", "n", "min_doc", "doc_blob", "tf_blob", "pos_blob", "dl_blob"
+    ).repartition(shuffle_partitions, "term", "group").sortWithinPartitions(
+        "term", "group", "min_doc"
+    )
+    blocks = clustered.mapInPandas(_make_merge_mapper(block_size), schema=BLOCKS_SCHEMA)
+    blocks = blocks.withColumn(
+        "bucket",
+        F.when(F.col("term").isNull(), F.lit(-1))
+        .otherwise(F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)))
+        .cast("int"),
+    )
+    # one file per bucket dir: queries list/schedule O(query buckets)
+    # files instead of O(write tasks × buckets); the kernel stage above
+    # still ran at full parallelism — only this write stage is 65-way
+    blocks.repartition(NUM_BUCKETS + 1, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(paths.postings)
+
+
+def finalize_index(
+    spark: SparkSession,
+    paths: IndexPaths,
+    num_groups: int,
+    block_size: int,
+    extra_meta: dict | None = None,
+    tokenize_metrics: list[dict] | None = None,
+) -> dict:
+    """Doclen table, idf table, lineage, meta — all from the postings table.
+
+    Returns the meta dict (n_docs, avgdl, ...).
+    """
+    blocks = spark.read.parquet(paths.postings)
+
+    dl_blocks = blocks.filter(F.col("bucket") == -1).select(
+        "group", "block_id", "doc_blob", "tf_blob"
+    )
+    doclen = dl_blocks.groupBy("group").applyInPandas(
+        _doclen_concat_kernel, schema=DOCLEN_SCHEMA
+    )
+    doclen.write.mode("overwrite").parquet(paths.doclen)
+    doclen = spark.read.parquet(paths.doclen)
+
+    post_stats = (
+        blocks.filter(F.col("bucket") >= 0)
+        .groupBy("group")
+        .agg(
+            F.sum("n").alias("n_postings"),
+            F.sum(F.octet_length("pos_blob")).alias("pos_bytes"),
+            F.sum(
+                F.octet_length("doc_blob")
+                + F.octet_length("tf_blob")
+                + F.octet_length("pos_blob")
+            ).alias("bytes"),
+        )
+    )
+    lineage_rows = [
+        {
+            "group": int(r["group"]),
+            "phase": "build",
+            "n_docs": int(r["n_docs"] or 0),
+            "n_tokens": int(r["sum_dl"] or 0),
+            "n_posting_rows": int(r["n_postings"] or 0),
+            "pos_bytes": int(r["pos_bytes"] or 0),
+            "bytes": int(r["bytes"] or 0),
+            "wall_s": 0.0,
+            "status": "complete",
+        }
+        for r in doclen.select("group", "n_docs", "sum_dl")
+        .join(post_stats, "group", "left")
+        .collect()
+    ]
+    all_lineage = (tokenize_metrics or []) + lineage_rows
+    spark.createDataFrame(pd.DataFrame(all_lineage)).write.mode("overwrite").parquet(
+        paths.lineage
+    )
+
+    r = doclen.agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("tok")).collect()[0]
+    n_docs = int(r["n"] or 0)
+    avgdl = (int(r["tok"] or 0) / n_docs) if n_docs else 0.0
+
+    idf = (
+        blocks.filter(F.col("bucket") >= 0)
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .withColumn(
+            "idf",
+            F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+            + F.lit(1.0),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)).cast("int"))
+    )
+    idf.repartition(NUM_BUCKETS, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(paths.idf)
+
+    meta = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "num_groups": num_groups,
+        "num_buckets": NUM_BUCKETS,
+        "block_size": block_size,
+        "k1": BM25_K1,
+        "b": BM25_B,
+        "docid_scheme": "conv_rank",
+        "turn_bits": TURN_BITS,
+        "format_version": 4,
+    }
+    meta.update(extra_meta or {})
+    with open(paths.meta, "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
 
 
 # ---------------------------------------------------------------- driver
@@ -374,12 +596,14 @@ class IndexBuilder:
     # -- phases ------------------------------------------------------
 
     def stage(self, transcripts: DataFrame) -> None:
-        """Phase 0: doc ids + groups, staged parquet partitioned by group."""
-        staged, pinned = assign_doc_ids(transcripts, self.config.num_groups)
-        staged.write.mode("overwrite").partitionBy("group").parquet(self.paths.staged)
-        pinned.unpersist()
+        """Phase 0: rank distinct conversations → tiny convs table."""
+        ranked = conv_ranks(transcripts, self.config.num_groups)
+        ranked.write.mode("overwrite").parquet(self.paths.convs)
         with open(os.path.join(self.paths.root, "_STAGED_SUCCESS"), "w") as f:
             f.write("ok")
+
+    def _convs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.convs)
 
     def groups_done(self) -> set[int]:
         return {
@@ -415,13 +639,17 @@ class IndexBuilder:
             for r in rows
         ]
 
-    def tokenize_group(self, group: int) -> dict:
-        """Phase 1 (checkpoint path) for one group; idempotent."""
+    def tokenize_group(self, transcripts: DataFrame, group: int) -> dict:
+        """Phase 1 (checkpoint path) for one group; idempotent.
+
+        The inner join against the group's conversations prunes the
+        tokenize work to 1/G; with a conv-bucketed Iceberg table layout
+        the SCAN prunes too — in this sandbox the corpus is re-read.
+        """
         t0 = time.time()
-        staged = self.spark.read.parquet(self.paths.staged).filter(F.col("group") == group)
-        frags = staged.select("group", "doc_id", "text").mapInPandas(
-            _fragment_kernel, schema=FRAGMENTS_SCHEMA
-        ).drop("group")
+        gconvs = self._convs().filter(F.col("group") == group)
+        staged = self._parallelize_input(with_doc_ids(transcripts, gconvs))
+        frags = staged.mapInPandas(_fragment_kernel, schema=FRAGMENTS_SCHEMA).drop("group")
         gdir = os.path.join(self.paths.tokens, f"group={group}")
         frags.write.mode("overwrite").parquet(gdir)
         out = self.spark.read.parquet(gdir).withColumn("group", F.lit(group))
@@ -431,17 +659,28 @@ class IndexBuilder:
         self.metrics.append(lineage)
         return lineage
 
-    def tokenize_all(self) -> None:
-        """Phase 1 fast path: ONE job for every group, same on-disk layout."""
-        t0 = time.time()
-        staged = self.spark.read.parquet(self.paths.staged).select("group", "doc_id", "text")
+    def _parallelize_input(self, staged: DataFrame) -> DataFrame:
+        """Ensure the tokenize stage has ≥1 partition per core.
+
+        A small/single-file corpus yields too few input splits to use the
+        cluster; a hash repartition on conv_id fixes that (and co-locates
+        conversations).  Big corpora arrive with ample splits, so this is
+        a no-op there — no shuffle added at scale.
+        """
+        p = self.spark.sparkContext.defaultParallelism
+        if staged.rdd.getNumPartitions() < p:
+            return staged.repartition(p * 2, "doc_id")
+        return staged
+
+    def build_fused(self, transcripts: DataFrame) -> None:
+        """Fast path: tokenize → fragment → shuffle → merge in ONE job.
+
+        Fragments never touch disk — the corpus is read once and the
+        only materializations are the final postings/doclen/idf tables.
+        """
+        staged = self._parallelize_input(with_doc_ids(transcripts, self._convs()))
         frags = staged.mapInPandas(_fragment_kernel, schema=FRAGMENTS_SCHEMA)
-        frags.write.mode("overwrite").partitionBy("group").parquet(self.paths.tokens)
-        wall = round(time.time() - t0, 3)
-        for lineage in self._lineage_rows(self._tokens(), wall):
-            with open(_group_done_marker(self.paths, lineage["group"]), "w") as f:
-                json.dump(lineage, f)
-            self.metrics.append(lineage)
+        write_blocks(frags, self.paths, self.config.shuffle_partitions, self.config.block_size)
 
     def _tokens(self) -> DataFrame:
         return self.spark.read.option("basePath", self.paths.tokens).parquet(
@@ -452,66 +691,25 @@ class IndexBuilder:
         )
 
     def corpus_stats(self) -> tuple[int, float]:
+        """N and avgdl (post-build: from meta; mid-build: from lineage)."""
+        if os.path.exists(self.paths.meta):
+            meta = load_meta(self.paths.root)
+            return int(meta["n_docs"]), float(meta["avgdl"])
+        if self.metrics:
+            n = sum(m["n_docs"] for m in self.metrics)
+            tok = sum(m["n_tokens"] for m in self.metrics)
+            return n, (tok / n) if n else 0.0
         doc_rows = self._tokens().filter(F.col("term").isNull())
         r = doc_rows.agg(F.sum("n").alias("n"), F.sum("sum_dl").alias("tok")).collect()[0]
         n = int(r["n"] or 0)
         avgdl = (int(r["tok"] or 0) / n) if n else 0.0
         return n, avgdl
 
-    def merge(self, avgdl: float) -> None:
-        """Phase 3: salted (term, group) shuffle → block rows → bucketed parquet."""
-        frags = self._tokens().filter(F.col("term").isNotNull()).select(
-            "term", "group", "n", "min_doc", "doc_blob", "tf_blob", "pos_blob", "dl_blob"
+    def merge_from_fragments(self) -> None:
+        """Checkpoint path: merge the materialized per-group fragments."""
+        write_blocks(
+            self._tokens(), self.paths, self.config.shuffle_partitions, self.config.block_size
         )
-        clustered = frags.repartition(
-            self.config.shuffle_partitions, "term", "group"
-        ).sortWithinPartitions("term", "group", "min_doc")
-        blocks = clustered.mapInPandas(
-            _make_merge_mapper(avgdl, self.config.block_size), schema=BLOCKS_SCHEMA
-        )
-        blocks = blocks.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)).cast("int")
-        )
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(self.paths.postings)
-
-    def finalize(self, n_docs: int, avgdl: float) -> None:
-        """Phase 4: idf + doclen blobs + lineage table + meta."""
-        blocks = self.spark.read.parquet(self.paths.postings)
-        idf = (
-            blocks.groupBy("term")
-            .agg(F.sum("n").alias("df"))
-            .withColumn(
-                "idf",
-                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
-                + F.lit(1.0),
-            )
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)).cast("int"))
-        )
-        idf.write.mode("overwrite").partitionBy("bucket").parquet(self.paths.idf)
-
-        doc_rows = self._tokens().filter(F.col("term").isNull()).select(
-            "group", "min_doc", "doc_blob", "dl_blob"
-        )
-        doclen = doc_rows.groupBy("group").applyInPandas(_doclen_kernel, schema=DOCLEN_SCHEMA)
-        doclen.write.mode("overwrite").parquet(self.paths.doclen)
-
-        if self.metrics:
-            self.spark.createDataFrame(pd.DataFrame(self.metrics)).write.mode(
-                "overwrite"
-            ).parquet(self.paths.lineage)
-
-        meta = {
-            "n_docs": n_docs,
-            "avgdl": avgdl,
-            "num_groups": self.config.num_groups,
-            "num_buckets": NUM_BUCKETS,
-            "block_size": self.config.block_size,
-            "k1": BM25_K1,
-            "b": BM25_B,
-            "format_version": 2,
-        }
-        with open(self.paths.meta, "w") as f:
-            json.dump(meta, f, indent=2)
 
     # -- entry point -------------------------------------------------
 
@@ -529,12 +727,17 @@ class IndexBuilder:
                     with open(_group_done_marker(self.paths, g)) as f:
                         self.metrics.append(json.load(f))
                     continue
-                self.tokenize_group(g)
+                self.tokenize_group(transcripts, g)
+            self.merge_from_fragments()
         else:
-            self.tokenize_all()
-        n_docs, avgdl = self.corpus_stats()
-        self.merge(avgdl)
-        self.finalize(n_docs, avgdl)
+            self.build_fused(transcripts)
+        finalize_index(
+            self.spark,
+            self.paths,
+            self.config.num_groups,
+            self.config.block_size,
+            tokenize_metrics=self.metrics,
+        )
         return self.paths
 
 

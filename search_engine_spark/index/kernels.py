@@ -33,7 +33,7 @@ class TermPostings:
 
     __slots__ = ("term", "doc_ids", "tfs", "block_starts", "block_ubs", "pos_blobs", "_pos")
 
-    def __init__(self, term: str, pdf: pd.DataFrame, idf: float):
+    def __init__(self, term: str, pdf: pd.DataFrame, idf: float, avgdl: float):
         rows = pdf.sort_values("block_id")
         docs, tfs, starts, ubs = [], [], [], []
         n = 0
@@ -43,7 +43,17 @@ class TermPostings:
             docs.append(np.cumsum(deltas.astype(np.int64)))
             tfs.append(varbyte_decode(r.tf_blob).astype(np.int64))
             starts.append(n)
-            ubs.append(idf * float(r.max_partial))
+            # avgdl-independent stored bound (max_tf, min_dl): partial is
+            # increasing in tf, decreasing in dl, so this dominates every
+            # posting in the block at the query-time avgdl
+            ub_partial = float(
+                _partial(
+                    np.asarray([r.max_tf], dtype=np.int64),
+                    np.asarray([float(r.min_dl)]),
+                    avgdl,
+                )[0]
+            )
+            ubs.append(idf * ub_partial)
             self.pos_blobs.append((n, r.pos_blob))
             n += int(r.n)
         self.term = term

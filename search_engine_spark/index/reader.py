@@ -87,15 +87,47 @@ class CompressedIndex:
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.num_buckets = int(self.meta["num_buckets"])
-        # doclen is G rows of blobs; the docmap projection of staged reads
-        # only three pruned columns.  Both are hot on every query → cache.
+        # doclen is G rows of blobs — hot on every query → cache
         self._doclen = spark.read.parquet(self.paths.doclen).cache()
-        self._docmap = (
-            spark.read.parquet(self.paths.staged)
-            .select("doc_id", "conv_id", "turn_idx")
-            .cache()
-        )
+        self.scheme = self.meta.get("docid_scheme", "dense")
+        if self.scheme == "conv_rank":
+            self.turn_bits = int(self.meta["turn_bits"])
+            self._convs = spark.read.parquet(self.paths.convs).cache()
+        else:
+            # streaming/dense builds carry an explicit per-doc map
+            self._docmap = spark.read.parquet(self.paths.docmap).cache()
         self._idf_cache: dict[str, float] = {}
+        # persistent DataFrame handles: the parquet file index (directory
+        # listing over NUM_BUCKETS partition dirs) is built once and
+        # reused by every query instead of re-listing per query
+        self._postings = spark.read.parquet(self.paths.postings)
+        self._idf = spark.read.parquet(self.paths.idf)
+
+    def warm(self) -> None:
+        """Materialize the lookup caches (doclen, convs/docmap)."""
+        self._doclen.count()
+        if self.scheme == "conv_rank":
+            self._convs.count()
+        else:
+            self._docmap.count()
+
+    def _label(self, cand: DataFrame) -> DataFrame:
+        """(doc_id, score) → (conv_id, turn_idx, score)."""
+        if self.scheme == "conv_rank":
+            return (
+                cand.withColumn(
+                    "conv_rank", F.shiftrightunsigned("doc_id", self.turn_bits)
+                )
+                .withColumn(
+                    "turn_idx",
+                    F.col("doc_id").bitwiseAND(F.lit((1 << self.turn_bits) - 1)).cast("int"),
+                )
+                .join(self._convs.select("conv_id", "conv_rank"), "conv_rank")
+                .select("conv_id", "turn_idx", "score")
+            )
+        return cand.join(
+            self._docmap.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+        ).select("conv_id", "turn_idx", "score")
 
     # -- lookups -----------------------------------------------------
 
@@ -115,8 +147,9 @@ class CompressedIndex:
         if missing:
             buckets = self._buckets(missing)
             rows = (
-                self.spark.read.parquet(self.paths.idf)
-                .filter(F.col("bucket").isin(buckets) & F.col("term").isin(missing))
+                self._idf.filter(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
                 .select("term", "idf")
                 .collect()
             )
@@ -128,7 +161,7 @@ class CompressedIndex:
 
     def postings_df(self, terms: list[str]) -> DataFrame:
         buckets = self._buckets(terms)
-        return self.spark.read.parquet(self.paths.postings).filter(
+        return self._postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
@@ -157,8 +190,7 @@ class CompressedIndex:
             .applyInPandas(kernel, schema=RESULT_SCHEMA)
         )
         return (
-            cand.join(self._docmap.select("doc_id", "conv_id", "turn_idx"), "doc_id")
-            .select("conv_id", "turn_idx", "score")
+            self._label(cand)
             .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
             .limit(k)
         )
@@ -174,7 +206,7 @@ def _make_group_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float, k: 
         doclens = DocLens(dl_pdf)
         plists: dict[str, TermPostings] = {}
         for term, tdf in post_pdf.groupby("term", sort=True):
-            plists[str(term)] = TermPostings(str(term), tdf, idf.get(str(term), 0.0))
+            plists[str(term)] = TermPostings(str(term), tdf, idf.get(str(term), 0.0), avgdl)
 
         score_lists = {t: p for t, p in plists.items() if t in idf}
         if spec.mode == "disjunctive":

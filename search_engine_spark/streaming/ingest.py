@@ -29,12 +29,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import BuildConfig
 from ..index.build import (
-    BLOCKS_SCHEMA,
     FRAGMENTS_SCHEMA,
-    NUM_BUCKETS,
     IndexPaths,
     _fragment_kernel,
-    _make_merge_mapper,
+    finalize_index,
+    write_blocks,
 )
 
 TRANSCRIPT_SCHEMA = (
@@ -133,64 +132,21 @@ class IncrementalIndexer:
         index_dir = index_dir or os.path.join(self.out_dir, "index")
         paths = IndexPaths(index_dir)
         os.makedirs(index_dir, exist_ok=True)
-        frags = self.fragments()
-        doc_rows = frags.filter(F.col("term").isNull())
-        r = doc_rows.agg(F.sum("n").alias("n"), F.sum("sum_dl").alias("tok")).collect()[0]
-        n_docs = int(r["n"] or 0)
-        avgdl = (int(r["tok"] or 0) / n_docs) if n_docs else 0.0
-
-        post = frags.filter(F.col("term").isNotNull()).select(
-            "term", "group", "n", "min_doc", "doc_blob", "tf_blob", "pos_blob", "dl_blob"
+        write_blocks(
+            self.fragments(), paths, self.config.shuffle_partitions, self.config.block_size
         )
-        clustered = post.repartition(
-            self.config.shuffle_partitions, "term", "group"
-        ).sortWithinPartitions("term", "group", "min_doc")
-        blocks = clustered.mapInPandas(
-            _make_merge_mapper(avgdl, self.config.block_size), schema=BLOCKS_SCHEMA
-        ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)).cast("int"))
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
-
-        idf = (
-            self.spark.read.parquet(paths.postings)
-            .groupBy("term")
-            .agg(F.sum("n").alias("df"))
-            .withColumn(
-                "idf",
-                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
-                + F.lit(1.0),
-            )
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)).cast("int"))
-        )
-        idf.write.mode("overwrite").partitionBy("bucket").parquet(paths.idf)
-
-        from ..index.build import DOCLEN_SCHEMA, _doclen_kernel
-
-        doc_rows.select("group", "min_doc", "doc_blob", "dl_blob").groupBy(
-            "group"
-        ).applyInPandas(_doclen_kernel, schema=DOCLEN_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(paths.doclen)
-
-        # staged projection for the reader's docmap
+        # per-doc map for the reader (streamed doc ids are arrival-ordered,
+        # not conv-rank encoded)
         self.spark.read.parquet(
             os.path.join(self.batches_dir, "batch=*", "docmap")
-        ).write.mode("overwrite").partitionBy("group").parquet(paths.staged)
-
-        with open(paths.meta, "w") as f:
-            json.dump(
-                {
-                    "n_docs": n_docs,
-                    "avgdl": avgdl,
-                    "num_groups": self.config.num_groups,
-                    "num_buckets": NUM_BUCKETS,
-                    "block_size": self.config.block_size,
-                    "k1": 1.2,
-                    "b": 0.75,
-                    "format_version": 2,
-                    "source": "streaming",
-                },
-                f,
-            )
+        ).write.mode("overwrite").parquet(paths.docmap)
+        finalize_index(
+            self.spark,
+            paths,
+            self.config.num_groups,
+            self.config.block_size,
+            extra_meta={"docid_scheme": "dense", "source": "streaming"},
+        )
         return index_dir
 
 

@@ -28,8 +28,15 @@ def built(spark, sm_parquet, tmp_path_factory):
 
 
 def _docmap(index):
-    rows = index._docmap.collect()
-    return {r["doc_id"]: (r["conv_id"], r["turn_idx"]) for r in rows}
+    """doc_id → (conv_id, turn_idx) via the conv-rank encoding."""
+    convs = {r["conv_rank"]: r["conv_id"] for r in index._convs.collect()}
+    mask = (1 << index.turn_bits) - 1
+
+    class _Map:
+        def __getitem__(self, doc_id):
+            return convs[doc_id >> index.turn_bits], doc_id & mask
+
+    return _Map()
 
 
 def test_meta_matches_oracle(built, sm_oracle):
@@ -37,11 +44,12 @@ def test_meta_matches_oracle(built, sm_oracle):
     assert built.avgdl == pytest.approx(sm_oracle.avgdl, rel=1e-12)
 
 
-def test_docmap_is_global_rank(built):
-    rows = sorted(
-        built._docmap.collect(), key=lambda r: (r["conv_id"], r["turn_idx"])
-    )
-    assert [r["doc_id"] for r in rows] == list(range(len(rows)))
+def test_docid_order_isomorphic_to_conv_turn(built):
+    """conv_rank is the rank of conv_id ascending, so doc_id order ==
+    (conv_id, turn_idx) order (the tie-break/densification invariant,
+    Ranker1.java:128-137 analog)."""
+    rows = sorted(built._convs.collect(), key=lambda r: r["conv_id"])
+    assert [r["conv_rank"] for r in rows] == list(range(len(rows)))
 
 
 def test_postings_parity_with_oracle(built, sm_oracle):
@@ -110,8 +118,8 @@ def test_resume_produces_identical_index(spark, sm_parquet, tmp_path_factory, sm
         shutil.rmtree(part_dir)
     os.makedirs(part_dir)
     b.stage(transcripts)
-    b.tokenize_group(0)
-    b.tokenize_group(1)
+    b.tokenize_group(transcripts, 0)
+    b.tokenize_group(transcripts, 1)
     # simulate crash + fresh driver resuming
     b2 = IndexBuilder(spark, part_dir, cfg)
     assert b2.groups_done() == {0, 1}
