@@ -193,13 +193,16 @@ def wand_topk(
         pivot_doc = int(docs[order[pivot_idx]][cur[order[pivot_idx]]])
         first_doc = int(docs[order[0]][cur[order[0]]])
         if first_doc == pivot_doc:
-            # block-max refinement: re-check with current-block UBs
+            # block-max refinement over EVERY term aligned on pivot_doc —
+            # aligned terms beyond pivot_idx still contribute to this
+            # doc's score, so excluding them would under-bound it and
+            # wrongly skip true top-k docs (caught by the multi-block
+            # WAND==exact test)
             bacc = 0.0
-            for t in order[: pivot_idx + 1]:
-                if int(docs[t][cur[t]]) == pivot_doc:
-                    bacc += block_ub(t, cur[t])
-                else:
-                    bacc += term_ub[t]
+            for t in order:
+                if int(docs[t][cur[t]]) != pivot_doc:
+                    break  # sorted: the aligned terms form a prefix
+                bacc += block_ub(t, cur[t])
             if bacc > theta:
                 score = 0.0
                 dl = float(doclens.lookup(np.asarray([pivot_doc]))[0])
