@@ -731,6 +731,129 @@ def fingerprints(spark, sf_dir):
 
 
 # =====================================================================
+# Snippets, pagination, per-field frequencies, PageRank
+# =====================================================================
+
+_SNIPPET_TERMS = ["vector", "stream"]
+
+
+@q(
+    "snippets",
+    __import__(
+        "search_engine_spark.operators.snippets", fromlist=["snippets_sql"]
+    ).snippets_sql("documents", _SNIPPET_TERMS),
+)
+def snippets_q(spark, sf_dir):
+    """Result snippets (QueryService.java:1102-1257 analog): window around
+    the first query-term hit with ellipses."""
+    from .operators.snippets import snippets
+
+    return snippets(load(spark, sf_dir, "documents"), _SNIPPET_TERMS)
+
+
+@q(
+    "bm25_page2",
+    docs_bm25.bm25_topk_sql("documents", _BM25_TERMS, k=30).replace(
+        "LIMIT 30", "LIMIT 10 OFFSET 10"
+    ),
+)
+def bm25_page2(spark, sf_dir):
+    """T3 pagination: page 2 (rows 11-20) of the BM25 ranking."""
+    from pyspark.sql.window import Window
+
+    scored = docs_bm25.bm25_scores(load(spark, sf_dir, "documents"), _BM25_TERMS).select(
+        "doc_id", rnd(F.col("score"), docs_bm25.ROUND).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > 10) & (F.col("_rn") <= 20))
+        .select("doc_id", "score")
+    )
+
+
+@q(
+    "tf_by_source",
+    f"""
+SELECT source, token AS term, count(*) AS tf
+FROM (SELECT source, unnest({_TOKS_SQL}) AS token FROM documents)
+WHERE token IN ('spark', 'merge', 'vector')
+GROUP BY source, token
+""",
+)
+def tf_by_source(spark, sf_dir):
+    """S8 analog (per-tag frequencies → per-source term frequencies)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    return (
+        docs.select("source", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin("spark", "merge", "vector"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 8-iteration PageRank CTE chain over the term-bigram graph
+    (deterministic; DuckDB has no loops, so iterations are generated)."""
+    from .pipeline.graph import DAMPING, ITERATIONS
+
+    d = DAMPING
+    parts = [
+        f"""
+WITH t AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+e AS (
+  SELECT DISTINCT tk[i] AS src, tk[i+1] AS dst
+  FROM t, unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2 AND tk[i] <> tk[i+1]
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, ITERATIONS + 1):
+        parts.append(
+            f""",
+c{k} AS (
+  SELECT e.dst AS node, sum(r.rank / o.outdeg) AS inflow
+  FROM e JOIN r{k-1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS d
+  FROM r{k-1} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+),
+r{k} AS (
+  SELECT nodes.node,
+         (1.0 - {d}) / nn.n + {d} * (SELECT d FROM d{k}) / nn.n
+         + {d} * coalesce(c.inflow, 0.0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{k} c ON nodes.node = c.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, round(rank + 1e-9, 6) AS rank FROM r{ITERATIONS}"
+    )
+    return "".join(parts)
+
+
+@q("pagerank_terms", None)
+def pagerank_terms(spark, sf_dir):
+    """PageRank over the term co-occurrence graph (Ranker2.java:71-84
+    standard damped form; iterative DataFrame joins, no dense matrix)."""
+    from .pipeline.graph import pagerank, term_cooccurrence_edges
+
+    edges = term_cooccurrence_edges(load(spark, sf_dir, "documents"))
+    pr = pagerank(edges)
+    return pr.select("node", rnd(F.col("rank"), 6).alias("rank"))
+
+
+ORACLES["pagerank_terms"] = _pagerank_sql()
+
+
+# =====================================================================
 # Multimodal plumbing
 # =====================================================================
 
