@@ -81,6 +81,64 @@ def cmd_bench(_args: argparse.Namespace) -> None:
     runpy.run_module("bench", run_name="__main__")
 
 
+def cmd_stats(args: argparse.Namespace) -> None:
+    """Index status — the /index-status + /api/indexer/stats analog
+    (ReindexController.java:106-155, IndexController.java:41-233)."""
+    from pyspark.sql import functions as F
+
+    from .index.build import load_meta
+    from .index.reader import CompressedIndex
+
+    spark = _spark(args.cores)
+    idx = CompressedIndex(spark, args.index)
+    blocks = idx._postings
+    agg = blocks.filter(F.col("bucket") >= 0).agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("n").alias("n_postings"),
+        F.count("*").alias("n_blocks"),
+        F.sum(
+            F.octet_length("doc_blob") + F.octet_length("tf_blob") + F.octet_length("pos_blob")
+        ).alias("compressed_bytes"),
+    ).collect()[0]
+    lineage = [r.asDict() for r in spark.read.parquet(idx.paths.lineage).collect()]
+    print(
+        json.dumps(
+            {
+                "meta": load_meta(args.index),
+                "n_terms": int(agg["n_terms"] or 0),
+                "n_postings": int(agg["n_postings"] or 0),
+                "n_blocks": int(agg["n_blocks"] or 0),
+                "compressed_bytes": int(agg["compressed_bytes"] or 0),
+                "lineage": lineage,
+            }
+        )
+    )
+
+
+def cmd_analyze(args: argparse.Namespace) -> None:
+    """Query analysis — the /api/process-query + /api/query-analysis
+    analog (SearchController.java:281-307, QueryController.java:171-186)."""
+    from .index.reader import parse_query
+    from .textproc import analyze_query, analyze_text
+
+    mode = args.mode
+    spec = parse_query(args.query, mode)
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "mode": mode,
+                "index_analyzer_tokens": analyze_text(args.query),
+                "query_analyzer_terms": analyze_query(args.query),
+                "score_terms": spec.score_terms if spec else [],
+                "phrase_a": spec.phrase_a if spec else None,
+                "phrase_b": spec.phrase_b if spec else None,
+                "bool_op": spec.bool_op if spec else None,
+            }
+        )
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="search_engine_spark")
     ap.add_argument("--cores", type=int, default=None)
@@ -105,6 +163,16 @@ def main(argv: list[str] | None = None) -> None:
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)
+
+    st = sub.add_parser("stats", help="index status / statistics")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    an = sub.add_parser("analyze", help="show query analysis (no Spark)")
+    an.add_argument("--query", required=True)
+    an.add_argument("--mode", default="disjunctive",
+                    choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+    an.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -39,6 +39,7 @@ from .kernels import (
 from .xxhash import term_bucket
 
 RESULT_SCHEMA = "doc_id long, score double"
+RESULT_CACHE_SIZE = 500  # SearchController.java:35
 # below this many decoded postings the vectorized exact kernel beats the
 # document-at-a-time WAND loop; above it WAND's skipping wins
 WAND_MIN_POSTINGS = 50_000
@@ -97,6 +98,9 @@ class CompressedIndex:
             # streaming/dense builds carry an explicit per-doc map
             self._docmap = spark.read.parquet(self.paths.docmap).cache()
         self._idf_cache: dict[str, float] = {}
+        from collections import OrderedDict
+
+        self._results: "OrderedDict[tuple, list]" = OrderedDict()
         # persistent DataFrame handles: the parquet file index (directory
         # listing over NUM_BUCKETS partition dirs) is built once and
         # reused by every query instead of re-listing per query
@@ -166,6 +170,23 @@ class CompressedIndex:
         )
 
     # -- query -------------------------------------------------------
+
+    def topk_cached(
+        self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
+    ) -> list:
+        """Collected top-k with an LRU result cache — the reference's
+        500-entry search cache analog (SearchController.java:33-36, minus
+        the TTL: the index is immutable once built)."""
+        key = (query_text, mode, k, algo)
+        hit = self._results.get(key)
+        if hit is not None:
+            self._results.move_to_end(key)
+            return hit
+        rows = self.topk(query_text, mode, k, algo).collect()
+        self._results[key] = rows
+        if len(self._results) > RESULT_CACHE_SIZE:
+            self._results.popitem(last=False)
+        return rows
 
     def topk(
         self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
