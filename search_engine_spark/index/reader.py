@@ -103,9 +103,17 @@ class CompressedIndex:
         self._results: "OrderedDict[tuple, list]" = OrderedDict()
         # persistent DataFrame handles: the parquet file index (directory
         # listing over NUM_BUCKETS partition dirs) is built once and
-        # reused by every query instead of re-listing per query
-        self._postings = spark.read.parquet(self.paths.postings)
-        self._idf = spark.read.parquet(self.paths.idf)
+        # reused by every query instead of re-listing per query.
+        # Explicit schemas: an index over an all-stopword corpus has an
+        # EMPTY idf table, which schema inference cannot read.
+        from .build import BLOCKS_SCHEMA
+
+        self._postings = spark.read.schema(BLOCKS_SCHEMA + ", bucket int").parquet(
+            self.paths.postings
+        )
+        self._idf = spark.read.schema("term string, df long, idf double, bucket int").parquet(
+            self.paths.idf
+        )
 
     def warm(self) -> None:
         """Materialize the lookup caches (doclen, convs/docmap)."""

@@ -41,7 +41,6 @@ def pagerank(
     broadcast-size for dictionary-like graphs and shuffle-joined
     otherwise — no driver-side adjacency structures.
     """
-    spark = edges.sparkSession
     nodes = _nodes(edges).cache()
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -75,9 +74,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # checkpoint the lineage: 8 chained joins otherwise explode the plan
-        ranks = spark.createDataFrame(ranks.collect(), "node string, rank double") \
-            if n <= 100_000 else ranks.localCheckpoint()
+        # cut the lineage: 8 chained join/agg rounds otherwise nest the plan
+        ranks = ranks.localCheckpoint()
     return ranks
 
 
