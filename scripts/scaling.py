@@ -75,7 +75,15 @@ def main() -> None:
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
     }
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALING.json"), "w") as f:
+    # write the raw run to a side file; BENCH_SCALING.json is the curated
+    # multi-run record and must not be clobbered by ad-hoc runs
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_SCALING_LAST.json",
+        ),
+        "w",
+    ) as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
     print(
