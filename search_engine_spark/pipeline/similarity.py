@@ -79,17 +79,6 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def _table_sig(planes: np.ndarray):
-    """Column: sign bit per hyperplane packed into a long."""
-    sig = F.lit(0).cast("long")
-    for i, row in enumerate(planes):
-        h = F.array(*[F.lit(float(v)) for v in row])
-        sig = sig + F.when(
-            _dot(F.col("embedding"), h) >= 0, F.lit(int(2**i)).cast("long")
-        ).otherwise(0)
-    return sig
-
-
 def lsh_signatures(
     embeddings: DataFrame, dim: int, bits: int = 4, tables: int = 8, seed: int = 42
 ) -> DataFrame:
@@ -99,19 +88,41 @@ def lsh_signatures(
     independent buckets; a query probes its bucket in every table and
     candidates are the union (classic L-table LSH — recall
     1−(1−p^bits)^tables for collision prob p per plane).
+
+    Signatures come from ONE Arrow kernel doing a single numpy matmul of
+    the batch against all tables' hyperplanes — a (rows × dim) @
+    (dim × tables·bits) product — instead of tables·bits per-plane SQL
+    expressions (whose codegen/compile cost dominated at small scale).
     """
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _table_sig(hyperplanes(dim, bits, seed + t)).alias("bucket"),
+    import pandas as pd
+
+    all_planes = np.concatenate(
+        [hyperplanes(dim, bits, seed + t) for t in range(tables)]
+    ).T  # (dim, tables*bits)
+    weights = (2 ** np.arange(bits, dtype=np.int64)).reshape(1, bits)
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            signs = (mat @ all_planes) >= 0  # (rows, tables*bits)
+            buckets = (
+                signs.reshape(len(pdf), tables, bits).astype(np.int64) * weights
+            ).sum(axis=2)
+            out = pdf.loc[pdf.index.repeat(tables)].reset_index(drop=True)
+            out["table"] = np.tile(np.arange(tables, dtype=np.int32), len(pdf))
+            out["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": out["vec_id"],
+                    "embedding": out["embedding"],
+                    "table": out["table"],
+                    "bucket": out["bucket"],
+                }
             )
-            for t in range(tables)
-        ]
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, embedding array<float>, table int, bucket long"
     )
-    return embeddings.select(
-        "vec_id", "embedding", F.explode(sigs).alias("tb")
-    ).select("vec_id", "embedding", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
 def lsh_cosine_topk(
