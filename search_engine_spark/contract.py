@@ -254,7 +254,11 @@ FROM m ORDER BY rnk LIMIT 25
 """,
 )
 def match_count_rank(spark, sf_dir):
-    """A9 + W2: per-doc query-term match count, ranked (fallback ranking)."""
+    """A9 + W2: per-doc query-term match count, ranked (fallback ranking).
+
+    Top-25 first (TakeOrderedAndProject — distributed), then rank the
+    surviving 25 rows; never a global window over the full match set.
+    """
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -264,8 +268,14 @@ def match_count_rank(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.countDistinct("token").alias("n_matched"))
     )
-    w = Window.orderBy(F.desc("n_matched"), F.asc("doc_id"))
-    return m.withColumn("rnk", F.row_number().over(w)).orderBy("rnk").limit(25)
+    top = m.orderBy(F.desc("n_matched"), F.asc("doc_id")).limit(25)
+    # partition key is constant-valued but non-foldable (derived from a
+    # column), so WindowExec sees a real partition spec over the 25
+    # surviving rows instead of a warned single-partition global window
+    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("n_matched"), F.asc("doc_id")
+    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 @q(
@@ -312,8 +322,8 @@ WITH e AS (
   FROM events
 )
 SELECT user_id,
-       count(*) AS n_events,
-       sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions
 FROM e GROUP BY user_id
 """,
 )
@@ -327,14 +337,16 @@ def events_sessionize(spark, sf_dir):
         ev.withColumn("prev", F.lag("ts").over(w))
         .groupBy("user_id")
         .agg(
-            F.count("*").alias("n_events"),
+            F.count("*").cast("long").alias("n_events"),
             F.sum(
                 F.when(
                     F.col("prev").isNull()
                     | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800),
                     1,
                 ).otherwise(0)
-            ).alias("n_sessions"),
+            )
+            .cast("long")
+            .alias("n_sessions"),
         )
     )
 
@@ -488,18 +500,94 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), 3, threshold=0.008)
 
 
-@q("dedup_minhash_lsh")  # sketch — rows-only check; pytest gates recall
+def _duck_h60(x: str) -> str:
+    return dedup.H60_SQL.format(x=x)
+
+
+def _minhash_lsh_sql(num_hashes=32, bands=16, threshold=0.5, seed=42) -> str:
+    """DuckDB twin of minhash_lsh_pairs: same md5-derived shingle hash,
+    same (a_i, b_i) literals, same banding, candidate-only verification."""
+    a, b = dedup._hash_params(num_hashes, seed)
+    p = dedup.MERSENNE_P
+    rows = num_hashes // bands
+    mins = ",\n  ".join(
+        f"min(({int(a[i])} * hx + {int(b[i])}) % {p}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + _duck_h60(
+            "(" + " || ',' || ".join(f"h{bi * rows + ri}::VARCHAR" for ri in range(rows)) + ")"
+        )
+        + " AS bh FROM sig"
+        for bi in range(bands)
+    )
+    jac = "round(inter::DOUBLE / (sa.sz + sb.sz - inter) + 1e-9, 6)"
+    return f"""{_SHINGLE_SQL},
+hx AS (SELECT doc_id, {_duck_h60('shingle')} % {p} AS hx FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+band AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, {jac} AS jaccard
+FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
+           JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE {jac} >= {threshold}
+"""
+
+
+def _simhash_sql(max_hamming=3) -> str:
+    """DuckDB twin of simhash_near_dup_pairs (60-bit md5-based SimHash)."""
+    bits, chunks = dedup.SIMHASH_BITS, dedup.SIMHASH_CHUNKS
+    cb = bits // chunks
+    mask = (1 << cb) - 1
+    sums = ",\n  ".join(
+        f"sum(CASE WHEN (hx >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    chunk_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {cb * c}) & {mask} AS cv FROM fp"
+        for c in range(chunks)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+hx AS (SELECT doc_id, {_duck_h60('token')} AS hx FROM t),
+s AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp_expr}) AS simhash FROM s),
+ch AS ({chunk_selects})
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+@q("dedup_minhash_lsh", _minhash_lsh_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs, verified by exact Jaccard ≥ 0.5
-    (the 16-band × 2-row layout collides w.p. ≈0.99 at j=0.5)."""
+    (the 16-band × 2-row layout collides w.p. ≈0.99 at j=0.5).
+    md5-derived hashes make the whole sketch oracle-checkable."""
     return dedup.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.5
     )
 
 
-@q("dedup_simhash")  # sketch — rows-only check; pytest gates vs hamming
+@q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 3) via 16-bit chunk banding."""
+    """SimHash near-dup pairs (hamming ≤ 3) via 15-bit chunk banding."""
     return dedup.simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -758,16 +846,21 @@ def snippets_q(spark, sf_dir):
     ),
 )
 def bm25_page2(spark, sf_dir):
-    """T3 pagination: page 2 (rows 11-20) of the BM25 ranking."""
+    """T3 pagination: page 2 (rows 11-20) of the BM25 ranking.
+
+    Top-(page_end) via TakeOrderedAndProject, then row_number over the
+    tiny survivor set — the full ranking never funnels through one task.
+    """
     from pyspark.sql.window import Window
 
     scored = docs_bm25.bm25_scores(load(spark, sf_dir, "documents"), _BM25_TERMS).select(
         "doc_id", rnd(F.col("score"), docs_bm25.ROUND).alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > 10) & (F.col("_rn") <= 20))
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 10)
         .select("doc_id", "score")
     )
 
@@ -877,11 +970,33 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-@q("multimodal_features")  # sha256 stub features — rows-only; pytest gates determinism
+_FEAT_VALUE = (
+    "round((('0x'||substr(hh, dim*8+7, 2)||substr(hh, dim*8+5, 2)"
+    "||substr(hh, dim*8+3, 2)||substr(hh, dim*8+1, 2))::UBIGINT::DOUBLE"
+    " / 4294967296.0) + 1e-9, 6)"
+)
+
+
+@q(
+    "multimodal_features",
+    f"""
+WITH h AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         lower(hex(encode(substr(text, 1, 4)))) AS header,
+         sha256(text) AS hh
+  FROM documents
+)
+SELECT doc_id, n_bytes, header, dim::INT AS dim, {_FEAT_VALUE} AS value
+FROM h, (SELECT unnest(range(0, {multimodal.FEATURE_DIM})) AS dim)
+""",
+)
 def multimodal_features(spark, sf_dir):
-    """Arrow-batched feature extraction over binary payloads (stub codec)."""
+    """Arrow-batched feature extraction over binary payloads (stub codec).
+
+    Exploded (doc_id, dim, value) projection; the sha256-derived stub
+    features are exactly recomputable in SQL from the hex digest."""
     blobs = multimodal.to_blob_table(load(spark, sf_dir, "documents"))
-    return multimodal.extract_features(blobs)
+    return multimodal.feature_rows(blobs)
 
 
 @q(

@@ -30,6 +30,26 @@ from ..functions import rnd
 # overflows under ANSI mode
 MERSENNE_P = (1 << 31) - 1
 
+# Number of SimHash bits.  60 (not 64) so the fingerprint is the first
+# 15 hex chars of md5 — positive in a signed long on both engines, no
+# unsigned/sign-extension divergence between Spark and the SQL oracle.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 4 × 15-bit chunks; pigeonhole covers hamming ≤ 3
+
+
+def h60(col):
+    """60-bit integer hash both engines compute identically.
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT
+    md5 is bytewise-identical across engines, so sketches built on h60
+    are fully oracle-checkable (unlike xxhash64, which DuckDB lacks).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+H60_SQL = "('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT"
+
 
 def normalized(docs: DataFrame) -> DataFrame:
     return docs.select(
@@ -69,19 +89,8 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Exact Jaccard-similar pairs over n-gram shingle sets (a < b)."""
-    sh = shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), F.col("x.shingle") == F.col("y.shingle"))
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, inter) + per-doc sizes → thresholded Jaccard pairs."""
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
@@ -98,6 +107,73 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over n-gram shingle sets (a < b).
+
+    ``max_shingle_df`` caps the document frequency of shingles entering
+    the self-join (standard near-dup practice: a shingle in ``d`` docs
+    yields O(d²) join rows, so one stopword trigram shared by 10⁶ docs
+    would explode the join at corpus scale).  ``None`` keeps the exact
+    all-shingles semantics; set it when running at scale — union sizes
+    still count every shingle, so capped Jaccard is a lower bound.
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    joinable = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    inter = (
+        joinable.alias("x")
+        .join(joinable.alias("y"), F.col("x.shingle") == F.col("y.shingle"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, docs: DataFrame, n: int = 3, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
+
+    The candidate-verification primitive: shingles are semi-joined down
+    to the docs that appear in any pair, then intersections come from
+    pair ⋈ shingle joins — cost is O(candidate pairs × shingles/doc),
+    never the all-co-shingling-pairs blowup of the exact self-join.
+    """
+    sh = shingles(docs, n)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
 def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.int64)
@@ -108,13 +184,12 @@ def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3, seed: int = 42) -> DataFrame:
     """(doc_id, sig array<long>) — k min-hashes, entirely JVM-side.
 
-    h_i(x) = (a_i·x + b_i) mod 2^61−1 over x = xxhash64(shingle)&MAX —
-    one groupBy with k min() aggregates; no Python, one shuffle.
+    h_i(x) = (a_i·x + b_i) mod 2^31−1 over x = h60(shingle) mod 2^31−1 —
+    one groupBy with k min() aggregates; no Python, one shuffle.  The
+    md5-derived shingle hash is reproducible in the SQL oracle.
     """
     a, b = _hash_params(num_hashes, seed)
-    sh = shingles(docs, n).withColumn(
-        "hx", F.abs(F.xxhash64("shingle")) % F.lit(MERSENNE_P)
-    )
+    sh = shingles(docs, n).withColumn("hx", h60("shingle") % F.lit(MERSENNE_P))
     aggs = [
         F.min(
             (F.col("hx") * F.lit(int(a[i])) + F.lit(int(b[i]))) % F.lit(MERSENNE_P)
@@ -139,8 +214,10 @@ def minhash_lsh_pairs(
 
     bands × rows layout (rows = num_hashes/bands); candidates = pairs
     colliding in ≥1 band; survivors verified with exact shingle Jaccard
-    (never trust the sketch at the boundary).  Returns
-    (doc_a, doc_b, jaccard ≥ threshold).
+    computed ONLY for candidate pairs (never trust the sketch at the
+    boundary, never do all-pairs work — verification cost is bounded by
+    the candidate count, which is what makes LSH an LSH at 100 TB).
+    Returns (doc_a, doc_b, jaccard ≥ threshold).
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, seed)
@@ -151,7 +228,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
+                        h60(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -173,41 +250,42 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, threshold=0.0)
-    return (
-        cand.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return jaccard_for_pairs(cand, docs, n, threshold)
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from token hashes — (doc_id, simhash long).
+    """60-bit SimHash per doc from token hashes — (doc_id, simhash long).
 
-    bit_b(doc) = 1 iff Σ_tokens (2·bit_b(xxhash64(tok)) − 1) · tf > 0.
-    64 conditional-sum aggregates in one groupBy; pure JVM.
+    bit_b(doc) = 1 iff Σ_tokens (2·bit_b(h60(tok)) − 1) · tf > 0.
+    60 conditional-sum aggregates in one groupBy; pure JVM.  60 bits
+    (the md5-derived h60) keeps the fingerprint positive in a signed
+    long on both engines, so the SQL oracle reproduces it exactly.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
     )
     t = docs.select("doc_id", F.explode(toks).alias("token")).withColumn(
-        "hx", F.xxhash64("token")
+        "hx", h60("token")
     )
     aggs = [
         F.sum(
             F.when(F.shiftright("hx", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     wide = t.groupBy("doc_id").agg(*aggs)
     fp = F.lit(0).cast("long")
-    for b in range(64):
-        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(0)
     return wide.select("doc_id", fp.alias("simhash"))
 
 
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
+
+
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ r via 4×16-bit chunk banding.
+    """Pairs with hamming(simhash) ≤ r via 4×15-bit chunk banding.
 
     Pigeonhole: r < 4 ⇒ at least one of 4 chunks is identical, so the
     join on (chunk_id, chunk_value) finds every qualifying pair without
@@ -222,11 +300,11 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", _CHUNK_BITS * c)
+                        .bitwiseAND(F.lit(_CHUNK_MASK))
                         .alias("cv"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("cc"),

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 FEATURE_DIM = 8
 
 FEATURES_SCHEMA = (
-    "doc_id long, n_bytes int, header string, features array<float>"
+    "doc_id long, n_bytes int, header string, features array<double>"
 )
 
 
@@ -51,10 +51,15 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a decoded-media feature vector."""
+    """Deterministic stand-in for a decoded-media feature vector.
+
+    8 little-endian uint32 words of sha256(payload) scaled to [0, 1) —
+    exactly reproducible in SQL from the hex digest, so the whole kernel
+    is oracle-checkable (uint32 / 2^32 is exact in float64).
+    """
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer(digest[: FEATURE_DIM * 4], dtype="<u4").astype(np.float64)
-    return (raw / np.float64(2**32)).astype(np.float32)
+    return raw / np.float64(2**32)
 
 
 def _extract_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -79,6 +84,27 @@ def extract_features(blobs: DataFrame) -> DataFrame:
     """
     return blobs.select("doc_id", "payload").mapInPandas(
         _extract_kernel, schema=FEATURES_SCHEMA
+    )
+
+
+def feature_rows(blobs: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Exploded, hashable projection of :func:`extract_features`.
+
+    (doc_id, n_bytes, header, dim, value) — one row per feature
+    dimension, value rounded; sortable/hashable for exact comparison
+    against the SQL twin (the array form is unhashable downstream).
+    """
+    from ..functions import rnd
+
+    feats = extract_features(blobs)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "header",
+        F.posexplode("features").alias("dim", "value"),
+    ).select(
+        "doc_id", "n_bytes", "header", F.col("dim").cast("int").alias("dim"),
+        rnd(F.col("value"), ndigits).alias("value"),
     )
 
 

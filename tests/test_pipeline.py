@@ -85,6 +85,44 @@ def test_shingles_semantics(spark):
     }
 
 
+def test_jaccard_for_pairs_matches_exact(docs):
+    """Candidate-only verification returns the same jaccard as the exact
+    all-pairs self-join for the pairs it is asked about."""
+    from search_engine_spark.pipeline.dedup import jaccard_for_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs, 3, threshold=0.3).limit(8).collect()
+    assert exact
+    pairs = docs.sparkSession.createDataFrame(
+        [(r["doc_a"], r["doc_b"]) for r in exact], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_for_pairs(pairs, docs, 3).collect()}
+    for r in exact:
+        assert got[(r["doc_a"], r["doc_b"])] == pytest.approx(r["jaccard"], abs=1e-9)
+
+
+def test_hot_shingle_cap_bounds_join(spark):
+    """A shingle shared by every doc must not force a quadratic join when
+    the df cap is set: pairs that only overlapped on the hot shingle
+    vanish, genuinely-similar pairs survive with their full jaccard."""
+    from search_engine_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    # 40 docs all containing one hot trigram; docs 0/1 are near-identical
+    rows = [(i, f"common hot shingle unique{i} tail{i} end{i}") for i in range(40)]
+    rows[1] = (1, "common hot shingle unique0 tail0 end99")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(df, 3, threshold=0.0).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(df, 3, threshold=0.0, max_shingle_df=5).collect()}
+    # every cross-pair shares the hot shingle → quadratic without the cap
+    assert len(uncapped) == 40 * 39 // 2
+    # capped: only pairs sharing a sub-cap shingle remain (the near-dup)
+    assert set(capped) == {(0, 1)}
+    # the near-dup pair keeps intersections from its non-hot shingles
+    assert capped[(0, 1)] > 0.3
+
+
 # ---------------------------------------------------------------- similarity
 
 
