@@ -686,13 +686,75 @@ def cosine_label_centroid_match(spark, sf_dir):
     )
 
 
-@q("ann_lsh_topk")  # hyperplane seed lives in numpy — rows-only; pytest gates recall
+_ANN_DIM, _ANN_BITS, _ANN_TABLES, _ANN_SEED = 64, 4, 16, 42
+
+
+def _plane_literal(row) -> str:
+    # repr(float) is shortest-round-trip — DuckDB parses it back to the
+    # bit-identical double the numpy kernel uses
+    return "[" + ", ".join(repr(float(v)) for v in row) + "]"
+
+
+def _bucket_sql(col: str, t: int, bits: int, dim: int, seed: int) -> str:
+    planes = similarity.hyperplanes(dim, bits, seed + t)
+    terms = [
+        f"{2**i} * (CASE WHEN list_dot_product({col}::DOUBLE[], "
+        f"{_plane_literal(planes[i])}) >= 0 THEN 1 ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql(k=10, bits=_ANN_BITS, tables=_ANN_TABLES, dim=_ANN_DIM, seed=_ANN_SEED) -> str:
+    """DuckDB twin of the ANN probe: the hyperplanes are embedded as
+    literal constants, so bucketing and rerank replay exactly."""
+    bsel = ",\n  ".join(
+        f"{_bucket_sql('embedding', t, bits, dim, seed)} AS b{t}" for t in range(tables)
+    )
+    cond = " OR ".join(f"sg.b{t} = q.b{t}" for t in range(tables))
+    return f"""
+WITH sg AS (SELECT vec_id, embedding, {bsel} FROM embeddings),
+q AS (SELECT * FROM sg WHERE vec_id = 0),
+cand AS (SELECT DISTINCT sg.vec_id, sg.embedding FROM sg, q WHERE {cond}),
+s AS (
+  SELECT c.vec_id,
+         list_dot_product(c.embedding::DOUBLE[], qq.qv::DOUBLE[])
+         / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qq.qv::DOUBLE[], qq.qv::DOUBLE[]))) AS c
+  FROM cand c CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qq
+)
+SELECT vec_id, round(c + 1e-9, 5) AS cos FROM s
+ORDER BY round(c + 1e-9, 5) DESC, vec_id ASC LIMIT {k}
+"""
+
+
+_ANN_INDEX: dict[str, str] = {}
+
+
+def _ann_index(spark, sf_dir):
+    """Persisted ANN index per (process, sf_dir): signatures written once,
+    partitioned by (table, bucket) for partition-pruned probes."""
+    if sf_dir not in _ANN_INDEX:
+        path = os.path.join(tempfile.mkdtemp(prefix="sgs_ann_"), "ann")
+        similarity.write_ann_index(
+            load(spark, sf_dir, "embeddings"), path, _ANN_DIM, _ANN_BITS, _ANN_TABLES, _ANN_SEED
+        )
+        _ANN_INDEX[sf_dir] = path
+    return _ANN_INDEX[sf_dir]
+
+
+@q("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-10 (random-hyperplane signatures, exact rerank)."""
+    """LSH-bucketed ANN top-10 against the PERSISTED signature index —
+    the probe is a partition-pruned parquet read of the query's 16
+    buckets, never a full-table signature scan."""
     emb = load(spark, sf_dir, "embeddings")
     qv = [r["x"] for r in emb.filter(F.col("vec_id") == 0).select(
         F.explode(F.col("embedding")).alias("x")).collect()]
-    return similarity.lsh_cosine_topk(emb, qv, k=10, bits=4, tables=16)
+    idx = _ann_index(spark, sf_dir)
+    return similarity.ann_index_topk(
+        spark, idx, qv, k=10, bits=_ANN_BITS, tables=_ANN_TABLES, seed=_ANN_SEED
+    )
 
 
 @q(
@@ -719,6 +781,48 @@ def knn_join(spark, sf_dir):
     res = similarity.knn_join(left, emb, k=3)
     # exclude self-matches like the oracle
     return res.filter(F.col("lid") != F.col("rid")).filter(F.col("rank") <= 3)
+
+
+_KNN_LSH_TABLES = 8
+
+
+def _knn_lsh_sql(k=3, bits=_ANN_BITS, tables=_KNN_LSH_TABLES, dim=_ANN_DIM, seed=_ANN_SEED) -> str:
+    """DuckDB twin of knn_join_lsh: literal-plane bucketing on both sides,
+    exact cosine + per-left rank over the colliding pairs only."""
+    bsel = ",\n  ".join(
+        f"{_bucket_sql('embedding', t, bits, dim, seed)} AS b{t}" for t in range(tables)
+    )
+    cond = " OR ".join(f"l.b{t} = r.b{t}" for t in range(tables))
+    return f"""
+WITH sg AS (SELECT vec_id, embedding, {bsel} FROM embeddings),
+l AS (SELECT * FROM sg WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT l.vec_id AS lid, l.embedding AS lv, r.vec_id AS rid, r.embedding AS rv
+  FROM l JOIN sg r ON ({cond}) AND l.vec_id <> r.vec_id
+),
+s AS (
+  SELECT lid, rid,
+         round(list_dot_product(lv::DOUBLE[], rv::DOUBLE[])
+               / (sqrt(list_dot_product(lv::DOUBLE[], lv::DOUBLE[]))
+                  * sqrt(list_dot_product(rv::DOUBLE[], rv::DOUBLE[]))) + 1e-9, 5) AS cos
+  FROM cand
+)
+SELECT lid, rid, cos, rank FROM (
+  SELECT lid, rid, cos, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
+
+
+@q("knn_join_lsh", _knn_lsh_sql())
+def knn_join_lsh(spark, sf_dir):
+    """LSH-bucketed kNN join — the scale path for kNN: candidates come
+    from (table, bucket) collisions, never a cross product."""
+    emb = load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    return similarity.knn_join_lsh(
+        left, emb, dim=_ANN_DIM, k=3, bits=_ANN_BITS, tables=_KNN_LSH_TABLES, seed=_ANN_SEED
+    )
 
 
 # =====================================================================

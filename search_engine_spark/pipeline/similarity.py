@@ -125,6 +125,65 @@ def lsh_signatures(
     )
 
 
+def query_buckets(
+    query_vec: list[float], bits: int = 4, tables: int = 8, seed: int = 42
+) -> list[tuple[int, int]]:
+    """The (table, bucket) cells a query probes — driver-side scalars."""
+    dim = len(query_vec)
+    out = []
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, seed + t)
+        out.append(
+            (t, int(sum(2**i for i, row in enumerate(planes) if float(np.dot(row, query_vec)) >= 0)))
+        )
+    return out
+
+
+def _probe_predicate(qbuckets: list[tuple[int, int]]):
+    probe = F.lit(False)
+    for t, bkt in qbuckets:
+        probe = probe | ((F.col("table") == t) & (F.col("bucket") == bkt))
+    return probe
+
+
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> None:
+    """Build-time: persist LSH signatures partitioned by (table, bucket).
+
+    One signature pass over the corpus, written once; every query then
+    reads only its ``tables`` probe cells via parquet partition pruning
+    (PartitionFilters) — the 100 TB path never rescans the table.
+    """
+    sigs = lsh_signatures(embeddings, dim, bits, tables, seed)
+    sigs.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+
+def ann_index_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN probe against a persisted index: partition-pruned read of the
+    query's buckets, exact cosine rerank of the candidates only."""
+    sigs = spark.read.parquet(index_path)
+    cand = (
+        sigs.filter(_probe_predicate(query_buckets(query_vec, bits, tables, seed)))
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    return cosine_topk(cand, query_vec, k)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -133,24 +192,18 @@ def lsh_cosine_topk(
     tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN: exact-rerank the union of the query's buckets across tables.
-
-    At 100 TB the per-table bucket lookup replaces a full scan with a
-    partition-prunable equi-join on (table, bucket); recall vs brute
-    force is measured in tests (pipeline recall gate), not assumed.
+    """ANN without a persisted index: one signature pass, bucket filter,
+    exact rerank.  For repeated queries build the index once with
+    :func:`write_ann_index` and probe via :func:`ann_index_topk` — that
+    path replaces the signature scan with a partition-pruned read.
     """
     dim = len(query_vec)
-    qbuckets = []
-    for t in range(tables):
-        planes = hyperplanes(dim, bits, seed + t)
-        qbuckets.append(
-            (t, int(sum(2**i for i, row in enumerate(planes) if float(np.dot(row, query_vec)) >= 0)))
-        )
     sigs = lsh_signatures(embeddings, dim, bits, tables, seed)
-    probe = F.lit(False)
-    for t, bkt in qbuckets:
-        probe = probe | ((F.col("table") == t) & (F.col("bucket") == bkt))
-    cand = sigs.filter(probe).select("vec_id", "embedding").distinct()
+    cand = (
+        sigs.filter(_probe_predicate(query_buckets(query_vec, bits, tables, seed)))
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
     return cosine_topk(cand, query_vec, k)
 
 
@@ -160,8 +213,9 @@ def knn_join(
     """For each left vector, its k nearest right vectors by cosine.
 
     Exact block nested-loop via crossJoin + per-left window top-k; the
-    broadcast of the smaller side keeps it a map-side operation.  The
-    LSH-bucketed variant bounds candidates at scale.
+    broadcast of the smaller side keeps it a map-side operation — valid
+    only while the right side is broadcast-size.  At scale use
+    :func:`knn_join_lsh`, which bounds candidates via bucket collisions.
     """
     from pyspark.sql.window import Window
 
@@ -176,6 +230,55 @@ def knn_join(
         "lid",
         "rid",
         rnd(_dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn")), ROUND).alias("cos"),
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "cos", "rank")
+    )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    dim: int,
+    k: int = 3,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate kNN join: candidates restricted to LSH bucket collisions.
+
+    Both sides get multi-table hyperplane signatures; the pair space is
+    the equi-join on (table, bucket) — never a cross product — then each
+    surviving pair is scored exactly and ranked per left vector.  At
+    100 TB × 100 TB this bounds the join at Σ_buckets |L_b|·|R_b|
+    instead of |L|·|R|; recall vs the exact join is gated in tests.
+    """
+    from pyspark.sql.window import Window
+
+    ls = lsh_signatures(left, dim, bits, tables, seed).select(
+        F.col("vec_id").alias("lid"), F.col("embedding").alias("lv"), "table", "bucket"
+    )
+    rs = lsh_signatures(right, dim, bits, tables, seed).select(
+        F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"), "table", "bucket"
+    )
+    cand = (
+        ls.join(rs, ["table", "bucket"])
+        .select("lid", "lv", "rid", "rv")
+        .dropDuplicates(["lid", "rid"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("lid") != F.col("rid"))
+    scored = cand.select(
+        "lid",
+        "rid",
+        rnd(
+            _dot(F.col("lv"), F.col("rv")) / (_norm(F.col("lv")) * _norm(F.col("rv"))),
+            ROUND,
+        ).alias("cos"),
     )
     w = Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))
     return (

@@ -143,6 +143,50 @@ def test_lsh_ann_recall(emb):
     assert recall >= 0.6, f"ANN recall@10 too low: {recall:.2f}"
 
 
+def test_ann_persisted_index_matches_scan_and_prunes(emb, spark, tmp_path):
+    """Probing the persisted (table, bucket)-partitioned index returns the
+    same top-k as the on-the-fly signature scan, and the probe's plan is
+    partition-pruned (PartitionFilters on table/bucket)."""
+    from search_engine_spark.pipeline.similarity import (
+        ann_index_topk,
+        lsh_cosine_topk,
+        write_ann_index,
+    )
+
+    qv = [
+        r["x"]
+        for r in emb.filter(F.col("vec_id") == 0)
+        .select(F.explode("embedding").alias("x"))
+        .collect()
+    ]
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path, dim=64, bits=4, tables=16)
+    probe = ann_index_topk(spark, path, qv, 10, bits=4, tables=16)
+    scan = lsh_cosine_topk(emb, qv, 10, bits=4, tables=16)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in scan.collect()]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "table#" in plan.split("PartitionFilters")[1][:400]
+
+
+def test_knn_join_lsh_recall_vs_exact(emb):
+    """Bucketed kNN must recover most exact nearest neighbors; every
+    reported neighbor must carry its exact cosine."""
+    from search_engine_spark.pipeline.similarity import knn_join, knn_join_lsh
+
+    left = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["lid"], r["rid"]): r["cos"] for r in knn_join(left, emb, k=3).collect()}
+    approx = {
+        (r["lid"], r["rid"]): r["cos"]
+        for r in knn_join_lsh(left, emb, dim=64, k=3, bits=4, tables=8).collect()
+    }
+    for pair, c in approx.items():
+        if pair in exact:
+            assert c == pytest.approx(exact[pair], abs=1e-9)
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.6, f"bucketed kNN recall too low: {recall:.2f}"
+
+
 def test_knn_join_self_excluded_and_ranked(emb):
     from search_engine_spark.pipeline.similarity import knn_join
 
