@@ -1143,17 +1143,51 @@ def _xs_index(spark):
     return CompressedIndex(spark, _XS_INDEX["path"])
 
 
-@q("transcripts_bm25_wand")  # Porter-stemmed engine — not SQL-expressible
+def _transcripts_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
+    """VALUES-literal oracle from the INDEPENDENT pure-Python reference
+    implementation (search_engine_spark.oracle — shares only the
+    tokenizer with the engine) run over the deterministic xs corpus.
+
+    Porter stemming is not SQL-expressible, so the oracle is the
+    pure-Python scorer's output embedded as full-precision literals;
+    DuckDB applies the same epsilon-nudged rounding as the Spark side.
+    """
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_topk(idx, query_text, mode, k)
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q(
+    "transcripts_bm25_wand",
+    _transcripts_oracle_sql("term0001 term0002", "disjunctive", 10),
+)
 def transcripts_bm25_wand(spark, sf_dir):
     """Full engine: compressed index + block-max WAND over the transcript
-    corpus (rank-identity vs the pure-Python oracle is the pytest gate)."""
+    corpus; the oracle is the pure-Python reference scorer's output."""
     idx = _xs_index(spark)
     return idx.topk("term0001 term0002", "disjunctive", 10, algo="wand").select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 
 
-@q("transcripts_phrase")  # positional phrase over compressed positions
+@q(
+    "transcripts_phrase",
+    _transcripts_oracle_sql('"phrase alpha beta"', "phrase", 10),
+)
 def transcripts_phrase(spark, sf_dir):
     """Positional phrase query on the compressed index."""
     idx = _xs_index(spark)
