@@ -111,7 +111,9 @@ class IndexPaths:
 # ---------------------------------------------------------------- phase 0
 
 
-def conv_ranks(transcripts: DataFrame, num_groups: int) -> DataFrame:
+def conv_ranks(
+    transcripts: DataFrame, num_groups: int, scratch_dir: str | None = None
+) -> DataFrame:
     """Distinct conversations → (conv_id, conv_rank, group).
 
     ``conv_rank`` is the global rank of ``conv_id`` among distinct
@@ -133,9 +135,16 @@ def conv_ranks(transcripts: DataFrame, num_groups: int) -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
     )
     # Pin the sampled range boundaries: repartitionByRange re-samples per
-    # job, so the counts job and the rank job MUST see the same physical
-    # partitioning.  This is the thin distinct-convs projection — cheap.
-    t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    # job, so the counts job and the rank job MUST see the same (_pid →
+    # conv set) assignment.  With a scratch dir the staged table is
+    # MATERIALIZED to parquet with _pid as a data column — executor loss
+    # or cache eviction can then never re-sample different boundaries
+    # between the two jobs (persist() alone recomputes on eviction).
+    if scratch_dir is not None:
+        t.write.mode("overwrite").parquet(scratch_dir)
+        t = transcripts.sparkSession.read.parquet(scratch_dir)
+    else:
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {r["_pid"]: r["c"] for r in t.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -597,8 +606,12 @@ class IndexBuilder:
 
     def stage(self, transcripts: DataFrame) -> None:
         """Phase 0: rank distinct conversations → tiny convs table."""
-        ranked = conv_ranks(transcripts, self.config.num_groups)
+        import shutil
+
+        scratch = os.path.join(self.paths.root, "_convs_scratch")
+        ranked = conv_ranks(transcripts, self.config.num_groups, scratch_dir=scratch)
         ranked.write.mode("overwrite").parquet(self.paths.convs)
+        shutil.rmtree(scratch, ignore_errors=True)
         with open(os.path.join(self.paths.root, "_STAGED_SUCCESS"), "w") as f:
             f.write("ok")
 

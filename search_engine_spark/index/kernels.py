@@ -31,7 +31,10 @@ from .codec import varbyte_decode
 class TermPostings:
     """Decoded postings of one term within one group."""
 
-    __slots__ = ("term", "doc_ids", "tfs", "block_starts", "block_ubs", "pos_blobs", "_pos")
+    __slots__ = (
+        "term", "doc_ids", "tfs", "block_starts", "block_ubs", "pos_blobs",
+        "_pos", "_block_pos",
+    )
 
     def __init__(self, term: str, pdf: pd.DataFrame, idf: float, avgdl: float):
         rows = pdf.sort_values("block_id")
@@ -62,6 +65,7 @@ class TermPostings:
         self.block_starts = np.asarray(starts, dtype=np.int64)
         self.block_ubs = np.asarray(ubs, dtype=np.float64)
         self._pos: list[np.ndarray] | None = None
+        self._block_pos: dict[int, list[np.ndarray]] = {}
 
     def positions(self) -> list[np.ndarray]:
         """Per-posting position arrays (lazy decode, phrase path only)."""
@@ -77,6 +81,33 @@ class TermPostings:
                     out.append(np.cumsum(flat[offs[i] : offs[i + 1]]))
             self._pos = out
         return self._pos
+
+    def positions_at(self, i: int) -> np.ndarray:
+        """Positions of posting ``i``, decoding ONLY its block (cached).
+
+        The selective path for candidate-bounded operators (proximity
+        rerank): a group may hold millions of postings but only the
+        block containing each of the k candidates is ever decompressed.
+        """
+        if self._pos is not None:
+            return self._pos[i]
+        b = int(np.searchsorted(self.block_starts, i, side="right") - 1)
+        blk = self._block_pos.get(b)
+        if blk is None:
+            start, blob = self.pos_blobs[b]
+            nxt = (
+                int(self.block_starts[b + 1])
+                if b + 1 < len(self.block_starts)
+                else len(self.doc_ids)
+            )
+            flat = varbyte_decode(blob).astype(np.int64)
+            counts = self.tfs[start:nxt]
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            blk = [
+                np.cumsum(flat[offs[j] : offs[j + 1]]) for j in range(len(counts))
+            ]
+            self._block_pos[b] = blk
+        return blk[i - int(self.block_starts[b])]
 
 
 class DocLens:
@@ -95,6 +126,21 @@ class DocLens:
 
     def lookup(self, docs: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids, docs)
+        # cheap vectorized integrity check: a doc_id absent from the
+        # group's doclen (corrupt / mixed-version index) must fail loud,
+        # not silently score against a neighboring doc's length
+        if idx.size and (
+            np.any(idx >= self.doc_ids.size) or np.any(self.doc_ids[idx] != docs)
+        ):
+            missing = (
+                docs[idx >= self.doc_ids.size]
+                if np.any(idx >= self.doc_ids.size)
+                else docs[self.doc_ids[np.minimum(idx, self.doc_ids.size - 1)] != docs]
+            )
+            raise ValueError(
+                f"index corruption: doc_ids {missing[:5].tolist()} missing "
+                "from group doclen (mixed-version or partial index?)"
+            )
         return self.dls[idx]
 
 
@@ -111,10 +157,17 @@ def exact_topk(
     avgdl: float,
     k: int,
     candidates: np.ndarray | None = None,
+    with_ties: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score all (or ``candidates``) matching docs; return group top-k.
 
     Returns (doc_ids, scores) sorted by (score desc, doc_id asc).
+
+    ``with_ties`` keeps every doc whose score equals the k-th score
+    (SQL ``WITH TIES``): required when doc_id order is NOT isomorphic
+    to the final (conv_id, turn_idx) tie-break order — e.g. the dense
+    scheme's arrival-ordered streaming ids — so the global sort, not
+    the group cut, resolves boundary ties.
     """
     terms = sorted(plists)
     if not terms:
@@ -136,7 +189,15 @@ def exact_topk(
         scores[idx[ok]] += idf[t] * _partial(p.tfs[ok], dls, avgdl)
     hit = scores > 0.0
     union, scores = union[hit], scores[hit]
-    order = np.lexsort((union, -scores))[:k]
+    order = np.lexsort((union, -scores))
+    if with_ties and order.size > k:
+        kth = scores[order[k - 1]] if k > 0 else np.inf
+        cut = k
+        while cut < order.size and scores[order[cut]] == kth:
+            cut += 1
+        order = order[:cut]
+    else:
+        order = order[:k]
     return union[order], scores[order]
 
 

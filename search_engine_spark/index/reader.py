@@ -211,7 +211,13 @@ class CompressedIndex:
         )
         idf = self.idf_map(spec.score_terms)
         avgdl = self.avgdl
-        kernel = _make_group_kernel(spec, idf, avgdl, k, algo)
+        # dense (streaming/arrival-ordered) doc ids are not isomorphic to
+        # the (conv_id, turn_idx) tie-break order, so group kernels must
+        # emit boundary ties and let the global sort resolve them; WAND's
+        # bounded heap cannot hold ties, so it is only safe on conv_rank
+        kernel = _make_group_kernel(
+            spec, idf, avgdl, k, algo, with_ties=(self.scheme != "conv_rank")
+        )
         post = self.postings_df(fetch_terms)
         cand = (
             post.groupBy("group")
@@ -225,7 +231,14 @@ class CompressedIndex:
         )
 
 
-def _make_group_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float, k: int, algo: str):
+def _make_group_kernel(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    algo: str,
+    with_ties: bool = False,
+):
     """Build the per-group cogroup kernel for one parsed query."""
 
     def kernel(key: tuple, post_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -240,11 +253,15 @@ def _make_group_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float, k: 
         score_lists = {t: p for t, p in plists.items() if t in idf}
         if spec.mode == "disjunctive":
             total = sum(p.doc_ids.size for p in score_lists.values())
-            use_wand = algo == "wand" or (algo == "auto" and total >= WAND_MIN_POSTINGS)
+            use_wand = not with_ties and (
+                algo == "wand" or (algo == "auto" and total >= WAND_MIN_POSTINGS)
+            )
             if use_wand:
                 docs, scores = wand_topk(score_lists, idf, doclens, avgdl, k)
             else:
-                docs, scores = exact_topk(score_lists, idf, doclens, avgdl, k)
+                docs, scores = exact_topk(
+                    score_lists, idf, doclens, avgdl, k, with_ties=with_ties
+                )
         elif spec.mode == "conjunctive":
             need = {t: plists[t] for t in spec.score_terms if t in plists}
             if len(need) < len(spec.score_terms):
@@ -252,10 +269,15 @@ def _make_group_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float, k: 
                 scores = np.empty(0, dtype=np.float64)
             else:
                 cand = conjunctive_candidates(need)
-                docs, scores = exact_topk(score_lists, idf, doclens, avgdl, k, candidates=cand)
+                docs, scores = exact_topk(
+                    score_lists, idf, doclens, avgdl, k,
+                    candidates=cand, with_ties=with_ties,
+                )
         elif spec.mode == "phrase":
             cand = phrase_candidates(spec.phrase_a or [], plists)
-            docs, scores = exact_topk(score_lists, idf, doclens, avgdl, k, candidates=cand)
+            docs, scores = exact_topk(
+                score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
+            )
         else:  # boolean
             la = phrase_candidates(spec.phrase_a or [], plists)
             rb = phrase_candidates(spec.phrase_b or [], plists)
@@ -265,7 +287,9 @@ def _make_group_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float, k: 
                 cand = np.union1d(la, rb)
             else:
                 cand = np.setdiff1d(la, rb, assume_unique=True)
-            docs, scores = exact_topk(score_lists, idf, doclens, avgdl, k, candidates=cand)
+            docs, scores = exact_topk(
+                score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
+            )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     return kernel

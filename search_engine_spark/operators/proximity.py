@@ -51,14 +51,99 @@ def proximity_boost(distance: int | None) -> float:
     return 0.0
 
 
+def proximity_distances(index, terms: list[str], doc_ids: list[int]):
+    """(doc_id, distance) DataFrame for the given candidate docs.
+
+    Executor-side: bucket-pruned postings of the query terms are
+    cogrouped per index group; the Arrow kernel decodes positions ONLY
+    for the blocks containing candidate docs (``positions_at``) and
+    emits the min pair distance.  Nothing but the k result rows ever
+    reaches the driver.
+    """
+    import pandas as pd
+
+    from ..index.kernels import TermPostings
+
+    cand = np.asarray(sorted(set(doc_ids)), dtype=np.int64)
+    terms = sorted(set(terms))
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out_docs, out_dists = [], []
+        plists = {
+            str(t): TermPostings(str(t), tdf, 0.0, 1.0)
+            for t, tdf in pdf.groupby("term", sort=True)
+        }
+        for d in cand:
+            pos_arrays = []
+            for t in terms:
+                tp = plists.get(t)
+                if tp is None or tp.doc_ids.size == 0:
+                    pos_arrays.append(None)
+                    continue
+                i = int(np.searchsorted(tp.doc_ids, d))
+                if i < tp.doc_ids.size and tp.doc_ids[i] == d:
+                    pos_arrays.append(tp.positions_at(i))
+                else:
+                    pos_arrays.append(None)
+            dist = min_pair_distance(pos_arrays)
+            if dist is not None:
+                out_docs.append(int(d))
+                out_dists.append(int(dist))
+        return pd.DataFrame({"doc_id": pd.array(out_docs, dtype="int64"),
+                             "distance": pd.array(out_dists, dtype="int64")})
+
+    return (
+        index.postings_df(terms)
+        .groupBy("group")
+        .applyInPandas(kernel, schema="doc_id long, distance long")
+    )
+
+
+def _candidate_doc_ids(index, base_rows) -> dict[tuple[str, int], int]:
+    """(conv_id, turn_idx) → doc_id for the k candidates, looking up only
+    those keys (filtered join — never a full conv/docmap collect)."""
+    from pyspark.sql import functions as F
+
+    if index.scheme == "conv_rank":
+        conv_ids = sorted({r["conv_id"] for r in base_rows})
+        ranks = {
+            r["conv_id"]: r["conv_rank"]
+            for r in index._convs.filter(F.col("conv_id").isin(conv_ids))
+            .select("conv_id", "conv_rank")
+            .collect()
+        }
+        return {
+            (r["conv_id"], r["turn_idx"]): (ranks[r["conv_id"]] << index.turn_bits)
+            | r["turn_idx"]
+            for r in base_rows
+        }
+    conv_ids = sorted({r["conv_id"] for r in base_rows})
+    turns = sorted({r["turn_idx"] for r in base_rows})
+    wanted = {(r["conv_id"], r["turn_idx"]) for r in base_rows}
+    rows = (
+        index._docmap.filter(
+            F.col("conv_id").isin(conv_ids) & F.col("turn_idx").isin(turns)
+        )
+        .select("doc_id", "conv_id", "turn_idx")
+        .collect()
+    )
+    return {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in rows
+        if (r["conv_id"], r["turn_idx"]) in wanted
+    }
+
+
 def rerank_with_proximity(index, query_text: str, k: int = 10, mode: str = "disjunctive"):
     """BM25 top-k, then add the proximity boost and re-sort.
 
     Returns list of (conv_id, turn_idx, base_score, distance, boosted).
-    Positions for the k candidates are decoded from the bucket-pruned
-    postings of the query terms only.
+    Works for both docid schemes (conv_rank and dense/streaming).  All
+    heavy work is executor-side: candidate doc_ids come from a filtered
+    lookup of the k keys, positions from a candidate-bounded cogroup
+    kernel — no full postings/conv-table collect (the round-1 version
+    pulled both to the driver).
     """
-    from ..index.kernels import TermPostings
     from ..index.reader import parse_query
     from ..textproc import analyze_query
 
@@ -69,34 +154,15 @@ def rerank_with_proximity(index, query_text: str, k: int = 10, mode: str = "disj
     terms = spec.score_terms if spec else sorted(set(analyze_query(query_text)))
     if not terms:
         return []
-    idf = index.idf_map(terms)
-    post = index.postings_df(terms).toPandas()
-
-    # map candidate (conv, turn) → doc_id via the conv table
-    convs = {r["conv_id"]: r["conv_rank"] for r in index._convs.collect()}
+    doc_of = _candidate_doc_ids(index, base)
+    dists = {
+        r["doc_id"]: int(r["distance"])
+        for r in proximity_distances(index, terms, list(doc_of.values())).collect()
+    }
     out = []
-    plists: dict[tuple[int, str], TermPostings] = {}
     for row in base:
-        doc_id = (convs[row["conv_id"]] << index.turn_bits) | row["turn_idx"]
-        pos_arrays = []
-        for t in terms:
-            gmask = post["term"] == t
-            if not gmask.any():
-                pos_arrays.append(None)
-                continue
-            found = None
-            for g, gdf in post[gmask].groupby("group"):
-                key = (int(g), t)
-                tp = plists.get(key)
-                if tp is None:
-                    tp = TermPostings(t, gdf, idf.get(t, 0.0), index.avgdl)
-                    plists[key] = tp
-                i = int(np.searchsorted(tp.doc_ids, doc_id))
-                if i < tp.doc_ids.size and tp.doc_ids[i] == doc_id:
-                    found = tp.positions()[i]
-                    break
-            pos_arrays.append(found)
-        dist = min_pair_distance(pos_arrays)
+        doc_id = doc_of[(row["conv_id"], row["turn_idx"])]
+        dist = dists.get(doc_id)
         boost = proximity_boost(dist)
         out.append(
             (row["conv_id"], row["turn_idx"], row["score"], dist, row["score"] + boost)

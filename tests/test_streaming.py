@@ -154,3 +154,70 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
         ("2026-01-01 00:00:00", "click"),
         ("2026-01-01 01:00:00", "view"),
     }
+
+
+def test_proximity_rerank_on_dense_streaming_index(spark, stream_dirs, xs_corpus, tmp_path):
+    """rerank_with_proximity must work on a streaming-built ('dense')
+    index too — candidate doc_ids come from the docmap, not conv_rank
+    bit math (round-1 raised AttributeError here)."""
+    from search_engine_spark.index.reader import CompressedIndex
+    from search_engine_spark.operators.proximity import (
+        proximity_boost,
+        rerank_with_proximity,
+    )
+
+    inp, _ = stream_dirs
+    out = str(tmp_path / "densed")
+    ing = IncrementalIndexer(spark, out, BuildConfig(num_groups=2))
+    q = ing.start(inp, trigger_available_now=True)
+    q.awaitTermination(120)
+    idx = CompressedIndex(spark, ing.compact())
+    assert idx.scheme == "dense"
+
+    got = rerank_with_proximity(idx, "term0001 term0002", k=5)
+    assert len(got) == 5
+    oracle = build_oracle_index(xs_corpus)
+    for conv, turn, base, dist, boosted in got:
+        assert boosted == pytest.approx(base + proximity_boost(dist), abs=1e-12)
+        toks = oracle.tokens[(conv, turn)]
+        p1 = [i for i, t in enumerate(toks) if t == "term0001"]
+        p2 = [i for i, t in enumerate(toks) if t == "term0002"]
+        want = min((abs(a - b) for a in p1 for b in p2), default=None)
+        assert dist == want
+
+
+def test_dense_tie_break_survives_out_of_order_arrival(spark, tmp_path):
+    """Two docs with bit-identical scores arriving in reverse (conv_id,
+    turn_idx) order: the dense-scheme kernel must not cut the doc the
+    global (conv_id, turn_idx) tie-break would keep (round-1 defect:
+    group top-k tie-broke on arrival-ordered doc_id)."""
+    import pandas as pd
+    from search_engine_spark.index.reader import CompressedIndex
+
+    out = str(tmp_path / "ooo")
+    ing = IncrementalIndexer(spark, out, BuildConfig(num_groups=1))
+
+    def batch(conv, ts):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "conv_id": [conv],
+                    "turn_idx": [0],
+                    "role": ["user"],
+                    "text": ["tiebreak target words"],
+                    "tool": [""],
+                    "ts": [pd.Timestamp(ts)],
+                }
+            )
+        )
+
+    # conv-b arrives FIRST → doc_id 0; conv-a second → doc_id 1
+    ing.process_batch(batch("conv-b", "2026-01-01"), 0)
+    ing.process_batch(batch("conv-a", "2026-01-02"), 1)
+    idx = CompressedIndex(spark, ing.compact())
+    assert idx.scheme == "dense"
+
+    rows = idx.topk("tiebreak", "disjunctive", 1).collect()
+    assert len(rows) == 1
+    # identical text → identical BM25 score; winner must be conv-a
+    assert rows[0]["conv_id"] == "conv-a"
