@@ -992,48 +992,59 @@ def tf_by_source(spark, sf_dir):
     )
 
 
-def _pagerank_sql() -> str:
+def _pagerank_ctes() -> str:
     """Unrolled 8-iteration PageRank CTE chain over the term-bigram graph
-    (deterministic; DuckDB has no loops, so iterations are generated)."""
+    (deterministic; DuckDB has no loops, so iterations are generated).
+    Returns the CTE list (no WITH keyword / final SELECT) so composite
+    oracles (rank_blend) can extend it."""
     from .pipeline.graph import DAMPING, ITERATIONS
 
     d = DAMPING
+    # AS MATERIALIZED throughout: every r{k} is referenced twice (c{k+1}
+    # and d{k+1}), so DuckDB's default CTE inlining re-expands the whole
+    # chain per reference — exponential in ITERATIONS (~290 s at
+    # sf0.001); materialization makes the oracle run in milliseconds
     parts = [
-        f"""
-WITH t AS (SELECT {_TOKS_SQL} AS tk FROM documents),
-e AS (
+        f"""t AS MATERIALIZED (SELECT {_TOKS_SQL} AS tk FROM documents),
+e AS MATERIALIZED (
   SELECT DISTINCT tk[i] AS src, tk[i+1] AS dst
   FROM t, unnest(range(1, len(tk))) AS u(i)
   WHERE len(tk) >= 2 AND tk[i] <> tk[i+1]
 ),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-outdeg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
-r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes)"""
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes)"""
     ]
     for k in range(1, ITERATIONS + 1):
         parts.append(
             f""",
-c{k} AS (
+c{k} AS MATERIALIZED (
   SELECT e.dst AS node, sum(r.rank / o.outdeg) AS inflow
   FROM e JOIN r{k-1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
   GROUP BY e.dst
 ),
-d{k} AS (
+d{k} AS MATERIALIZED (
   SELECT coalesce(sum(r.rank), 0.0) AS d
   FROM r{k-1} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
 ),
-r{k} AS (
+r{k} AS MATERIALIZED (
   SELECT nodes.node,
          (1.0 - {d}) / nn.n + {d} * (SELECT d FROM d{k}) / nn.n
          + {d} * coalesce(c.inflow, 0.0) AS rank
   FROM nodes CROSS JOIN nn LEFT JOIN c{k} c ON nodes.node = c.node
 )"""
         )
-    parts.append(
-        f"\nSELECT node, round(rank + 1e-9, 6) AS rank FROM r{ITERATIONS}"
-    )
     return "".join(parts)
+
+
+def _pagerank_sql() -> str:
+    from .pipeline.graph import ITERATIONS
+
+    return (
+        f"WITH {_pagerank_ctes()}\n"
+        f"SELECT node, round(rank + 1e-9, 6) AS rank FROM r{ITERATIONS}"
+    )
 
 
 @q("pagerank_terms", None)
@@ -1048,6 +1059,135 @@ def pagerank_terms(spark, sf_dir):
 
 
 ORACLES["pagerank_terms"] = _pagerank_sql()
+
+
+def _rank_blend_sql(k: int = 15) -> str:
+    """Ranker2 blend oracle: the unrolled PageRank CTEs + the BM25 CTEs
+    joined as 0.7·relevance + 0.3·mean-term-rank."""
+    from .config import BM25_B, BM25_K1
+    from .pipeline.graph import BLEND_ALPHA, BLEND_BETA, ITERATIONS
+
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    return f"""
+WITH {_pagerank_ctes()},
+btoks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+btf AS (SELECT doc_id, token AS term, count(*) AS tf FROM btoks GROUP BY 1, 2),
+bdl AS (SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents),
+bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM bdl),
+bdfreq AS (SELECT term, count(*) AS df FROM btf WHERE term IN ({in_list}) GROUP BY 1),
+rel AS (
+  SELECT btf.doc_id,
+         sum((ln((1.0 + bstats.n) / (1.0 + bdfreq.df)) + 1.0)
+             * (btf.tf::DOUBLE * {BM25_K1 + 1.0}
+                / (btf.tf::DOUBLE + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * bdl.dl::DOUBLE / bstats.avgdl)))) AS rel
+  FROM btf JOIN bdl USING (doc_id) JOIN bdfreq USING (term) CROSS JOIN bstats
+  WHERE btf.term IN ({in_list})
+  GROUP BY btf.doc_id
+),
+docterms AS (SELECT DISTINCT doc_id, token FROM btoks),
+pop AS (
+  SELECT dt.doc_id, avg(r.rank) AS pop
+  FROM docterms dt JOIN r{ITERATIONS} r ON dt.token = r.node
+  GROUP BY dt.doc_id
+)
+SELECT rel.doc_id,
+       round({BLEND_ALPHA} * rel.rel + {BLEND_BETA} * coalesce(pop.pop, 0.0) + 1e-9, 5) AS blended
+FROM rel LEFT JOIN pop ON rel.doc_id = pop.doc_id
+ORDER BY round({BLEND_ALPHA} * rel.rel + {BLEND_BETA} * coalesce(pop.pop, 0.0) + 1e-9, 5) DESC,
+         rel.doc_id ASC
+LIMIT {k}
+"""
+
+
+@q("rank_blend", _rank_blend_sql())
+def rank_blend(spark, sf_dir):
+    """Ranker2's final ranking: 0.7·BM25 relevance + 0.3·PageRank
+    popularity (Ranker2.java:105-112) — PageRank's consumer."""
+    from .pipeline.graph import blend_topk
+
+    return blend_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=15)
+
+
+_LADDER_TERMS = ["data", "stream"]
+
+
+def _boost_ladder_sql(terms: list[str]) -> str:
+    """DuckDB twin of the QueryService relevance ladder over derived
+    title (first 6 tokens) / url (source/lang) fields."""
+    from .operators import boosts as B
+
+    uniq = list(dict.fromkeys(t.lower() for t in terms if t))
+    sig = " ".join(uniq)
+    in_list = ", ".join(f"'{t}'" for t in uniq)
+    url_all = " AND ".join(f"contains(url, '{t}')" for t in uniq)
+    title_all = " AND ".join(f"contains(title, '{t}')" for t in uniq)
+    phrase_steps = ""
+    if len(uniq) > 1:
+        phrase_steps = (
+            f"CASE WHEN contains(title, '{sig}') THEN 3.0 ELSE 1.0 END * "
+            f"CASE WHEN contains(txt, '{sig}') THEN 3.0 ELSE 1.0 END * "
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk, lower(trim(text)) AS txt,
+         lower(source || '/' || lang) AS url
+  FROM documents
+),
+b AS (SELECT doc_id, len(tk) AS dl, array_to_string(tk[1:6], ' ') AS title, url, txt FROM t),
+tf AS (
+  SELECT doc_id, token AS term, count(*) AS raw
+  FROM (SELECT doc_id, unnest(tk) AS token FROM t)
+  WHERE token IN ({in_list}) GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+c AS (
+  SELECT tf.doc_id,
+         sum(least(tf.raw::DOUBLE / greatest(b.dl, 1), {B.TF_SPAM_CAP})
+             * log10(nn.n / dfq.df)
+             * (1.0 + {B.TITLE_TERM_BOOST} * (CASE WHEN contains(b.title, tf.term) THEN 1 ELSE 0 END)
+                    + {B.URL_TERM_BOOST} * (CASE WHEN contains(b.url, tf.term) THEN 1 ELSE 0 END))) AS s,
+         count(*) AS found
+  FROM tf JOIN dfq USING (term) JOIN b ON tf.doc_id = b.doc_id CROSS JOIN nn
+  GROUP BY 1
+),
+j AS (
+  SELECT b.doc_id, b.dl, b.title, b.url, b.txt,
+         {phrase_steps}
+         (CASE WHEN coalesce(c.found, 0) < {len(uniq) // 2}
+               THEN coalesce(c.s, 0.0) * {B.MISSING_TERMS_PENALTY}
+               ELSE coalesce(c.s, 0.0) END) AS s
+  FROM b LEFT JOIN c USING (doc_id)
+)
+SELECT doc_id,
+       round(CASE WHEN dl < {B.MIN_DOC_LEN} THEN {B.SHORT_DOC_SCORE}
+                  WHEN contains(title, '{sig}') THEN {B.TITLE_PHRASE_SCORE}
+                  WHEN {f"({url_all})" if len(uniq) > 1 else "FALSE"} THEN {B.URL_ALL_TERMS_SCORE}
+                  WHEN {title_all} THEN {B.TITLE_ALL_TERMS_SCORE}
+                  ELSE s END + 1e-9, 6) AS boost_score
+FROM j
+"""
+
+
+@q("boost_ladder", _boost_ladder_sql(_LADDER_TERMS))
+def boost_ladder(spark, sf_dir):
+    """QueryService relevance-boost ladder over derived title/url fields
+    (title = first 6 tokens, url = source/lang)."""
+    from .operators.boosts import relevance_boost_scores
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    derived = docs.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("title"),
+        F.concat_ws("/", "source", "lang").alias("url"),
+    )
+    return relevance_boost_scores(derived, _LADDER_TERMS).select(
+        "doc_id", rnd(F.col("boost_score"), 6).alias("boost_score")
+    )
 
 
 # =====================================================================

@@ -106,6 +106,60 @@ def pagerank_numpy(edge_list: list[tuple[str, str]], damping: float = DAMPING,
     return {nodes[i]: float(r[i]) for i in range(n)}
 
 
+BLEND_ALPHA = 0.7  # Ranker2.java:110 — finalRank = 0.7·relevance
+BLEND_BETA = 0.3  # + 0.3·pagerank
+
+
+def blend_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    alpha: float = BLEND_ALPHA,
+    beta: float = BLEND_BETA,
+    round_scale: int = 5,
+) -> DataFrame:
+    """Ranker2's final ranking (``calculateFinalRank``, Ranker2.java:105-112):
+    ``blended = α·relevance + β·popularity`` — the operator that makes
+    PageRank a scoring input rather than a standalone table.
+
+    relevance  = BM25 over the query terms (docs_bm25.bm25_scores);
+    popularity = mean PageRank of the doc's distinct tokens over the
+                 term co-occurrence graph (the reference ranks docs on a
+                 doc-link graph; transcripts have no hyperlinks, so the
+                 TextRank-style term graph is the popularity source and
+                 a doc inherits the mean rank of its terms).
+
+    Plan: the rank table is term-keyed and joined on the exploded-token
+    shuffle key (no broadcast assumption — vocabulary scales with the
+    corpus); relevance side reuses the BM25 aggregate; top-k is a
+    TakeOrderedAndProject on the blended score.
+    """
+    from ..functions import rnd
+    from ..operators import docs_bm25
+
+    rel = docs_bm25.bm25_scores(docs, terms)
+    pr = pagerank(term_cooccurrence_edges(docs))
+    docterms = docs_bm25.simple_tokens(docs).distinct()
+    pop = (
+        docterms.join(pr, docterms.token == pr.node)
+        .groupBy("doc_id")
+        .agg(F.avg("rank").alias("pop"))
+    )
+    return (
+        rel.join(pop, "doc_id", "left")
+        .select(
+            "doc_id",
+            rnd(
+                F.lit(alpha) * F.col("score")
+                + F.lit(beta) * F.coalesce(F.col("pop"), F.lit(0.0)),
+                round_scale,
+            ).alias("blended"),
+        )
+        .orderBy(F.desc("blended"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def term_cooccurrence_edges(docs: DataFrame) -> DataFrame:
     """Directed term-bigram graph from a (doc_id, text) corpus: one edge
     per DISTINCT consecutive token pair (a → b, a ≠ b) — the TextRank-style
