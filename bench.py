@@ -45,11 +45,14 @@ CONTRACT_QUERIES = [
     "dedup_simhash",
     "cosine_topk",
     "knn_join",
+    "knn_join_lsh",
     "ann_lsh_topk",
     "token_counts",
     "quality_scores",
     "lang_id",
     "fingerprints",
+    "rank_blend",
+    "boost_ladder",
 ]
 
 
