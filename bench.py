@@ -103,6 +103,13 @@ def main() -> None:
     p95 = lat[max(0, int(len(lat) * 0.95) - 1)]
 
     # -- 3. contract workload at sf_dir --------------------------------
+    # the ANN signature index is a BUILD-time artifact (written once,
+    # probed per query); build it outside the per-query timings and
+    # report its cost separately, like build_index
+    t0 = time.time()
+    contract._ann_index(spark, SF_DIR)
+    results["ann_index_build"] = round(time.time() - t0, 3)
+
     qs = contract.QUERIES
     for name in CONTRACT_QUERIES:
         t0 = time.time()

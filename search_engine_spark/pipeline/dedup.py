@@ -151,9 +151,10 @@ def jaccard_for_pairs(
     """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
 
     The candidate-verification primitive: shingles are semi-joined down
-    to the docs that appear in any pair, then intersections come from
-    pair ⋈ shingle joins — cost is O(candidate pairs × shingles/doc),
-    never the all-co-shingling-pairs blowup of the exact self-join.
+    to the docs that appear in any pair, packed into one set array per
+    candidate doc, and each pair intersects two arrays JVM-side — cost
+    is O(candidate pairs × shingles/doc), never the
+    all-co-shingling-pairs blowup of the exact self-join.
     """
     sh = shingles(docs, n)
     cand_docs = (
@@ -161,17 +162,25 @@ def jaccard_for_pairs(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    sets = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("ss"))
     )
-    return _jaccard_from_inter(inter, sizes, threshold)
+    joined = (
+        pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = rnd(
+        inter.cast("double")
+        / (F.size("sa") + F.size("sb") - inter).cast("double"),
+        6,
+    )
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:

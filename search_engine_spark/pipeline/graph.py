@@ -58,19 +58,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: total rank not passed through any out-edge
+        # dangling mass (total rank not passed through any out-edge) as a
+        # 1-row broadcast side — folded into the SAME job the checkpoint
+        # materializes, instead of a separate collect job per iteration
         dangling = (
             ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .collect()[0]["d"]
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("d") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
         )
