@@ -53,6 +53,9 @@ CONTRACT_QUERIES = [
     "fingerprints",
     "rank_blend",
     "boost_ladder",
+    "dedup_embedding_cosine",
+    "ivf_ann_topk",
+    "events_sessionize_stateful",
 ]
 
 

@@ -352,6 +352,80 @@ def events_sessionize(spark, sf_dir):
 
 
 @q(
+    "events_sessionize_stateful",
+    """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_sessionize_stateful(spark, sf_dir):
+    """W3 streaming form: per-user sessions via applyInPandasWithState
+    (arbitrary per-key state across micro-batches).  The batch events
+    table streams through file-by-file; two far-future sentinel batches
+    advance the watermark so every open session closes via event-time
+    timeout before the stream drains.  Output = every session, matching
+    the batch lag-window oracle exactly."""
+    import uuid
+
+    from .streaming.sessionize import sessionize_stream
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"), F.col("ts").cast("timestamp")
+    )
+    d = tempfile.mkdtemp(prefix="sgs_sess_")
+    inp = os.path.join(d, "in")
+    os.makedirs(inp)
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(inp, "f0"))
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent = "__watermark_sentinel__"
+    for i, days in enumerate((365, 730), start=1):
+        spark.createDataFrame(
+            [(sent, max_ts)], "user_id string, ts timestamp"
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(inp, f"f{i}"))
+
+    stream = spark.readStream.schema("user_id string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(os.path.join(inp, "f*"))
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q_ = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(300)
+    return spark.table(name).filter(F.col("user_id") != sent).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@q(
     "events_hourly_agg",
     """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
@@ -784,6 +858,92 @@ def knn_join(spark, sf_dir):
 
 
 _KNN_LSH_TABLES = 8
+
+
+def _cosine_near_dup_sql(
+    threshold=0.9, bits=_ANN_BITS, tables=_KNN_LSH_TABLES, dim=_ANN_DIM, seed=_ANN_SEED
+) -> str:
+    """DuckDB twin of cosine_near_dup_pairs: literal-plane bucketing on
+    both sides, exact cosine only for colliding pairs."""
+    bsel = ",\n  ".join(
+        f"{_bucket_sql('embedding', t, bits, dim, seed)} AS b{t}" for t in range(tables)
+    )
+    cond = " OR ".join(f"a.b{t} = b.b{t}" for t in range(tables))
+    return f"""
+WITH sg AS (SELECT vec_id, embedding, {bsel} FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS va, b.vec_id AS vec_b, b.embedding AS vb
+  FROM sg a JOIN sg b ON ({cond}) AND a.vec_id < b.vec_id
+),
+s AS (
+  SELECT vec_a, vec_b,
+         round(list_dot_product(va::DOUBLE[], vb::DOUBLE[])
+               / (sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))
+                  * sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))) + 1e-9, 5) AS cos
+  FROM cand
+)
+SELECT vec_a, vec_b, cos FROM s WHERE cos >= {threshold}
+"""
+
+
+@q("dedup_embedding_cosine", _cosine_near_dup_sql(threshold=0.4, tables=_ANN_TABLES))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH bucket collisions generate
+    candidates, exact cosine verifies — never an all-pairs product.
+    (threshold 0.4 sits in the synthetic corpus's near-dup tail — its
+    max pair cosine is ~0.51; 16 tables keep boundary recall high)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, dim=_ANN_DIM, threshold=0.4, bits=_ANN_BITS, tables=_ANN_TABLES, seed=_ANN_SEED
+    )
+
+
+_IVF_NPROBE = 4
+
+_CENTROID_CTES = """
+cel AS (
+  SELECT label, avg(x) AS cx, i
+  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+cent AS (SELECT label, array_agg(cx ORDER BY i) AS cv FROM cel GROUP BY label)
+"""
+
+
+def _ivf_ann_sql(k=10, nprobe=_IVF_NPROBE) -> str:
+    return f"""
+WITH {_CENTROID_CTES.strip()},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cells AS (
+  SELECT cent.label
+  FROM cent CROSS JOIN q
+  ORDER BY list_dot_product(cent.cv, q.qv)
+           / (sqrt(list_dot_product(cent.cv, cent.cv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           cent.label ASC
+  LIMIT {nprobe}
+),
+m AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN cells USING (label)),
+s AS (
+  SELECT m.vec_id,
+         list_dot_product(m.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(m.embedding::DOUBLE[], m.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM m CROSS JOIN q
+)
+SELECT vec_id, round(c + 1e-9, 5) AS cos FROM s
+ORDER BY round(c + 1e-9, 5) DESC, vec_id ASC LIMIT {k}
+"""
+
+
+@q("ivf_ann_topk", _ivf_ann_sql())
+def ivf_ann_topk(spark, sf_dir):
+    """IVF ANN: probe the nprobe nearest coarse cells (label centroids),
+    exact-rerank only their members."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [r["x"] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode(F.col("embedding")).alias("x")).collect()]
+    return similarity.ivf_cosine_topk(emb, qv, k=10, nprobe=_IVF_NPROBE)
 
 
 def _knn_lsh_sql(k=3, bits=_ANN_BITS, tables=_KNN_LSH_TABLES, dim=_ANN_DIM, seed=_ANN_SEED) -> str:

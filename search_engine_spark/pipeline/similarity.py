@@ -207,6 +207,100 @@ def lsh_cosine_topk(
     return cosine_topk(cand, query_vec, k)
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the LSH-bucketed scale path.
+
+    Candidate pairs come from (table, bucket) signature collisions (the
+    same multi-table hyperplane LSH as ANN — high-cosine pairs collide
+    in ≥1 table w.h.p.), then ONLY candidates get the exact cosine and
+    the ≥ threshold filter.  Never an all-pairs product; the exact
+    verifier :func:`cosine_pairs` remains the small-scale/recall-gate
+    twin.  Returns (vec_a, vec_b, cos) with vec_a < vec_b.
+    """
+    sigs = lsh_signatures(embeddings, dim, bits, tables, seed)
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "table", "bucket"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "va", "vec_b", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            rnd(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                ROUND,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def label_centroids(embeddings: DataFrame, label_col: str = "label") -> DataFrame:
+    """(label, centroid array<double>) — per-label mean vector, the IVF
+    coarse quantizer (labels stand in for k-means cells: deterministic,
+    oracle-replicable, and exactly what a trained quantizer provides)."""
+    el = embeddings.select(
+        label_col, F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    return (
+        el.groupBy(label_col, "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("s"))
+        .select(label_col, F.transform("s", lambda t: t["cx"]).alias("centroid"))
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` coarse cells nearest the query,
+    exact-rerank only their members.
+
+    The inverted-file layout is the partition-by-cell analog of the LSH
+    index: at scale the embedding table is written partitioned by cell
+    and the probe is a partition-pruned read of nprobe cells.  Here the
+    cell assignment is the ``label`` column (a deterministic stand-in
+    for trained k-means cells); centroids are one aggregate, the
+    centroid ranking happens on the |cells|-row side, and the member
+    filter is a broadcast semi-join.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cent = label_centroids(embeddings, label_col)
+    probe_cells = (
+        cent.select(
+            label_col,
+            (
+                _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * _norm(q))
+            ).alias("ccos"),
+        )
+        .orderBy(F.desc("ccos"), F.asc(label_col))
+        .limit(nprobe)
+        .select(label_col)
+    )
+    members = embeddings.join(F.broadcast(probe_cells), label_col, "left_semi")
+    return cosine_topk(members, query_vec, k)
+
+
 def knn_join(
     left: DataFrame, right: DataFrame, k: int = 3, exclude_self: bool = True
 ) -> DataFrame:

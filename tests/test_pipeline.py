@@ -187,6 +187,47 @@ def test_knn_join_lsh_recall_vs_exact(emb):
     assert recall >= 0.6, f"bucketed kNN recall too low: {recall:.2f}"
 
 
+def test_cosine_near_dup_lsh_vs_exact(emb):
+    """LSH-bucketed near-dup pairs ⊆ exact all-pairs with identical cos;
+    recall at the 0.9 threshold must be high (high-cosine pairs collide)."""
+    from search_engine_spark.pipeline.similarity import cosine_near_dup_pairs, cosine_pairs
+
+    # 0.4 is the near-dup tail of the synthetic corpus (max pair ≈ 0.51)
+    thresh = 0.4
+    exact = {(r["vec_a"], r["vec_b"]): r["cos"] for r in cosine_pairs(emb, thresh).collect()}
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in cosine_near_dup_pairs(emb, dim=64, threshold=thresh, tables=16).collect()
+    }
+    assert exact, "corpus should contain high-cosine pairs"
+    for pair, c in approx.items():
+        assert pair in exact and c == pytest.approx(exact[pair], abs=1e-9)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.75, f"cosine near-dup recall too low: {recall:.2f}"
+
+
+def test_ivf_topk_recall_and_exhaustive_probe(emb):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from search_engine_spark.pipeline.similarity import cosine_topk, ivf_cosine_topk
+
+    qv = [
+        r["x"]
+        for r in emb.filter(F.col("vec_id") == 0)
+        .select(F.explode("embedding").alias("x"))
+        .collect()
+    ]
+    brute = [tuple(r) for r in cosine_topk(emb, qv, 10).collect()]
+    n_cells = emb.select("label").distinct().count()
+    # probing every cell must equal brute force exactly
+    full = [tuple(r) for r in ivf_cosine_topk(emb, qv, 10, nprobe=n_cells).collect()]
+    assert full == brute
+    # probing 4 of 10 cells: decent recall, exact cosines
+    part = [tuple(r) for r in ivf_cosine_topk(emb, qv, 10, nprobe=4).collect()]
+    recall = len({v for v, _ in part} & {v for v, _ in brute}) / 10
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall:.2f}"
+
+
 def test_knn_join_self_excluded_and_ranked(emb):
     from search_engine_spark.pipeline.similarity import knn_join
 

@@ -221,3 +221,57 @@ def test_dense_tie_break_survives_out_of_order_arrival(spark, tmp_path):
     assert len(rows) == 1
     # identical text → identical BM25 score; winner must be conv-a
     assert rows[0]["conv_id"] == "conv-a"
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by a later
+    in-batch gap emit immediately; the open session closes via event-time
+    timeout once the watermark passes last_ts + gap."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.streaming.sessionize import sessionize_stream
+
+    inp = tmp_path / "sess"
+    inp.mkdir()
+    schema = pa.schema([pa.field("user_id", pa.string()), pa.field("ts", pa.timestamp("us"))])
+
+    def write(name, rows):
+        pdf = pd.DataFrame({"user_id": [u for u, _ in rows],
+                            "ts": pd.to_datetime([t for _, t in rows])})
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+                       str(inp / name))
+
+    # batch 1: user a has two bursts split by > 30 min (first closes
+    # in-batch); user b has one open session
+    write("f1.parquet", [
+        ("a", "2026-01-01 00:00:00"), ("a", "2026-01-01 00:10:00"),
+        ("a", "2026-01-01 01:00:00"),
+        ("b", "2026-01-01 00:05:00"),
+    ])
+    # batch 2: far-future event advances the watermark (1h delay) past
+    # every open session's last_ts + gap -> timeouts fire
+    write("f2.parquet", [("c", "2026-01-01 06:00:00")])
+
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(str(inp))
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # a's first burst: 2 events 00:00-00:10; closed by the 01:00 event
+    assert ("a", "2026-01-01 00:00:00", "2026-01-01 00:10:00", 2) in rows
+    # a's second burst and b's session: closed by watermark timeout
+    assert ("a", "2026-01-01 01:00:00", "2026-01-01 01:00:00", 1) in rows
+    assert ("b", "2026-01-01 00:05:00", "2026-01-01 00:05:00", 1) in rows
