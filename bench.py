@@ -53,6 +53,7 @@ CONTRACT_QUERIES = [
     "fingerprints",
     "rank_blend",
     "boost_ladder",
+    "importance_weighted_topk",
     "dedup_embedding_cosine",
     "ivf_ann_topk",
     "events_sessionize_stateful",

@@ -1350,6 +1350,51 @@ def boost_ladder(spark, sf_dir):
     )
 
 
+_IMP_TERMS = ["spark", "merge", "window"]
+
+
+def _importance_sql(terms: list[str], k: int = 10) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    imp = (
+        "COALESCE(10 - 2 * (TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 5), 1)"
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+  WHERE token IN ({tl})
+  GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents),
+imp AS (SELECT doc_id, ({imp})::DOUBLE AS imp FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         sum((tf.tf::DOUBLE / dl.dl)
+             * (ln((1.0 + n.n) / (1.0 + dfq.df)) + 1.0)
+             * ln(1.0 + imp.imp)) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN imp USING (doc_id)
+       JOIN dfq USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score + 1e-9, 5) AS score, imp.imp::BIGINT AS importance
+FROM s JOIN imp ON s.doc_id = imp.doc_id
+ORDER BY round(s.score + 1e-9, 5) DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
+@q("importance_weighted_topk", _importance_sql(_IMP_TERMS))
+def importance_weighted_topk(spark, sf_dir):
+    """Ranker1 metric path: tf_norm·idf·ln(1+importance) with the tag
+    ladder mapped onto the source column (IndexerService.java:262-267,
+    316; Ranker1.java:333-336)."""
+    from .operators.importance import importance_weighted_topk as iw_topk
+
+    return iw_topk(load(spark, sf_dir, "documents"), _IMP_TERMS, k=10)
+
+
 # =====================================================================
 # Multimodal plumbing
 # =====================================================================
