@@ -123,6 +123,34 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Embedding-cosine near-dup pairs",
+            "Expected: both sides signed once, equi-join on (table, bucket) — "
+            "NEVER a CartesianProduct — exact cosine only on the colliding "
+            "candidate pairs.",
+            cap(contract.QUERIES["dedup_embedding_cosine"](spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "IVF ANN probe (coarse cells)",
+            "Expected: centroid aggregate on the |cells|-row side, broadcast "
+            "left-semi join selecting only the nprobe probed cells' members, "
+            "TakeOrderedAndProject for the exact rerank.",
+            cap(contract.QUERIES["ivf_ann_topk"](spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "Importance-weighted scoring (Ranker1 metric path)",
+            "Expected: one exploded-token aggregate, broadcast of the "
+            "|terms|-row df side, whole-stage codegen for the "
+            "tf_norm*idf*ln(1+importance) math, TakeOrderedAndProject.",
+            cap(contract.QUERIES["importance_weighted_topk"](spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "
