@@ -127,8 +127,11 @@ def main() -> None:
         (
             "Embedding-cosine near-dup pairs",
             "Expected: both sides signed once, equi-join on (table, bucket) — "
-            "NEVER a CartesianProduct — exact cosine only on the colliding "
-            "candidate pairs.",
+            "NEVER a CartesianProduct — the collision exchange carries only "
+            "(long, long) id pairs into the dedup aggregate, vectors join "
+            "back by vec_id, and the exact cosine runs once per unique pair "
+            "in the Arrow kernel (ArrowEvalPython), never an interpreted "
+            "per-element aggregate.",
             cap(contract.QUERIES["dedup_embedding_cosine"](spark, SF)),
         )
     )
