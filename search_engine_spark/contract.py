@@ -383,7 +383,11 @@ def events_sessionize_stateful(spark, sf_dir):
     advance the watermark so every open session closes via event-time
     timeout before the stream drains.  Output = every session, matching
     the batch lag-window oracle exactly."""
+    import datetime
     import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
 
     from .streaming.sessionize import sessionize_stream
 
@@ -396,27 +400,44 @@ def events_sessionize_stateful(spark, sf_dir):
     ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(inp, "f0"))
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sent = "__watermark_sentinel__"
+    # sentinel batches are 1-row driver-side pyarrow writes (no Spark
+    # jobs); file mtimes follow write order, which FileStreamSource uses
+    # to sequence the three maxFilesPerTrigger=1 micro-batches
+    pa_schema = pa.schema(
+        [pa.field("user_id", pa.string()), pa.field("ts", pa.timestamp("us"))]
+    )
     for i, days in enumerate((365, 730), start=1):
-        spark.createDataFrame(
-            [(sent, max_ts)], "user_id string, ts timestamp"
-        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(inp, f"f{i}"))
+        papq.write_table(
+            pa.Table.from_pylist(
+                [{"user_id": sent, "ts": max_ts + datetime.timedelta(days=days)}],
+                schema=pa_schema,
+            ),
+            os.path.join(inp, f"f{i}.parquet"),
+        )
 
     stream = spark.readStream.schema("user_id string, ts timestamp").option(
         "maxFilesPerTrigger", 1
     ).parquet(os.path.join(inp, "f*"))
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    q_ = (
-        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_.awaitTermination(300)
+    # state partitions sized to the key count at this SF (150 users);
+    # fixed per checkpoint at first batch — at 100 TB this knob scales
+    # with the key cardinality instead of inheriting the session-wide
+    # shuffle width
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q_ = (
+            sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).filter(F.col("user_id") != sent).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),

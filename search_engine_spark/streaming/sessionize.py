@@ -35,6 +35,52 @@ STATE_SCHEMA = "start long, last long, n long"
 _US = 1_000_000  # micros per second
 
 
+def merge_sorted_events(
+    t, state: tuple[int, int, int] | None, gap_us: int
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
+    """Apply the gap rule to sorted event times (epoch micros) given the
+    carried open session — vectorized: O(events) numpy, O(sessions)
+    Python.  Returns (closed sessions, new open session), each session a
+    (start, last, n) triple.
+
+    A boundary at i means t[i] is > gap past the running session max;
+    the carried ``last`` can only influence comparisons up to the first
+    boundary (any boundary value already exceeds last + gap, and t is
+    sorted), so seeding the running max with ``last`` reproduces the
+    scalar one-event-at-a-time semantics exactly (property-tested
+    against it in ``tests/test_streaming.py``).
+    """
+    import numpy as np
+
+    start, last, n = state if state is not None else (None, None, None)
+    closed: list[tuple[int, int, int]] = []
+    if not t.size:
+        return closed, state
+    if start is None:
+        flags = np.empty(t.size, dtype=bool)
+        flags[0] = True
+        flags[1:] = (t[1:] - t[:-1]) > gap_us
+    else:
+        prevmax = np.maximum.accumulate(
+            np.concatenate((np.array([last], dtype="int64"), t))
+        )[:-1]
+        flags = (t - prevmax) > gap_us
+    seg_starts = np.unique(
+        np.concatenate((np.array([0], dtype="int64"), np.flatnonzero(flags)))
+    )
+    seg_ends = np.concatenate((seg_starts[1:], np.array([t.size])))
+    for j, (s0, e0) in enumerate(zip(seg_starts, seg_ends)):
+        if j == 0 and start is not None and not flags[0]:
+            # first segment extends the open session
+            last = max(last, int(t[e0 - 1]))
+            n += int(e0 - s0)
+            continue
+        if start is not None:
+            closed.append((start, last, n))
+        start, last, n = int(t[s0]), int(t[e0 - 1]), int(e0 - s0)
+    return closed, (start, last, n)
+
+
 def _session_kernel(gap_us: int):
     """Build the per-key stateful kernel (gap captured in the closure)."""
 
@@ -49,25 +95,16 @@ def _session_kernel(gap_us: int):
             closed.append((start, last, n))
             state.remove()
         else:
-            if state.exists:
-                start, last, n = state.get
-            else:
-                start = last = n = None  # type: ignore[assignment]
-            ts_us: list[int] = []
-            for pdf in pdfs:
-                ts_us.extend(
-                    int(v.value) // 1000 for v in pd.to_datetime(pdf["ts"])
-                )
-            ts_us.sort()
-            for t in ts_us:
-                if start is None:
-                    start, last, n = t, t, 1
-                elif t - last > gap_us:
-                    closed.append((start, last, n))
-                    start, last, n = t, t, 1
-                else:
-                    last = max(last, t)
-                    n += 1
+            import numpy as np
+
+            carried = tuple(state.get) if state.exists else None
+            parts = [
+                pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() // 1000
+                for pdf in pdfs
+            ]
+            t = np.sort(np.concatenate(parts)) if parts else np.array([], dtype="int64")
+            closed, open_s = merge_sorted_events(t, carried, gap_us)
+            start, last, n = open_s if open_s is not None else (None, None, None)
             if start is not None:
                 state.update((int(start), int(last), int(n)))
                 # close the open session when the watermark passes

@@ -223,6 +223,53 @@ def test_dense_tie_break_survives_out_of_order_arrival(spark, tmp_path):
     assert rows[0]["conv_id"] == "conv-a"
 
 
+def _scalar_merge(t, state, gap_us):
+    """The one-event-at-a-time reference for merge_sorted_events."""
+    start, last, n = state if state is not None else (None, None, None)
+    closed = []
+    for x in t:
+        x = int(x)
+        if start is None:
+            start, last, n = x, x, 1
+        elif x - last > gap_us:
+            closed.append((start, last, n))
+            start, last, n = x, x, 1
+        else:
+            last = max(last, x)
+            n += 1
+    return closed, (None if start is None else (start, last, n))
+
+
+def test_merge_sorted_events_matches_scalar_loop():
+    """Property: the vectorized gap rule is identical to the scalar loop
+    for any sorted batch and any carried state (including a carried last
+    AHEAD of some batch events)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_spark.streaming.sessionize import merge_sorted_events
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        ts=st.lists(st.integers(0, 500), max_size=40),
+        gap=st.integers(1, 60),
+        state=st.one_of(
+            st.none(),
+            st.tuples(st.integers(0, 100), st.integers(0, 300), st.integers(1, 5)).map(
+                lambda s: (min(s[0], s[1]), max(s[0], s[1]), s[2])
+            ),
+        ),
+    )
+    def check(ts, gap, state):
+        t = np.array(sorted(ts), dtype="int64")
+        got = merge_sorted_events(t, state, gap)
+        want = _scalar_merge(t, state, gap)
+        assert got == want
+
+    check()
+
+
 def test_stateful_sessionize_stream(spark, tmp_path):
     """applyInPandasWithState sessionization: sessions closed by a later
     in-batch gap emit immediately; the open session closes via event-time
