@@ -69,17 +69,18 @@ def importance_weighted_scores(
     uniq = sorted(set(query_terms))
     tf = term_freqs(docs).filter(F.col("term").isin(uniq))
     dl = doc_lengths(docs)
-    n_docs = docs.count()
+    # N as a 1-row broadcast subplan (no eager driver-side count job)
+    stats = docs.agg(F.count("*").cast("double").alias("n"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     imp = docs.select("doc_id", importance_for_source(F.col(source_col)).alias("imp"))
     return (
         tf.join(dl, "doc_id")
         .join(imp, "doc_id")
         .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
-            F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
-            + F.lit(1.0),
+            F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0),
         )
         .withColumn(
             "partial",
