@@ -57,6 +57,7 @@ CONTRACT_QUERIES = [
     "dedup_embedding_cosine",
     "ivf_ann_topk",
     "events_sessionize_stateful",
+    "events_hourly_agg_stream",
 ]
 
 

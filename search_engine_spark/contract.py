@@ -465,6 +465,82 @@ def events_hourly_agg(spark, sf_dir):
     ).agg(F.count("*").alias("n"), rnd(F.sum("value"), 4).alias("total_value"))
 
 
+@q(
+    "events_hourly_agg_stream",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value) + 1e-9, 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly_agg_stream(spark, sf_dir):
+    """Streaming twin of events_hourly_agg: watermarked tumbling-window
+    aggregation in append mode — a window emits exactly once, when the
+    event-time watermark passes its end.  Two far-future sentinel
+    batches advance the watermark so every window flushes before the
+    stream drains; output matches the batch GROUP BY oracle exactly."""
+    import datetime
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from .streaming.ingest import windowed_event_counts
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp"), F.col("value").cast("double")
+    )
+    d = tempfile.mkdtemp(prefix="sgs_hourly_")
+    inp = os.path.join(d, "in")
+    os.makedirs(inp)
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(inp, "f0"))
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent = "__watermark_sentinel__"
+    pa_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("value", pa.float64()),
+        ]
+    )
+    for i, days in enumerate((365, 730), start=1):
+        papq.write_table(
+            pa.Table.from_pylist(
+                [{"event_type": sent, "ts": max_ts + datetime.timedelta(days=days), "value": 0.0}],
+                schema=pa_schema,
+            ),
+            os.path.join(inp, f"f{i}.parquet"),
+        )
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(os.path.join(inp, "f*"))
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q_ = (
+            windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).filter(F.col("event_type") != sent).select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        rnd(F.col("total_value"), 4).alias("total_value"),
+    )
+
+
 # =====================================================================
 # Relational coverage on the TPC-H-ish tables (S4, J2, A-class, T1)
 # =====================================================================

@@ -241,6 +241,7 @@ def cosine_near_dup_pairs(
     bits: int = 4,
     tables: int = 8,
     seed: int = 42,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the LSH-bucketed scale path.
 
@@ -250,10 +251,17 @@ def cosine_near_dup_pairs(
     the ≥ threshold filter.  Never an all-pairs product; the exact
     verifier :func:`cosine_pairs` remains the small-scale/recall-gate
     twin.  Returns (vec_a, vec_b, cos) with vec_a < vec_b.
+
+    Pass ``signatures`` (e.g. the :func:`write_ann_index` table read
+    back) to sign the corpus ONCE: without it, both collision-join
+    sides re-run the signature kernel — fine locally, wasteful at
+    100 TB where the persisted index is the intended source.
     """
-    sigs = lsh_signatures(embeddings, dim, bits, tables, seed).select(
-        "vec_id", "table", "bucket"
-    )
+    sigs = (
+        signatures
+        if signatures is not None
+        else lsh_signatures(embeddings, dim, bits, tables, seed)
+    ).select("vec_id", "table", "bucket")
     a = sigs.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
     # dedup the ID pairs first — the multi-table collision exchange
