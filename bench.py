@@ -58,6 +58,9 @@ CONTRACT_QUERIES = [
     "ivf_ann_topk",
     "events_sessionize_stateful",
     "events_hourly_agg_stream",
+    "dataset_split",
+    "source_quota_sample",
+    "dedup_clusters",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .config import BM25_B, BM25_K1, BuildConfig
 from .operators import docs_bm25
 from .functions import rnd
-from .pipeline import dedup, multimodal, similarity, textstats
+from .pipeline import dedup, multimodal, sharding, similarity, textstats
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -993,6 +993,73 @@ def dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(
         emb, dim=_ANN_DIM, threshold=0.4, bits=_ANN_BITS, tables=_ANN_TABLES, seed=_ANN_SEED
     )
+
+
+@q(
+    "dataset_split",
+    f"SELECT doc_id, {sharding.hash_split_sql()} AS split FROM documents",
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic hash-bucketed train/val/test assignment — stable
+    under repartitioning and identical across engines (md5-derived
+    buckets), unlike rand()/randomSplit."""
+    return sharding.hash_split(load(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+_QUOTA_CAP = 10
+
+
+@q(
+    "source_quota_sample",
+    f"WITH r AS ({sharding.source_quota_sql(_QUOTA_CAP)}) "
+    f"SELECT doc_id, source FROM r WHERE _rn <= {_QUOTA_CAP}",
+)
+def source_quota_sample(spark, sf_dir):
+    """Per-source quota cap (per-domain cap of a crawl/training
+    pipeline): at most N docs per source, chosen by deterministic hash
+    order via a per-source window — never a global window."""
+    return sharding.source_quota(load(spark, sf_dir, "documents"), _QUOTA_CAP).select(
+        "doc_id", "source"
+    )
+
+
+def _dedup_clusters_sql(threshold=0.4, tables=None) -> str:
+    """Recursive-CTE twin of connected components over the near-dup
+    pair graph: comp(v) = min node reachable from v (singletons map to
+    themselves)."""
+    pairs = _cosine_near_dup_sql(threshold=threshold, tables=tables)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+e AS (
+  SELECT vec_a AS s, vec_b AS t FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.t, reach.b FROM reach JOIN e ON reach.a = e.s
+)
+SELECT a AS vec_id, min(b)::BIGINT AS component FROM reach GROUP BY a
+"""
+
+
+@q("dedup_clusters", _dedup_clusters_sql(threshold=0.4, tables=_ANN_TABLES))
+def dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution ("keep one doc per duplicate
+    cluster"): connected components by min-label propagation over the
+    LSH-verified cosine pair graph; component = min vec_id."""
+    from .pipeline.graph import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, dim=_ANN_DIM, threshold=0.4, bits=_ANN_BITS, tables=_ANN_TABLES, seed=_ANN_SEED
+    )
+    cc = connected_components(
+        emb.select(F.col("vec_id").alias("node")),
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+    )
+    return cc.select(F.col("node").alias("vec_id"), F.col("comp").alias("component"))
 
 
 _IVF_NPROBE = 4

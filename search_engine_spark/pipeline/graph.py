@@ -188,3 +188,45 @@ def term_cooccurrence_edges(docs: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(node, comp) — connected components by iterative min-label
+    propagation; ``comp`` is the smallest node id in the component.
+
+    The cluster-resolution step of near-dup deduplication ("keep one
+    document per duplicate cluster"): nodes are doc/vector ids, edges
+    the verified duplicate pairs.  Each round every node takes the min
+    label across itself and its neighbors — one join + one aggregate,
+    converging in O(component diameter) rounds (duplicate clusters are
+    near-cliques, so 2-3 in practice).  ``localCheckpoint`` cuts the
+    iterative lineage exactly as :func:`pagerank` does; the per-round
+    convergence check is one scalar count.  No driver-side adjacency,
+    no assumption the graph fits anywhere — both steps are plain
+    shuffles on the node key.
+    """
+    # materialize the (possibly expensive) edge-producing plan once —
+    # every propagation round joins against it
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
