@@ -16,7 +16,9 @@ Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_SCALE.
 from __future__ import annotations
 
 import json
+import atexit
 import os
+import shutil
 import statistics
 import sys
 import tempfile
@@ -90,7 +92,9 @@ def main() -> None:
 
     # -- 1. index build ------------------------------------------------
     pq, n_turns = corpus_parquet(SCALE)
-    idx_dir = os.path.join(tempfile.mkdtemp(prefix="sgs_bench_idx_"), "idx")
+    _idx_tmp = tempfile.mkdtemp(prefix="sgs_bench_idx_")
+    atexit.register(shutil.rmtree, _idx_tmp, ignore_errors=True)
+    idx_dir = os.path.join(_idx_tmp, "idx")
     t0 = time.time()
     build_index(spark, spark.read.parquet(pq), idx_dir, BuildConfig(num_groups=8))
     build_s = time.time() - t0

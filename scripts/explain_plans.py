@@ -154,6 +154,24 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Per-source quota cap",
+            "Expected: Window with a REAL partition spec (source) — many "
+            "concurrent partitions, never the single-task global window — "
+            "and whole-stage codegen around the hash/rank math.",
+            cap(contract.QUERIES["source_quota_sample"](spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "Deterministic hash split",
+            "Expected: a pure narrow Project over the scan (no shuffle at "
+            "all), ReadSchema pruned to doc_id.",
+            cap(contract.QUERIES["dataset_split"](spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "

@@ -14,7 +14,9 @@ rows-only check; their real correctness gate is the pytest oracle suite.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -40,6 +42,14 @@ def q(name: str, sql: str | None = None):
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp removed at process exit — repeated driver/bench runs must
+    not accumulate scratch dirs (lazy plans may read them until then)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 # =====================================================================
@@ -394,7 +404,7 @@ def events_sessionize_stateful(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("user_id"), F.col("ts").cast("timestamp")
     )
-    d = tempfile.mkdtemp(prefix="sgs_sess_")
+    d = _tmpdir("sgs_sess_")
     inp = os.path.join(d, "in")
     os.makedirs(inp)
     ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(inp, "f0"))
@@ -492,7 +502,7 @@ def events_hourly_agg_stream(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select(
         "event_type", F.col("ts").cast("timestamp"), F.col("value").cast("double")
     )
-    d = tempfile.mkdtemp(prefix="sgs_hourly_")
+    d = _tmpdir("sgs_hourly_")
     inp = os.path.join(d, "in")
     os.makedirs(inp)
     ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(inp, "f0"))
@@ -906,7 +916,7 @@ def _ann_index(spark, sf_dir):
     """Persisted ANN index per (process, sf_dir): signatures written once,
     partitioned by (table, bucket) for partition-pruned probes."""
     if sf_dir not in _ANN_INDEX:
-        path = os.path.join(tempfile.mkdtemp(prefix="sgs_ann_"), "ann")
+        path = os.path.join(_tmpdir("sgs_ann_"), "ann")
         similarity.write_ann_index(
             load(spark, sf_dir, "embeddings"), path, _ANN_DIM, _ANN_BITS, _ANN_TABLES, _ANN_SEED
         )
@@ -1640,7 +1650,7 @@ def _xs_index(spark):
         from .corpus import write_transcripts_parquet
         from .index.build import build_index
 
-        d = tempfile.mkdtemp(prefix="sgs_entry_")
+        d = _tmpdir("sgs_entry_")
         pq = os.path.join(d, "transcripts.parquet")
         write_transcripts_parquet(pq, "xs")
         build_index(
