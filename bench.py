@@ -110,6 +110,13 @@ def main() -> None:
         index.topk(q["query_text"], q["mode"], q["k"]).collect()
         lat.append(time.time() - t1)
     results["bm25_query_set"] = round(time.time() - t0, 3)
+    # the same 30 queries as ONE batched job (union-pruned postings scan,
+    # per-group decode shared across queries, per-query windowed top-k)
+    t0 = time.time()
+    index.topk_batch(
+        [(q["query_text"], q["mode"], q["k"]) for q in REFERENCE_QUERIES]
+    ).collect()
+    results["bm25_query_set_batch"] = round(time.time() - t0, 3)
     lat.sort()
     p50 = statistics.median(lat)
     p95 = lat[max(0, int(len(lat) * 0.95) - 1)]

@@ -123,8 +123,9 @@ class CompressedIndex:
         else:
             self._docmap.count()
 
-    def _label(self, cand: DataFrame) -> DataFrame:
-        """(doc_id, score) → (conv_id, turn_idx, score)."""
+    def _label(self, cand: DataFrame, extra: tuple = ()) -> DataFrame:
+        """(doc_id, score[, extra…]) → (extra…, conv_id, turn_idx, score)."""
+        cols = [*extra, "conv_id", "turn_idx", "score"]
         if self.scheme == "conv_rank":
             return (
                 cand.withColumn(
@@ -135,11 +136,11 @@ class CompressedIndex:
                     F.col("doc_id").bitwiseAND(F.lit((1 << self.turn_bits) - 1)).cast("int"),
                 )
                 .join(self._convs.select("conv_id", "conv_rank"), "conv_rank")
-                .select("conv_id", "turn_idx", "score")
+                .select(*cols)
             )
         return cand.join(
             self._docmap.select("doc_id", "conv_id", "turn_idx"), "doc_id"
-        ).select("conv_id", "turn_idx", "score")
+        ).select(*cols)
 
     # -- lookups -----------------------------------------------------
 
@@ -230,6 +231,139 @@ class CompressedIndex:
             .limit(k)
         )
 
+    def topk_batch(
+        self,
+        queries: list[tuple[str, str] | tuple[str, str, int]],
+        k: int = 10,
+        algo: str = "auto",
+    ) -> DataFrame:
+        """Top-k for MANY queries in ONE job →
+        DataFrame(query_id, conv_id, turn_idx, score).
+
+        ``queries`` is a list of (query_text, mode[, k]); query_id is
+        the list position.  The reference serves one query per request
+        (QueryService.java) — on Spark the per-job fixed overhead makes
+        that the wrong unit, so the batch path prunes the postings scan
+        to the UNION of all queries' term buckets, decodes each group's
+        posting blocks once, scores every query against them in the same
+        cogroup kernel pass, and takes per-query top-k with a
+        query_id-partitioned rank (WindowGroupLimit: per-partition
+        partial top-k before the exchange, never a single-task global
+        window).  Results are row-identical to calling :meth:`topk` per
+        query (pinned by tests)."""
+        from pyspark.sql.window import Window
+
+        parsed = [
+            (parse_query(q[0], q[1]), (q[2] if len(q) > 2 else k)) for q in queries
+        ]
+        specs = [(i, s, kk) for i, (s, kk) in enumerate(parsed) if s is not None]
+        empty = self.spark.createDataFrame(
+            [], "query_id int, conv_id string, turn_idx int, score double"
+        )
+        if not specs:
+            return empty
+        fetch_terms: set[str] = set()
+        score_terms: set[str] = set()
+        for _, s, _ in specs:
+            fetch_terms |= set(s.score_terms) | set(s.phrase_a or []) | set(s.phrase_b or [])
+            score_terms |= set(s.score_terms)
+        merged_idf = self.idf_map(sorted(score_terms))
+        idfs = [{t: merged_idf[t] for t in s.score_terms} for _, s, _ in specs]
+        kernel = _make_batch_kernel(
+            [s for _, s, _ in specs],
+            idfs,
+            merged_idf,
+            self.avgdl,
+            [kk for _, _, kk in specs],
+            algo,
+            with_ties=(self.scheme != "conv_rank"),
+        )
+        post = self.postings_df(sorted(fetch_terms))
+        cand = (
+            post.groupBy("group")
+            .cogroup(self._doclen.groupBy("group"))
+            .applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
+        )
+        labeled = self._label(cand, extra=("query_id",))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+        )
+        # the kernel emits qid = POSITION in the specs list; map position
+        # → that query's k for the rank filter, and position → the
+        # caller's original list index for the output
+        ks_df = F.create_map(
+            *[x for pos, (_, _, kk) in enumerate(specs) for x in (F.lit(pos), F.lit(kk))]
+        )
+        qid_map = F.create_map(
+            *[x for pos, (i, _, _) in enumerate(specs) for x in (F.lit(pos), F.lit(i))]
+        )
+        return (
+            labeled.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= ks_df[F.col("query_id")])
+            .select(
+                qid_map[F.col("query_id")].cast("int").alias("query_id"),
+                "conv_id",
+                "turn_idx",
+                "score",
+            )
+        )
+
+
+def _score_spec(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    plists: dict,
+    doclens,
+    avgdl: float,
+    k: int,
+    algo: str,
+    with_ties: bool,
+):
+    """Score ONE parsed query against a group's posting lists →
+    (docs, scores) arrays.  Shared by the single-query and batch
+    kernels so both paths run the identical tested dispatch."""
+    score_lists = {t: p for t, p in plists.items() if t in idf}
+    if spec.mode == "disjunctive":
+        total = sum(p.doc_ids.size for p in score_lists.values())
+        use_wand = not with_ties and (
+            algo == "wand" or (algo == "auto" and total >= WAND_MIN_POSTINGS)
+        )
+        if use_wand:
+            return wand_topk(score_lists, idf, doclens, avgdl, k)
+        return exact_topk(score_lists, idf, doclens, avgdl, k, with_ties=with_ties)
+    if spec.mode == "conjunctive":
+        need = {t: plists[t] for t in spec.score_terms if t in plists}
+        if len(need) < len(spec.score_terms):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        cand = conjunctive_candidates(need)
+        return exact_topk(
+            score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
+        )
+    if spec.mode == "phrase":
+        cand = phrase_candidates(spec.phrase_a or [], plists)
+        return exact_topk(
+            score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
+        )
+    # boolean
+    la = phrase_candidates(spec.phrase_a or [], plists)
+    rb = phrase_candidates(spec.phrase_b or [], plists)
+    if spec.bool_op == "AND":
+        cand = np.intersect1d(la, rb, assume_unique=True)
+    elif spec.bool_op == "OR":
+        cand = np.union1d(la, rb)
+    else:
+        cand = np.setdiff1d(la, rb, assume_unique=True)
+    return exact_topk(
+        score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
+    )
+
+
+def _build_plists(post_pdf: pd.DataFrame, idf: dict[str, float], avgdl: float) -> dict:
+    plists: dict[str, TermPostings] = {}
+    for term, tdf in post_pdf.groupby("term", sort=True):
+        plists[str(term)] = TermPostings(str(term), tdf, idf.get(str(term), 0.0), avgdl)
+    return plists
+
 
 def _make_group_kernel(
     spec: QuerySpec,
@@ -246,50 +380,60 @@ def _make_group_kernel(
             return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                  "score": pd.array([], dtype="float64")})
         doclens = DocLens(dl_pdf)
-        plists: dict[str, TermPostings] = {}
-        for term, tdf in post_pdf.groupby("term", sort=True):
-            plists[str(term)] = TermPostings(str(term), tdf, idf.get(str(term), 0.0), avgdl)
-
-        score_lists = {t: p for t, p in plists.items() if t in idf}
-        if spec.mode == "disjunctive":
-            total = sum(p.doc_ids.size for p in score_lists.values())
-            use_wand = not with_ties and (
-                algo == "wand" or (algo == "auto" and total >= WAND_MIN_POSTINGS)
-            )
-            if use_wand:
-                docs, scores = wand_topk(score_lists, idf, doclens, avgdl, k)
-            else:
-                docs, scores = exact_topk(
-                    score_lists, idf, doclens, avgdl, k, with_ties=with_ties
-                )
-        elif spec.mode == "conjunctive":
-            need = {t: plists[t] for t in spec.score_terms if t in plists}
-            if len(need) < len(spec.score_terms):
-                docs = np.empty(0, dtype=np.int64)
-                scores = np.empty(0, dtype=np.float64)
-            else:
-                cand = conjunctive_candidates(need)
-                docs, scores = exact_topk(
-                    score_lists, idf, doclens, avgdl, k,
-                    candidates=cand, with_ties=with_ties,
-                )
-        elif spec.mode == "phrase":
-            cand = phrase_candidates(spec.phrase_a or [], plists)
-            docs, scores = exact_topk(
-                score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
-            )
-        else:  # boolean
-            la = phrase_candidates(spec.phrase_a or [], plists)
-            rb = phrase_candidates(spec.phrase_b or [], plists)
-            if spec.bool_op == "AND":
-                cand = np.intersect1d(la, rb, assume_unique=True)
-            elif spec.bool_op == "OR":
-                cand = np.union1d(la, rb)
-            else:
-                cand = np.setdiff1d(la, rb, assume_unique=True)
-            docs, scores = exact_topk(
-                score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
-            )
+        plists = _build_plists(post_pdf, idf, avgdl)
+        docs, scores = _score_spec(
+            spec, idf, plists, doclens, avgdl, k, algo, with_ties
+        )
         return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    return kernel
+
+
+BATCH_RESULT_SCHEMA = "query_id int, doc_id long, score double"
+
+
+def _make_batch_kernel(
+    specs: list[QuerySpec],
+    idfs: list[dict[str, float]],
+    merged_idf: dict[str, float],
+    avgdl: float,
+    ks: list[int],
+    algo: str,
+    with_ties: bool = False,
+):
+    """One cogroup kernel scoring EVERY query of a batch against the
+    group's postings: term posting lists are decoded once per group and
+    shared across queries (idf is a corpus property, identical for any
+    query naming the term), so N queries cost one postings scan + one
+    decode instead of N jobs."""
+
+    def kernel(key: tuple, post_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.array([], dtype="int32"),
+                "doc_id": pd.array([], dtype="int64"),
+                "score": pd.array([], dtype="float64"),
+            }
+        )
+        if len(post_pdf) == 0:
+            return empty
+        doclens = DocLens(dl_pdf)
+        plists = _build_plists(post_pdf, merged_idf, avgdl)
+        frames = []
+        for qid, (spec, idf, k) in enumerate(zip(specs, idfs, ks)):
+            docs, scores = _score_spec(
+                spec, idf, plists, doclens, avgdl, k, algo, with_ties
+            )
+            if docs.size:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(docs.size, qid, dtype="int32"),
+                            "doc_id": docs,
+                            "score": scores,
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     return kernel

@@ -148,3 +148,25 @@ def test_lineage_and_metrics(built):
     assert all(r["status"] == "complete" for r in rows)
     assert sum(r["n_docs"] for r in rows) == built.n_docs
     assert all(r["n_tokens"] >= 0 and r["wall_s"] >= 0 for r in rows)
+
+
+def test_topk_batch_row_identical_to_per_query(built):
+    """One-job batch execution must reproduce every per-query topk
+    exactly (same rows, same order within each query) across all modes
+    of the reference query set."""
+    queries = [(q["query_text"], q["mode"], q["k"]) for q in REFERENCE_QUERIES]
+    batch = built.topk_batch(queries)
+    rows = {}
+    for r in batch.collect():
+        rows.setdefault(r["query_id"], []).append(
+            (r["conv_id"], r["turn_idx"], r["score"])
+        )
+    # batch output is per-query rank order only after sorting each group
+    # the way topk orders
+    for qid, q in enumerate(queries):
+        want = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in built.topk(q[0], q[1], q[2]).collect()
+        ]
+        got = sorted(rows.get(qid, []), key=lambda t: (-t[2], t[0], t[1]))
+        assert got == want, f"query {qid} ({q[0]!r}) batch != per-query"
