@@ -994,15 +994,29 @@ SELECT vec_a, vec_b, cos FROM s WHERE cos >= {threshold}
 
 
 @q("dedup_embedding_cosine", _cosine_near_dup_sql(threshold=0.4, tables=_ANN_TABLES))
+def _near_dup_pairs(spark, sf_dir):
+    """Shared near-dup pair plan: collision source = the PERSISTED
+    (table, bucket)-partitioned ANN signature index (signed once at
+    build time), exact cosine on unique colliding pairs only."""
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = spark.read.parquet(_ann_index(spark, sf_dir))
+    return similarity.cosine_near_dup_pairs(
+        emb,
+        dim=_ANN_DIM,
+        threshold=0.4,
+        bits=_ANN_BITS,
+        tables=_ANN_TABLES,
+        seed=_ANN_SEED,
+        signatures=sigs,
+    )
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH bucket collisions generate
     candidates, exact cosine verifies — never an all-pairs product.
     (threshold 0.4 sits in the synthetic corpus's near-dup tail — its
     max pair cosine is ~0.51; 16 tables keep boundary recall high)."""
-    emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(
-        emb, dim=_ANN_DIM, threshold=0.4, bits=_ANN_BITS, tables=_ANN_TABLES, seed=_ANN_SEED
-    )
+    return _near_dup_pairs(spark, sf_dir)
 
 
 @q(
@@ -1062,9 +1076,7 @@ def dedup_clusters(spark, sf_dir):
     from .pipeline.graph import connected_components
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_near_dup_pairs(
-        emb, dim=_ANN_DIM, threshold=0.4, bits=_ANN_BITS, tables=_ANN_TABLES, seed=_ANN_SEED
-    )
+    pairs = _near_dup_pairs(spark, sf_dir)
     cc = connected_components(
         emb.select(F.col("vec_id").alias("node")),
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
