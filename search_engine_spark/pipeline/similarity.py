@@ -398,25 +398,31 @@ def knn_join_lsh(
     from pyspark.sql.window import Window
 
     ls = lsh_signatures(left, dim, bits, tables, seed).select(
-        F.col("vec_id").alias("lid"), F.col("embedding").alias("lv"), "table", "bucket"
+        F.col("vec_id").alias("lid"), "table", "bucket"
     )
     rs = lsh_signatures(right, dim, bits, tables, seed).select(
-        F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"), "table", "bucket"
+        F.col("vec_id").alias("rid"), "table", "bucket"
     )
-    cand = (
+    # same shape as cosine_near_dup_pairs: the collision exchange
+    # carries only (long, long) into the pair dedup, vectors join back
+    # by id, and each unique pair is scored once by the Arrow kernel
+    ids = (
         ls.join(rs, ["table", "bucket"])
-        .select("lid", "lv", "rid", "rv")
+        .select("lid", "rid")
         .dropDuplicates(["lid", "rid"])
     )
     if exclude_self:
-        cand = cand.filter(F.col("lid") != F.col("rid"))
-    scored = cand.select(
-        "lid",
-        "rid",
-        rnd(
-            _dot(F.col("lv"), F.col("rv")) / (_norm(F.col("lv")) * _norm(F.col("rv"))),
-            ROUND,
-        ).alias("cos"),
+        ids = ids.filter(F.col("lid") != F.col("rid"))
+    lv = left.select(F.col("vec_id").alias("lid"), F.col("embedding").alias("lv"))
+    rv = right.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"))
+    scored = (
+        ids.join(lv, "lid")
+        .join(rv, "rid")
+        .select(
+            "lid",
+            "rid",
+            rnd(_cos_arrow(F.col("lv"), F.col("rv")), ROUND).alias("cos"),
+        )
     )
     w = Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))
     return (
