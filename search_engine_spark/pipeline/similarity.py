@@ -83,19 +83,18 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> D
 
 
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """All-pairs cosine ≥ threshold (exact; the LSH verifier)."""
-    e = embeddings.select(
-        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nv")
-    )
+    """All-pairs cosine ≥ threshold (exact; the LSH verifier).
+
+    Deliberately O(n²) — the small-scale recall gate, never the 100 TB
+    path — but the per-pair math still runs in the Arrow kernel."""
+    e = embeddings.select("vec_id", F.col("embedding").alias("v"))
     return (
         e.alias("x")
         .join(e.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            rnd(
-                _dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nv") * F.col("y.nv")), ROUND
-            ).alias("cos"),
+            rnd(_cos_arrow(F.col("x.v"), F.col("y.v")), ROUND).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
