@@ -60,6 +60,7 @@ CONTRACT_QUERIES = [
     "ivf_ann_topk",
     "events_sessionize_stateful",
     "events_hourly_agg_stream",
+    "transcripts_bm25_batch",
     "dataset_split",
     "source_quota_sample",
     "dedup_clusters",

@@ -1727,6 +1727,47 @@ def transcripts_phrase(spark, sf_dir):
     )
 
 
+_BATCH_QUERIES = [
+    ("term0001 term0002", "disjunctive", 5),
+    ("term0003 term0004", "conjunctive", 5),
+    ('"phrase alpha beta"', "phrase", 5),
+]
+
+
+def _transcripts_batch_oracle_sql(queries) -> str:
+    """VALUES oracle for the batch path: the pure-Python scorer run per
+    query, tagged with the query's list position."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    values = []
+    for qid, (qt, mode, k) in enumerate(queries):
+        for key, score in oracle_topk(idx, qt, mode, k):
+            values.append(f"({qid}, '{key[0]}', {key[1]}, {float(score)!r})")
+    if not values:
+        return (
+            "SELECT query_id, conv_id, turn_idx, score FROM "
+            "(VALUES (0, '', 0, 0.0)) t(query_id, conv_id, turn_idx, score) WHERE FALSE"
+        )
+    body = ",\n  ".join(values)
+    return (
+        "SELECT query_id, conv_id, turn_idx, round(score + 1e-9, 5) AS score "
+        f"FROM (VALUES\n  {body}\n) t(query_id, conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_bm25_batch", _transcripts_batch_oracle_sql(_BATCH_QUERIES))
+def transcripts_bm25_batch(spark, sf_dir):
+    """Batched query execution: three queries (disjunctive, conjunctive,
+    phrase) in ONE job via topk_batch — per-query results row-identical
+    to the pure-Python reference scorer."""
+    idx = _xs_index(spark)
+    return idx.topk_batch(_BATCH_QUERIES).select(
+        "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: BM25 top-10 over sf0.001 documents (JVM path)."""
     docs = load(spark, "/root/testdata/sf0.001", "documents")
