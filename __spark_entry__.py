@@ -29,8 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(contract.QUERIES)
+    # priority-ordered: entries lacking a prior CORRECTNESS row and
+    # entries new this round come first (the driver samples a prefix)
+    return contract.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(contract.ORACLES)
+    return contract.ordered_oracles()

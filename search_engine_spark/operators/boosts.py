@@ -56,13 +56,27 @@ def relevance_boost_scores(
     must expose doc_id, the text column, and title/url columns (callers
     without real titles/urls pass derived columns — the ladder only
     needs *some* field semantics to weight).
+
+    Duplicate query terms are NOT deduped for the reference semantics:
+    the signature joins the raw stemmed words (:973), ``termsFoundInDoc``
+    counts per raw occurrence against the raw ``stemmedWords.size()/2``
+    threshold (:1090-1093), the >1-term gates use the raw size
+    (:983, :1096), and the tf-idf loop runs once per occurrence — a
+    repeated term multiplies its contribution.  Per-term WORK is still
+    deduped (one tf/df row per distinct term); multiplicity enters as a
+    weight on the contribution sum.
     """
-    # preserve query order for the signature (the reference joins the
-    # stemmed words as given — :973); dedupe for per-term work
-    uniq = list(dict.fromkeys(t.lower() for t in terms if t))
+    raw = [t.lower() for t in terms if t]
+    uniq = list(dict.fromkeys(raw))
     if not uniq:
         return docs.select("doc_id", F.lit(0.0).alias("boost_score"))
-    sig = " ".join(uniq)
+    sig = " ".join(raw)
+    from collections import Counter
+
+    mult = Counter(raw)
+    mult_map = F.create_map(
+        *[x for t, m in mult.items() for x in (F.lit(t), F.lit(float(m)))]
+    )
 
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
@@ -98,6 +112,7 @@ def relevance_boost_scores(
             ),
         )
         .withColumn("idf", F.log10(F.col("n").cast("double") / F.col("df")))
+        .withColumn("m", F.element_at(mult_map, F.col("term")))
         .withColumn(
             "c",
             F.col("tfc")
@@ -106,10 +121,11 @@ def relevance_boost_scores(
                 F.lit(1.0)
                 + F.lit(TITLE_TERM_BOOST) * F.col("_title").contains(F.col("term")).cast("double")
                 + F.lit(URL_TERM_BOOST) * F.col("_url").contains(F.col("term")).cast("double")
-            ),
+            )
+            * F.col("m"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("c").alias("s"), F.count("*").alias("found"))
+        .agg(F.sum("c").alias("s"), F.sum("m").cast("long").alias("found"))
     )
 
     j = base.join(contrib, "doc_id", "left").select(
@@ -119,9 +135,9 @@ def relevance_boost_scores(
     )
 
     s = F.col("s")
-    # :1090-1093 — integer division in the Java source
-    s = F.when(F.col("found") < len(uniq) // 2, s * MISSING_TERMS_PENALTY).otherwise(s)
-    if len(uniq) > 1:
+    # :1090-1093 — integer division over the RAW size in the Java source
+    s = F.when(F.col("found") < len(raw) // 2, s * MISSING_TERMS_PENALTY).otherwise(s)
+    if len(raw) > 1:
         s = F.when(F.col("_text").contains(sig), s * PHRASE_BOOST).otherwise(s)
         s = F.when(F.col("_title").contains(sig), s * PHRASE_BOOST).otherwise(s)
 
@@ -134,7 +150,7 @@ def relevance_boost_scores(
         F.when(F.col("dl") < MIN_DOC_LEN, F.lit(SHORT_DOC_SCORE))
         .when(F.col("_title").contains(sig), F.lit(TITLE_PHRASE_SCORE))
         .when(
-            F.lit(len(uniq) > 1) & all_in(F.col("_url")), F.lit(URL_ALL_TERMS_SCORE)
+            F.lit(len(raw) > 1) & all_in(F.col("_url")), F.lit(URL_ALL_TERMS_SCORE)
         )
         .when(all_in(F.col("_title")), F.lit(TITLE_ALL_TERMS_SCORE))
         .otherwise(s)

@@ -45,16 +45,22 @@ IMPORTANCE_LADDER = (10, 8, 6, 4, 2)
 def importance_for_source(source: F.Column) -> F.Column:
     """Deterministic source → importance: ladder value by numeric suffix
     mod 5 (srcN → LADDER[N % 5]); non-numeric sources get the default 1
-    (``IndexerService.java:319``)."""
+    (``IndexerService.java:319``).
+
+    try_cast + the outer coalesce cover a numeric suffix that overflows
+    INT: a plain cast is NULL under non-ANSI and THROWS under ANSI
+    (Spark 4 default), while the oracle's TRY_CAST+COALESCE falls back
+    to 1 — without this the importance (and the doc's score) silently
+    went NULL or the job failed on pathological source names.
+    """
     num = F.regexp_extract(source, r"(\d+)$", 1)
-    return (
-        F.when(num == "", F.lit(1))
-        .otherwise(
+    return F.coalesce(
+        F.when(num == "", F.lit(1)).otherwise(
             # 10 - 2*(n % 5) enumerates the ladder (10, 8, 6, 4, 2)
-            F.lit(10) - F.lit(2) * (num.cast("int") % F.lit(5))
-        )
-        .cast("double")
-    )
+            F.lit(10) - F.lit(2) * (num.try_cast("int") % F.lit(5))
+        ),
+        F.lit(1),
+    ).cast("double")
 
 
 def importance_weighted_scores(

@@ -113,6 +113,34 @@ def test_ladder_matches_java_port(spark, fixture_docs):
     assert got[7] == 0.0
 
 
+@pytest.mark.parametrize(
+    "terms",
+    [
+        ["alpha", "alpha", "beta"],  # repeated term doubles its contribution
+        ["alpha", "alpha"],  # raw size 2 activates the >1-term gates
+    ],
+)
+def test_ladder_duplicate_terms_match_java_port(spark, fixture_docs, terms):
+    """The reference keeps duplicate stemmedWords: dups enter the
+    signature, the size()/2 threshold, the >1 gates, and the tf-idf sum
+    (QueryService.java:973, :983, :1090-1096).  java_ladder iterates the
+    raw list, so it is the dup-semantics oracle as-is."""
+    from search_engine_spark.operators.boosts import relevance_boost_scores
+
+    df = spark.createDataFrame(
+        fixture_docs, "doc_id long, title string, url string, text string"
+    )
+    got = {
+        r["doc_id"]: r["boost_score"]
+        for r in relevance_boost_scores(df, terms).collect()
+    }
+    for doc in fixture_docs:
+        want = java_ladder(doc, terms, fixture_docs)
+        assert got[doc["doc_id"]] == pytest.approx(want, abs=1e-12), (
+            f"doc {doc['doc_id']}: got {got[doc['doc_id']]}, want {want}"
+        )
+
+
 def test_boost_rerank_orders_by_ladder(spark, fixture_docs):
     from pyspark.sql import functions as F
 

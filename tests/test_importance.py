@@ -44,6 +44,26 @@ def test_importance_for_source_ladder(spark, docs):
         assert got[s] == float(_ladder(s))
 
 
+def test_importance_overflow_suffix_falls_back_to_one(spark):
+    """A numeric suffix overflowing INT must yield importance 1 (the
+    oracle's TRY_CAST+COALESCE semantics), never NULL."""
+    from search_engine_spark.operators.importance import importance_for_source
+
+    df = spark.createDataFrame(
+        [("src99999999999",), ("src2147483648",), ("src3",)], "source string"
+    )
+    got = {
+        r["source"]: r["imp"]
+        for r in df.select(
+            "source", importance_for_source(F.col("source")).alias("imp")
+        ).collect()
+    }
+    assert got["src99999999999"] == 1.0
+    assert got["src2147483648"] == 1.0  # INT_MAX + 1
+    assert got["src3"] == 4.0
+    assert None not in got.values()
+
+
 def test_importance_weighted_scores_match_reference_math(spark, docs):
     """Identical text, different sources: scores differ exactly by the
     ln(1+imp) ratio; absolute values match the straight-line formula."""
