@@ -30,10 +30,27 @@ def _nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+def _checkpointer(df_any: DataFrame, checkpoint_dir: str | None):
+    """Per-round lineage cut for iterative ops.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint()``: fast, but executor
+    loss invalidates the checkpointed partitions and fails the job
+    (fail-loud, acceptable for rerunnable jobs).  A directory → reliable
+    ``checkpoint()`` to cluster-visible storage: a 100-TB iterative run
+    survives executor loss at the cost of a write per round."""
+    if checkpoint_dir is None:
+        return df_any.localCheckpoint()
+    sc = df_any.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df_any.checkpoint()
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = DAMPING,
     iterations: int = ITERATIONS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous power steps.
 
@@ -78,8 +95,27 @@ def pagerank(
             )
         )
         # cut the lineage: 8 chained join/agg rounds otherwise nest the plan
-        ranks = ranks.localCheckpoint()
+        ranks = _checkpointer(ranks, checkpoint_dir)
     return ranks
+
+
+def write_pagerank(
+    edges: DataFrame,
+    path: str,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Build-time: materialize the PageRank table to parquet.
+
+    The popularity side of :func:`blend_topk` is a BUILD artifact, not a
+    per-query computation — at 100 TB the 8 join+aggregate rounds run
+    once here (same pattern as ``similarity.write_ann_index``), and every
+    ranking invocation reads the (node, rank) parquet instead of
+    recomputing the power iteration inline."""
+    pagerank(edges, damping, iterations, checkpoint_dir).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def pagerank_numpy(edge_list: list[tuple[str, str]], damping: float = DAMPING,
@@ -120,6 +156,7 @@ def blend_topk(
     alpha: float = BLEND_ALPHA,
     beta: float = BLEND_BETA,
     round_scale: int = 5,
+    rank_table: DataFrame | None = None,
 ) -> DataFrame:
     """Ranker2's final ranking (``calculateFinalRank``, Ranker2.java:105-112):
     ``blended = α·relevance + β·popularity`` — the operator that makes
@@ -132,6 +169,12 @@ def blend_topk(
                  TextRank-style term graph is the popularity source and
                  a doc inherits the mean rank of its terms).
 
+    ``rank_table`` is the persisted (node, rank) artifact written by
+    :func:`write_pagerank` at build time — the intended path: ranking
+    joins a parquet read, it does not recompute 8 power-iteration rounds
+    per invocation.  Omitting it (small/ad-hoc corpora only) falls back
+    to computing PageRank inline.
+
     Plan: the rank table is term-keyed and joined on the exploded-token
     shuffle key (no broadcast assumption — vocabulary scales with the
     corpus); relevance side reuses the BM25 aggregate; top-k is a
@@ -141,7 +184,7 @@ def blend_topk(
     from ..operators import docs_bm25
 
     rel = docs_bm25.bm25_scores(docs, terms)
-    pr = pagerank(term_cooccurrence_edges(docs))
+    pr = rank_table if rank_table is not None else pagerank(term_cooccurrence_edges(docs))
     docterms = docs_bm25.simple_tokens(docs).distinct()
     pop = (
         docterms.join(pr, docterms.token == pr.node)
@@ -191,7 +234,10 @@ def term_cooccurrence_edges(docs: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, comp) — connected components by iterative min-label
     propagation; ``comp`` is the smallest node id in the component.
@@ -212,23 +258,31 @@ def connected_components(
     as :func:`pagerank` does; the per-round convergence check is one
     scalar count.  No driver-side adjacency, no assumption the graph
     fits anywhere — every step is a plain shuffle on the node key.
+    ``checkpoint_dir`` selects reliable ``checkpoint()`` over the
+    default ``localCheckpoint()`` (see :func:`_checkpointer`).
     """
     # materialize the (possibly expensive) edge-producing plan once —
     # every propagation round joins against it
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    sym = _checkpointer(
+        edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        checkpoint_dir,
+    )
+    labels = _checkpointer(
+        nodes.select("node", F.col("node").alias("comp")), checkpoint_dir
+    )
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "comp"
         )
         m = labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
         hop = m.select(F.col("node").alias("comp"), F.col("comp").alias("comp2"))
-        new_labels = (
+        new_labels = _checkpointer(
             m.join(hop, "comp", "left")
-            .select("node", F.coalesce("comp2", "comp").alias("comp"))
-        ).localCheckpoint()
+            .select("node", F.coalesce("comp2", "comp").alias("comp")),
+            checkpoint_dir,
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

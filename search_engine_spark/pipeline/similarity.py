@@ -108,12 +108,18 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 def lsh_signatures(
     embeddings: DataFrame, dim: int, bits: int = 4, tables: int = 8, seed: int = 42
 ) -> DataFrame:
-    """(vec_id, embedding, table, bucket) — one row per hash table.
+    """(vec_id, table, bucket) — one row per hash table, IDS ONLY.
 
     Multi-table random-hyperplane LSH: a vector lands in ``tables``
     independent buckets; a query probes its bucket in every table and
     candidates are the union (classic L-table LSH — recall
     1−(1−p^bits)^tables for collision prob p per plane).
+
+    Signature rows never carry the embedding: repeating each vector
+    ``tables`` (=8) times would make every signature exchange — and the
+    persisted index — 8× the corpus' embedding bytes.  Consumers join
+    vectors back by vec_id (equi-join) only for the rows they actually
+    score.
 
     Signatures come from ONE Arrow kernel doing a single numpy matmul of
     the batch against all tables' hyperplanes — a (rows × dim) @
@@ -134,20 +140,16 @@ def lsh_signatures(
             buckets = (
                 signs.reshape(len(pdf), tables, bits).astype(np.int64) * weights
             ).sum(axis=2)
-            out = pdf.loc[pdf.index.repeat(tables)].reset_index(drop=True)
-            out["table"] = np.tile(np.arange(tables, dtype=np.int32), len(pdf))
-            out["bucket"] = buckets.reshape(-1)
             yield pd.DataFrame(
                 {
-                    "vec_id": out["vec_id"],
-                    "embedding": out["embedding"],
-                    "table": out["table"],
-                    "bucket": out["bucket"],
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(tables),
+                    "table": np.tile(np.arange(tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
                 }
             )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        kernel, schema="vec_id long, embedding array<float>, table int, bucket long"
+        kernel, schema="vec_id long, table int, bucket long"
     )
 
 
@@ -180,33 +182,82 @@ def write_ann_index(
     tables: int = 8,
     seed: int = 42,
 ) -> None:
-    """Build-time: persist LSH signatures partitioned by (table, bucket).
+    """Build-time: persist IDS-ONLY LSH signatures partitioned by
+    (table, bucket), plus the LSH parameters as a ``_meta`` sidecar.
 
     One signature pass over the corpus, written once; every query then
     reads only its ``tables`` probe cells via parquet partition pruning
-    (PartitionFilters) — the 100 TB path never rescans the table.
+    (PartitionFilters) — the 100 TB path never rescans the table.  The
+    index stores (vec_id) per cell — never the vector, which would be
+    ``tables``× the corpus' embedding bytes; probes join vectors back
+    from the embedding table for the candidate ids only.
+
+    The ``_meta`` sidecar (underscore prefix → invisible to parquet
+    discovery; written through Spark so it works on any filesystem)
+    pins (dim, bits, tables, seed): a probe with mismatched parameters
+    would silently lose recall, so :func:`read_ann_index` validates.
     """
     sigs = lsh_signatures(embeddings, dim, bits, tables, seed)
     sigs.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    meta = embeddings.sparkSession.createDataFrame(
+        [(int(dim), int(bits), int(tables), int(seed))],
+        "dim int, bits int, tables int, seed int",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
+
+
+def read_ann_index(
+    spark,
+    path: str,
+    dim: int | None = None,
+    bits: int | None = None,
+    tables: int | None = None,
+    seed: int | None = None,
+):
+    """(signatures DataFrame, meta dict) for a persisted ANN index.
+
+    Any expected parameter passed is validated against the ``_meta``
+    sidecar — probing an index built with different LSH parameters is a
+    silent-recall-loss bug, so it fails loud here."""
+    row = spark.read.json(path + "/_meta").collect()[0]
+    meta = {k: int(row[k]) for k in ("dim", "bits", "tables", "seed")}
+    for name, expected in (("dim", dim), ("bits", bits), ("tables", tables), ("seed", seed)):
+        if expected is not None and meta[name] != expected:
+            raise ValueError(
+                f"ANN index at {path} was built with {name}={meta[name]}, "
+                f"caller expects {name}={expected}"
+            )
+    return spark.read.parquet(path), meta
 
 
 def ann_index_topk(
     spark,
     index_path: str,
+    embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    bits: int = 4,
-    tables: int = 8,
-    seed: int = 42,
 ) -> DataFrame:
-    """ANN probe against a persisted index: partition-pruned read of the
-    query's buckets, exact cosine rerank of the candidates only."""
-    sigs = spark.read.parquet(index_path)
-    cand = (
-        sigs.filter(_probe_predicate(query_buckets(query_vec, bits, tables, seed)))
-        .select("vec_id", "embedding")
+    """ANN probe against a persisted ids-only index: partition-pruned
+    read of the query's buckets, vectors equi-joined back from the
+    embedding table for the candidate ids, exact cosine rerank of the
+    candidates only.
+
+    LSH parameters come from the index's ``_meta`` sidecar (the query
+    dim is validated against it).  The candidate-id side is broadcast:
+    it is bounded by the query's ``tables`` probe cells, never the
+    corpus — the embedding table is scanned but never shuffled.
+    """
+    sigs, meta = read_ann_index(spark, index_path, dim=len(query_vec))
+    cand_ids = (
+        sigs.filter(
+            _probe_predicate(
+                query_buckets(query_vec, meta["bits"], meta["tables"], meta["seed"])
+            )
+        )
+        .select("vec_id")
         .dropDuplicates(["vec_id"])
     )
+    cand = embeddings.join(F.broadcast(cand_ids), "vec_id", "left_semi")
     return cosine_topk(cand, query_vec, k)
 
 
@@ -219,17 +270,19 @@ def lsh_cosine_topk(
     seed: int = 42,
 ) -> DataFrame:
     """ANN without a persisted index: one signature pass, bucket filter,
-    exact rerank.  For repeated queries build the index once with
-    :func:`write_ann_index` and probe via :func:`ann_index_topk` — that
-    path replaces the signature scan with a partition-pruned read.
+    vectors joined back for the candidate ids, exact rerank.  For
+    repeated queries build the index once with :func:`write_ann_index`
+    and probe via :func:`ann_index_topk` — that path replaces the
+    signature scan with a partition-pruned read.
     """
     dim = len(query_vec)
     sigs = lsh_signatures(embeddings, dim, bits, tables, seed)
-    cand = (
+    cand_ids = (
         sigs.filter(_probe_predicate(query_buckets(query_vec, bits, tables, seed)))
-        .select("vec_id", "embedding")
+        .select("vec_id")
         .dropDuplicates(["vec_id"])
     )
+    cand = embeddings.join(F.broadcast(cand_ids), "vec_id", "left_semi")
     return cosine_topk(cand, query_vec, k)
 
 
@@ -251,10 +304,16 @@ def cosine_near_dup_pairs(
     verifier :func:`cosine_pairs` remains the small-scale/recall-gate
     twin.  Returns (vec_a, vec_b, cos) with vec_a < vec_b.
 
-    Pass ``signatures`` (e.g. the :func:`write_ann_index` table read
-    back) to sign the corpus ONCE: without it, both collision-join
-    sides re-run the signature kernel — fine locally, wasteful at
-    100 TB where the persisted index is the intended source.
+    Pass ``signatures`` (the :func:`write_ann_index` table, read back
+    via :func:`read_ann_index` with the expected parameters — that read
+    validates bits/tables/seed against the index's ``_meta`` sidecar)
+    to sign the corpus ONCE: without it, both collision-join sides
+    re-run the signature kernel — fine locally, wasteful at 100 TB
+    where the persisted index is the intended source.  When
+    ``signatures`` is supplied, the ``bits``/``tables``/``seed``
+    arguments are IGNORED (the signatures already encode them); use
+    :func:`read_ann_index` so a parameter mismatch fails loud instead
+    of silently losing recall.
     """
     sigs = (
         signatures

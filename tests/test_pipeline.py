@@ -161,12 +161,57 @@ def test_ann_persisted_index_matches_scan_and_prunes(emb, spark, tmp_path):
     ]
     path = str(tmp_path / "ann")
     write_ann_index(emb, path, dim=64, bits=4, tables=16)
-    probe = ann_index_topk(spark, path, qv, 10, bits=4, tables=16)
+    probe = ann_index_topk(spark, path, emb, qv, 10)
     scan = lsh_cosine_topk(emb, qv, 10, bits=4, tables=16)
     assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in scan.collect()]
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
-    assert "table#" in plan.split("PartitionFilters")[1][:400]
+    # the INDEX scan (not the embeddings scan, which has no partition
+    # columns) must carry the (table, bucket) partition filters
+    assert any(
+        "table#" in seg[:400] for seg in plan.split("PartitionFilters")[1:]
+    ), plan
+
+
+def test_ann_index_is_ids_only_and_small(emb, spark, tmp_path):
+    """The persisted index stores (vec_id, table, bucket) — never the
+    embedding — so its bytes stay far below the embedding table's even
+    though each vector appears in `tables` cells."""
+    import os
+
+    from search_engine_spark.pipeline.similarity import read_ann_index, write_ann_index
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path, dim=64, bits=4, tables=8)
+    sigs, meta = read_ann_index(spark, path)
+    assert set(sigs.columns) == {"vec_id", "table", "bucket"}
+    assert meta == {"dim": 64, "bits": 4, "tables": 8, "seed": 42}
+
+    def _du(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    emb_path = str(tmp_path / "embref")
+    emb.write.parquet(emb_path)
+    # ids-only at tables=8 must be well under the raw embedding bytes
+    # (the old index repeated the full vector 8×, i.e. ~8× this corpus)
+    assert _du(path) < _du(emb_path)
+
+
+def test_ann_index_param_mismatch_fails_loud(emb, spark, tmp_path):
+    """Probing an index with mismatched LSH params is a silent recall
+    loss — read_ann_index must raise instead."""
+    from search_engine_spark.pipeline.similarity import read_ann_index, write_ann_index
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path, dim=64, bits=4, tables=8, seed=42)
+    with pytest.raises(ValueError, match="tables=8"):
+        read_ann_index(spark, path, tables=16)
+    with pytest.raises(ValueError, match="seed=42"):
+        read_ann_index(spark, path, seed=7)
 
 
 def test_knn_join_lsh_recall_vs_exact(emb):
