@@ -1605,6 +1605,141 @@ def boost_ladder(spark, sf_dir):
     )
 
 
+def _mmr_sql(terms: list[str], k: int = 10) -> str:
+    """DuckDB twin of the MMR diversity rerank over BM25 top-k
+    candidates with derived title/url fields (title = first 6 tokens,
+    url = source/lang, domain = source, path = /lang).
+
+    The greedy selection is unrolled into k-1 materialized CTE steps
+    (DuckDB has no loops), exactly like the PageRank oracle.  Two
+    generation-time simplifications, both validated here: the derived
+    domains (``srcN``) can never hit the reference's programming-domain
+    set, so the ×0.7 relief and ×1.15 bonus terms are omitted; and the
+    derived paths are single-segment (``/lang``), so Java's
+    path-similarity > 0.7 reduces to path equality (equal → 1.0,
+    unequal → 0.5) with an emptiness guard.  The engine computes the
+    general formulas — on this data they coincide.
+    """
+    from .config import BM25_B, BM25_K1
+    from .operators import mmr as M
+
+    assert not M.is_programming_query(terms), (
+        "oracle generator omits the programming-query bonus; pick terms "
+        "without marker substrings"
+    )
+    assert len(terms) > 1
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    qt = "[" + ", ".join(f"'{t.lower()}'" for t in terms) + "]"
+    dom_u = "regexp_replace(url, '^https?://', '')"
+    dom = (
+        f"regexp_replace(CASE WHEN strpos({dom_u}, '/') > 1 "
+        f"THEN substr({dom_u}, 1, strpos({dom_u}, '/') - 1) "
+        f"ELSE {dom_u} END, '^www\\.', '')"
+    )
+    union_sz = "len(list_distinct(list_concat(x.ts, y.ts)))"
+    d_near, d_base = M.DIVERSITY_FACTOR_NEAR_DUP, M.DIVERSITY_FACTOR
+    parts = [
+        f"""btoks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+btf AS (SELECT doc_id, token AS term, count(*) AS tf FROM btoks GROUP BY 1, 2),
+bdl AS (SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents),
+bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM bdl),
+bdfreq AS (SELECT term, count(*) AS df FROM btf WHERE term IN ({in_list}) GROUP BY 1),
+relagg AS (
+  SELECT btf.doc_id,
+         round(sum((ln((1.0 + bstats.n) / (1.0 + bdfreq.df)) + 1.0)
+             * (btf.tf::DOUBLE * {BM25_K1 + 1.0}
+                / (btf.tf::DOUBLE + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * bdl.dl::DOUBLE / bstats.avgdl))))
+               + 1e-9, 5) AS score
+  FROM btf JOIN bdl USING (doc_id) JOIN bdfreq USING (term) CROSS JOIN bstats
+  WHERE btf.term IN ({in_list})
+  GROUP BY btf.doc_id
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM relagg ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+t2 AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk, lower(source || '/' || lang) AS url, text
+  FROM documents
+),
+attrs AS MATERIALIZED (
+  SELECT c.doc_id, c.rn, c.score, b.url,
+         list_distinct(list_concat(list_concat(b.tt, b.ut), list_concat(b.ct, {qt}))) AS ts,
+         {dom} AS dom,
+         replace(b.url, {dom}, '') AS pth
+  FROM cand c JOIN (
+    SELECT doc_id, url,
+      list_filter(regexp_split_to_array(lower(array_to_string(tk[1:6], ' ')), '\\W+'), x -> len(x) > 3) AS tt,
+      list_filter(regexp_split_to_array(regexp_replace(regexp_replace(url, 'https?://', '', 'g'), 'www\\.', '', 'g'), '[/.-]'), x -> len(x) > 3) AS ut,
+      list_filter((regexp_split_to_array(lower(text), '\\W+'))[1:{M.CONTENT_TERMS_SAMPLE}], x -> len(x) > 3) AS ct
+    FROM t2
+  ) b USING (doc_id)
+),
+pairs AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CASE WHEN {union_sz} = 0 THEN 0.0
+              ELSE len(list_intersect(x.ts, y.ts))::DOUBLE / {union_sz} END AS jac
+  FROM attrs x JOIN attrs y ON x.doc_id <> y.doc_id
+),
+pre AS MATERIALIZED (SELECT dom, count(*) AS pf FROM attrs GROUP BY dom),
+sel0 AS MATERIALIZED (SELECT doc_id, 1 AS pos FROM attrs WHERE rn = 1)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f""",
+sc{i} AS MATERIALIZED (
+  SELECT c.doc_id, c.rn,
+         round(c.score
+           * (1 - (CASE WHEN s.mx > {M.NEAR_DUP_SIM} THEN {d_near} ELSE {d_base} END)
+                  * ({M.MAX_SIM_W} * s.mx + {M.AVG_SIM_W} * s.av))
+           * (1 - least({M.PATH_PENALTY_CAP},
+                least({M.DOMAIN_PENALTY_CAP}, {M.DOMAIN_PENALTY_STEP} * (pre.pf + coalesce(ns.nsel, 0)))
+                + {M.PATH_PENALTY_STEP} * coalesce(cl.nclose, 0)))
+           + 1e-9, {M.COMB_ROUND}) AS comb
+  FROM attrs c
+  JOIN pre ON c.dom = pre.dom
+  JOIN (SELECT p.a AS doc_id, max(p.jac) AS mx, avg(p.jac) AS av
+        FROM pairs p JOIN sel{i-1} s ON p.b = s.doc_id GROUP BY p.a) s ON c.doc_id = s.doc_id
+  LEFT JOIN (SELECT a2.dom, count(*) AS nsel
+             FROM sel{i-1} s JOIN attrs a2 ON s.doc_id = a2.doc_id GROUP BY a2.dom) ns ON c.dom = ns.dom
+  LEFT JOIN (SELECT a2.dom, a2.pth, count(*) AS nclose
+             FROM sel{i-1} s JOIN attrs a2 ON s.doc_id = a2.doc_id
+             WHERE regexp_replace(a2.pth, '/*$', '') <> ''
+             GROUP BY a2.dom, a2.pth) cl ON c.dom = cl.dom AND c.pth = cl.pth
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i-1})
+),
+pk{i} AS MATERIALIZED (SELECT doc_id FROM sc{i} ORDER BY comb DESC, rn ASC LIMIT 1),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{i-1} UNION ALL SELECT doc_id, {i + 1} AS pos FROM pk{i})"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT s.doc_id, a.score, s.pos FROM sel{k - 1} s "
+        "JOIN attrs a USING (doc_id)"
+    )
+
+
+@q("mmr_rerank", _mmr_sql(_BM25_TERMS, k=10))
+def mmr_rerank(spark, sf_dir):
+    """MMR diversity rerank (RankerService.java:342-574) of the BM25
+    top-10 over derived title/url fields — greedy max/avg-Jaccard
+    penalty with conv-source domain penalties."""
+    from .operators import mmr
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    derived = docs.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("title"),
+        F.lower(F.concat_ws("/", "source", "lang")).alias("url"),
+    )
+    scored = docs_bm25.bm25_topk(docs, _BM25_TERMS, k=10)
+    return mmr.mmr_rerank(scored, derived, _BM25_TERMS)
+
+
 _IMP_TERMS = ["spark", "merge", "window"]
 
 
