@@ -157,6 +157,8 @@ def cmd_analyze(args: argparse.Namespace) -> None:
     from .index.reader import parse_query
     from .textproc import analyze_query, analyze_text
 
+    from .operators.suggest import suggested_queries
+
     mode = args.mode
     spec = parse_query(args.query, mode)
     print(
@@ -170,6 +172,11 @@ def cmd_analyze(args: argparse.Namespace) -> None:
                 "phrase_a": spec.phrase_a if spec else None,
                 "phrase_b": spec.phrase_b if spec else None,
                 "bool_op": spec.bool_op if spec else None,
+                # QueryService.java:1498-1540 — related queries from the
+                # top result titles (pass them via --titles)
+                "suggested_queries": suggested_queries(
+                    args.query, args.titles or []
+                ),
             }
         )
     )
@@ -217,6 +224,8 @@ def main(argv: list[str] | None = None) -> None:
     an.add_argument("--query", required=True)
     an.add_argument("--mode", default="disjunctive",
                     choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+    an.add_argument("--titles", nargs="*", default=[],
+                    help="top result titles feeding suggested_queries")
     an.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)

@@ -1740,6 +1740,66 @@ def mmr_rerank(spark, sf_dir):
     return mmr.mmr_rerank(scored, derived, _BM25_TERMS)
 
 
+_PHRASE_SCORE = "merge batch"
+
+
+def _phrase_score_sql(phrase: str) -> str:
+    """DuckDB twin of the PhraseSearching doc-score ladder over the
+    phrase-candidate set, same derived title/url fields as boost_ladder
+    and the same first-50-token "first paragraph" analog."""
+    from .operators import phrase_score as P
+
+    p = phrase.lower()
+    dashed = p.replace(" ", "-")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS txt, {_TOKS_SQL} AS tk,
+         lower(source || '/' || lang) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, txt, url,
+         array_to_string(tk[1:6], ' ') AS title,
+         array_to_string(tk[1:{P.FIRST_PARA_TOKENS}], ' ') AS first_para,
+         ((len(txt) - len(replace(txt, '{p}', ''))) / {len(p)})::INT AS cnt
+  FROM t
+  WHERE contains(' ' || txt || ' ', ' {p} ')
+)
+SELECT doc_id, cnt AS n_occurrences,
+       round((CASE WHEN contains(title, '{p}') THEN {P.TITLE_PHRASE_BOOST} ELSE 1.0 END)
+           * (CASE WHEN cnt > 1 THEN 1.0 + ln(cnt::DOUBLE) ELSE 1.0 END)
+           * (CASE WHEN contains(first_para, '{p}') THEN {P.FIRST_PARA_BOOST} ELSE 1.0 END)
+           * (CASE WHEN contains(url, '{dashed}') THEN {P.URL_PHRASE_BOOST} ELSE 1.0 END)
+           + 1e-9, {P.ROUND}) AS phrase_score
+FROM c
+"""
+
+
+@q("phrase_doc_score", _phrase_score_sql(_PHRASE_SCORE))
+def phrase_doc_score(spark, sf_dir):
+    """PhraseSearching.calculateDocumentScore (:178-213) over the
+    token-bounded phrase candidates (the P6 predicate): title ×3,
+    1+ln(occurrences), first-paragraph ×1.5 analog, dashed-url ×2."""
+    from .operators.phrase_score import phrase_doc_scores
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    derived = docs.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("title"),
+        F.lower(F.concat_ws("/", "source", "lang")).alias("url"),
+    )
+    cand = derived.filter(
+        F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" ")).contains(
+            f" {_PHRASE_SCORE} "
+        )
+    )
+    return phrase_doc_scores(cand, _PHRASE_SCORE)
+
+
 _IMP_TERMS = ["spark", "merge", "window"]
 
 
