@@ -64,6 +64,36 @@ CONTRACT_QUERIES = [
     "dataset_split",
     "source_quota_sample",
     "dedup_clusters",
+    "mmr_rerank",
+    "phrase_doc_score",
+    "pagerank_terms",
+]
+
+# the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
+# round as r1_subset_seconds so cross-round regressions are ONE number
+R1_SUBSET = [
+    "build_index",
+    "bm25_query_set",
+    "bm25_topk",
+    "bm25_conjunctive",
+    "phrase_contains",
+    "term_totals",
+    "match_count_rank",
+    "events_sessionize",
+    "events_hourly_agg",
+    "pricing_summary",
+    "top_customers_by_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "cosine_topk",
+    "knn_join",
+    "ann_lsh_topk",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "fingerprints",
 ]
 
 
@@ -129,6 +159,11 @@ def main() -> None:
     t0 = time.time()
     contract._ann_index(spark, SF_DIR)
     results["ann_index_build"] = round(time.time() - t0, 3)
+    # the PageRank table is likewise a build artifact (write_pagerank):
+    # rank_blend and pagerank_terms read it, they do not recompute it
+    t0 = time.time()
+    contract._pagerank_table(spark, SF_DIR)
+    results["pagerank_build"] = round(time.time() - t0, 3)
 
     qs = contract.QUERIES
     for name in CONTRACT_QUERIES:
@@ -136,12 +171,15 @@ def main() -> None:
         qs[name](spark, SF_DIR).collect()
         results[name] = round(time.time() - t0, 3)
 
+    r1_subset = round(sum(results[n] for n in R1_SUBSET if n in results), 3)
+
     total = time.time() - t_all
     out = {
         "metric": "e2e_bench_wall",
         "value": round(total, 3),
         "unit": "sec",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "r1_subset_seconds": r1_subset,
         "queries": results,
         "build": {
             "scale": SCALE,
