@@ -156,6 +156,28 @@ def main() -> None:
 
     sections.append(
         (
+            "Ranker2 blend over the PERSISTED PageRank artifact",
+            "Expected: the popularity side is a parquet Scan of the "
+            "write_pagerank table (node, rank) joined on the exploded-token "
+            "key — NO iterative join/aggregate rounds inside the ranking "
+            "plan; relevance side is the BM25 aggregate; "
+            "TakeOrderedAndProject for top-k.",
+            cap(contract.QUERIES["rank_blend"](spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "MMR diversity rerank",
+            "Expected: broadcast left-semi join pruning the docs scan to the "
+            "bounded candidate ids, JVM array ops for term sets and the k² "
+            "pairwise Jaccard, ONE FlatMapCoGroupsInPandas for the greedy "
+            "selection — no driver loop, no corpus-sized window.",
+            cap(contract.QUERIES["mmr_rerank"](spark, SF)),
+        )
+    )
+
+    sections.append(
+        (
             "Per-source quota cap",
             "Expected: Window with a REAL partition spec (source) — many "
             "concurrent partitions, never the single-task global window — "

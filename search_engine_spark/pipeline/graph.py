@@ -238,6 +238,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, comp) — connected components by iterative min-label
     propagation; ``comp`` is the smallest node id in the component.
@@ -260,6 +261,9 @@ def connected_components(
     fits anywhere — every step is a plain shuffle on the node key.
     ``checkpoint_dir`` selects reliable ``checkpoint()`` over the
     default ``localCheckpoint()`` (see :func:`_checkpointer`).
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — scale-probe
+    evidence that the pointer-doubled round count stays O(log diameter)
+    off the toy scale.
     """
     # materialize the (possibly expensive) edge-producing plan once —
     # every propagation round joins against it
@@ -272,7 +276,7 @@ def connected_components(
     labels = _checkpointer(
         nodes.select("node", F.col("node").alias("comp")), checkpoint_dir
     )
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         nbr = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "comp"
         )
@@ -291,6 +295,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = round_no
             return labels
     raise RuntimeError(
         f"connected_components did not converge within {max_iter} rounds "

@@ -198,7 +198,13 @@ def write_ann_index(
     would silently lose recall, so :func:`read_ann_index` validates.
     """
     sigs = lsh_signatures(embeddings, dim, bits, tables, seed)
-    sigs.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    # repartition on the partition columns first: otherwise EVERY writer
+    # task emits one file per (table, bucket) dir it sees — tasks×cells
+    # small files (measured 47 s for 50k rows at 2048 cells); after the
+    # shuffle each cell is one task → one file
+    sigs.repartition("table", "bucket").write.mode("overwrite").partitionBy(
+        "table", "bucket"
+    ).parquet(path)
     meta = embeddings.sparkSession.createDataFrame(
         [(int(dim), int(bits), int(tables), int(seed))],
         "dim int, bits int, tables int, seed int",
