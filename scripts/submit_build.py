@@ -25,11 +25,13 @@ def main() -> None:
     spark = SparkSession.builder.appName("sgs-build").getOrCreate()
     from search_engine_spark.config import BuildConfig
     from search_engine_spark.index.build import build_index, load_meta
+    from search_engine_spark.sources import load_transcripts
 
     t0 = time.time()
     build_index(
         spark,
-        spark.read.parquet(args.input),
+        # parquet path, or table:/iceberg:<name> for catalog (Iceberg) tables
+        load_transcripts(spark, args.input),
         args.output,
         BuildConfig(num_groups=args.groups, checkpoint=args.checkpoint),
         resume=args.resume,

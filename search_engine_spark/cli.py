@@ -32,12 +32,14 @@ def _spark(cores: int | None):
 def cmd_build(args: argparse.Namespace) -> None:
     from .config import BuildConfig
     from .index.build import IndexBuilder
+    from .sources import load_transcripts
 
     spark = _spark(args.cores)
     cfg = BuildConfig(num_groups=args.groups, checkpoint=args.checkpoint)
     t0 = time.time()
     b = IndexBuilder(spark, args.output, cfg)
-    b.build(spark.read.parquet(args.input), resume=args.resume)
+    # --input: parquet path, or table:/iceberg:<name> for catalog tables
+    b.build(load_transcripts(spark, args.input), resume=args.resume)
     n, avgdl = b.corpus_stats()
     print(
         json.dumps(
