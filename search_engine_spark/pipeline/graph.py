@@ -51,12 +51,19 @@ def pagerank(
     damping: float = DAMPING,
     iterations: int = ITERATIONS,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous power steps.
 
     Each step is one join + one aggregation; the out-degree side is
     broadcast-size for dictionary-like graphs and shuffle-joined
     otherwise — no driver-side adjacency structures.
+
+    ``checkpoint_every`` trades lineage depth against job count: a
+    checkpoint materializes a job, so checkpointing every step costs
+    ``iterations`` jobs while the plan between checkpoints stays
+    2 steps deep at the default — half the fixed job overhead for the
+    same results (pure plan change, values identical).
     """
     nodes = _nodes(edges).cache()
     n = nodes.count()
@@ -68,7 +75,7 @@ def pagerank(
     w.count()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contribs = (
             w.join(ranks, w.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
@@ -94,8 +101,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # cut the lineage: 8 chained join/agg rounds otherwise nest the plan
-        ranks = _checkpointer(ranks, checkpoint_dir)
+        # cut the lineage every k rounds: chained join/agg rounds
+        # otherwise nest the plan exponentially
+        if it % checkpoint_every == 0 or it == iterations:
+            ranks = _checkpointer(ranks, checkpoint_dir)
     return ranks
 
 
