@@ -50,9 +50,11 @@ def main() -> None:
         (
             "Compressed-index BM25 top-k (WAND path)",
             "Expected: parquet scan of postings with PartitionFilters on "
-            "`bucket` (term-hash pruning) and PushedFilters on `term`; one "
-            "cogrouped FlatMapCoGroupsInPandas (the per-group kernel); "
-            "broadcast-able join to the conv table; TakeOrderedAndProject.",
+            "`bucket` (term-hash pruning) and PushedFilters on `term`; ONE "
+            "grouped FlatMapGroupsInPandas (the per-group kernel — doclens "
+            "ride inline in the blocks since format v5, so no second "
+            "corpus-wide cogroup input); broadcast-able join to the conv "
+            "table; TakeOrderedAndProject.",
             cap(idx.topk("term0001 term0002", "disjunctive", 10)),
         )
     )

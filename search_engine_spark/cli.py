@@ -135,7 +135,8 @@ def cmd_stats(args: argparse.Namespace) -> None:
         F.sum("n").alias("n_postings"),
         F.count("*").alias("n_blocks"),
         F.sum(
-            F.octet_length("doc_blob") + F.octet_length("tf_blob") + F.octet_length("pos_blob")
+            F.octet_length("doc_blob") + F.octet_length("tf_blob")
+            + F.octet_length("pos_blob") + F.octet_length("dl_blob")
         ).alias("compressed_bytes"),
     ).collect()[0]
     lineage = [r.asDict() for r in spark.read.parquet(idx.paths.lineage).collect()]

@@ -60,9 +60,16 @@ FRAGMENTS_SCHEMA = (
     "term string, group int, n int, min_doc long, sum_dl long, "
     "doc_blob binary, tf_blob binary, pos_blob binary, dl_blob binary"
 )
+# Format v5: posting blocks carry the per-posting doclen stream
+# (dl_blob) INLINE — scoring needs each candidate doc's length, and
+# serving it from the side doclen table forced every query (and every
+# batch) to shuffle the corpus-wide doclen blobs through a cogroup;
+# inline, the per-query exchange is proportional to the PRUNED postings
+# only.  Cost: ~1 varbyte/posting (~1 byte at typical dl<128).
 BLOCKS_SCHEMA = (
     "term string, group int, block_id int, n int, first_doc long, last_doc long, "
-    "doc_blob binary, tf_blob binary, pos_blob binary, max_tf int, min_dl int"
+    "doc_blob binary, tf_blob binary, pos_blob binary, dl_blob binary, "
+    "max_tf int, min_dl int"
 )
 # (max_tf, min_dl) give an avgdl-INDEPENDENT block upper bound:
 # tf_bm25 is increasing in tf and decreasing in dl, so
@@ -307,7 +314,7 @@ def _fragment_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 _BLOCK_COLS = [
     "term", "group", "block_id", "n", "first_doc", "last_doc",
-    "doc_blob", "tf_blob", "pos_blob", "max_tf", "min_dl",
+    "doc_blob", "tf_blob", "pos_blob", "dl_blob", "max_tf", "min_dl",
 ]
 
 
@@ -337,6 +344,9 @@ def _emit_blocks(rows: list, term: str | None, group: int, doc_ids: np.ndarray,
                 varbyte_encode(_delta(d).astype(np.uint64)),
                 varbyte_encode(t.astype(np.uint64)),
                 pos_part,
+                # v5: per-posting doclens ride with the block (query-path
+                # scoring never touches the side doclen table)
+                None if term is None else varbyte_encode(dls[s:e].astype(np.uint64)),
                 0 if term is None else int(t.max()),
                 0 if term is None else int(dls[s:e].min()),
             )
@@ -573,7 +583,7 @@ def finalize_index(
         "b": BM25_B,
         "docid_scheme": "conv_rank",
         "turn_bits": TURN_BITS,
-        "format_version": 4,
+        "format_version": 5,  # v5: inline per-posting dl_blob in blocks
     }
     meta.update(extra_meta or {})
     with open(paths.meta, "w") as f:

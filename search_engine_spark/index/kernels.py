@@ -32,19 +32,22 @@ class TermPostings:
     """Decoded postings of one term within one group."""
 
     __slots__ = (
-        "term", "doc_ids", "tfs", "block_starts", "block_ubs", "pos_blobs",
+        "term", "doc_ids", "tfs", "dls", "block_starts", "block_ubs", "pos_blobs",
         "_pos", "_block_pos",
     )
 
     def __init__(self, term: str, pdf: pd.DataFrame, idf: float, avgdl: float):
         rows = pdf.sort_values("block_id")
-        docs, tfs, starts, ubs = [], [], [], []
+        docs, tfs, dls, starts, ubs = [], [], [], [], []
         n = 0
         self.pos_blobs: list[tuple[int, bytes]] = []  # (start_offset, blob)
         for r in rows.itertuples(index=False):
             deltas = varbyte_decode(r.doc_blob)
             docs.append(np.cumsum(deltas.astype(np.int64)))
             tfs.append(varbyte_decode(r.tf_blob).astype(np.int64))
+            # v5: the block carries each posting's doclen — scoring
+            # never consults a side doclen table
+            dls.append(varbyte_decode(r.dl_blob).astype(np.int64))
             starts.append(n)
             # avgdl-independent stored bound (max_tf, min_dl): partial is
             # increasing in tf, decreasing in dl, so this dominates every
@@ -62,6 +65,7 @@ class TermPostings:
         self.term = term
         self.doc_ids = np.concatenate(docs) if docs else np.empty(0, dtype=np.int64)
         self.tfs = np.concatenate(tfs) if tfs else np.empty(0, dtype=np.int64)
+        self.dls = np.concatenate(dls) if dls else np.empty(0, dtype=np.int64)
         self.block_starts = np.asarray(starts, dtype=np.int64)
         self.block_ubs = np.asarray(ubs, dtype=np.float64)
         self._pos: list[np.ndarray] | None = None
@@ -111,7 +115,11 @@ class TermPostings:
 
 
 class DocLens:
-    """Group doclen lookup: sorted doc_id array → dl array."""
+    """Group doclen lookup: sorted doc_id array → dl array.
+
+    Since format v5 the QUERY path reads per-posting doclens inline
+    from the blocks (``TermPostings.dls``); this class serves the side
+    doclen table for diagnostics/stats consumers only."""
 
     __slots__ = ("doc_ids", "dls")
 
@@ -153,7 +161,6 @@ def _partial(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
 def exact_topk(
     plists: dict[str, TermPostings],
     idf: dict[str, float],
-    doclens: DocLens,
     avgdl: float,
     k: int,
     candidates: np.ndarray | None = None,
@@ -185,8 +192,9 @@ def exact_topk(
             continue
         idx = np.searchsorted(union, p.doc_ids)
         ok = (idx < union.size) & (union[np.minimum(idx, union.size - 1)] == p.doc_ids)
-        dls = doclens.lookup(p.doc_ids[ok])
-        scores[idx[ok]] += idf[t] * _partial(p.tfs[ok], dls, avgdl)
+        scores[idx[ok]] += idf[t] * _partial(
+            p.tfs[ok], p.dls[ok].astype(np.float64), avgdl
+        )
     hit = scores > 0.0
     union, scores = union[hit], scores[hit]
     order = np.lexsort((union, -scores))
@@ -204,7 +212,6 @@ def exact_topk(
 def wand_topk(
     plists: dict[str, TermPostings],
     idf: dict[str, float],
-    doclens: DocLens,
     avgdl: float,
     k: int,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -266,7 +273,9 @@ def wand_topk(
                 bacc += block_ub(t, cur[t])
             if bacc > theta:
                 score = 0.0
-                dl = float(doclens.lookup(np.asarray([pivot_doc]))[0])
+                # every aligned posting carries the SAME doc's length —
+                # take it from the first aligned term (inline v5 dls)
+                dl = float(plists[order[0]].dls[cur[order[0]]])
                 for t in sorted(alive):  # lexicographic summation order
                     i = cur[t]
                     if i < n[t] and int(docs[t][i]) == pivot_doc:

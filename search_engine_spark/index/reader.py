@@ -4,8 +4,10 @@ Physical plan per query::
 
     idf parquet  --bucket-pruned scan--> driver (|terms| rows, broadcast)
     postings parquet --bucket-pruned, term-filtered scan-->
-        groupBy(group) cogroup doclen.groupBy(group)
-        applyInPandas(per-group WAND / exact kernel)   # ≤ G·k rows out
+        groupBy(group).applyInPandas(per-group WAND / exact kernel)
+        # ≤ G·k rows out; doclens ride INLINE in the blocks (format v5),
+        # so the only exchange carries the pruned postings — never the
+        # corpus-wide doclen blobs the pre-v5 cogroup shipped per query
     join docmap (broadcast of the tiny candidate side)
     orderBy(score desc, conv_id, turn_idx) limit k     # TakeOrderedAndProject
 
@@ -29,7 +31,6 @@ from ..oracle import OPERATOR_PATTERN, PHRASE_PATTERN
 from ..textproc import analyze_query, analyze_text
 from .build import IndexPaths
 from .kernels import (
-    DocLens,
     TermPostings,
     conjunctive_candidates,
     exact_topk,
@@ -88,8 +89,12 @@ class CompressedIndex:
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.num_buckets = int(self.meta["num_buckets"])
-        # doclen is G rows of blobs — hot on every query → cache
-        self._doclen = spark.read.parquet(self.paths.doclen).cache()
+        if int(self.meta.get("format_version", 0)) < 5:
+            raise ValueError(
+                f"index at {root} is format v{self.meta.get('format_version')}: "
+                "v5 readers score from inline per-posting doclens "
+                "(blocks carry dl_blob) — rebuild the index"
+            )
         self.scheme = self.meta.get("docid_scheme", "dense")
         if self.scheme == "conv_rank":
             self.turn_bits = int(self.meta["turn_bits"])
@@ -116,8 +121,10 @@ class CompressedIndex:
         )
 
     def warm(self) -> None:
-        """Materialize the lookup caches (doclen, convs/docmap)."""
-        self._doclen.count()
+        """Materialize the lookup caches (convs/docmap).
+
+        Doclens need no warming since v5 — they ride inside the posting
+        blocks the query already reads."""
         if self.scheme == "conv_rank":
             self._convs.count()
         else:
@@ -220,11 +227,10 @@ class CompressedIndex:
             spec, idf, avgdl, k, algo, with_ties=(self.scheme != "conv_rank")
         )
         post = self.postings_df(fetch_terms)
-        cand = (
-            post.groupBy("group")
-            .cogroup(self._doclen.groupBy("group"))
-            .applyInPandas(kernel, schema=RESULT_SCHEMA)
-        )
+        # v5: single-sided grouped kernel — the only exchange carries the
+        # bucket-pruned postings; doclens are inline in the blocks (the
+        # pre-v5 shape cogrouped the CORPUS-wIDE doclen blobs per query)
+        cand = post.groupBy("group").applyInPandas(kernel, schema=RESULT_SCHEMA)
         return (
             self._label(cand)
             .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
@@ -279,11 +285,7 @@ class CompressedIndex:
             with_ties=(self.scheme != "conv_rank"),
         )
         post = self.postings_df(sorted(fetch_terms))
-        cand = (
-            post.groupBy("group")
-            .cogroup(self._doclen.groupBy("group"))
-            .applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
-        )
+        cand = post.groupBy("group").applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
         labeled = self._label(cand, extra=("query_id",))
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
@@ -313,7 +315,6 @@ def _score_spec(
     spec: QuerySpec,
     idf: dict[str, float],
     plists: dict,
-    doclens,
     avgdl: float,
     k: int,
     algo: str,
@@ -321,7 +322,8 @@ def _score_spec(
 ):
     """Score ONE parsed query against a group's posting lists →
     (docs, scores) arrays.  Shared by the single-query and batch
-    kernels so both paths run the identical tested dispatch."""
+    kernels so both paths run the identical tested dispatch.
+    Doclens come inline from the posting blocks (format v5)."""
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
         total = sum(p.doc_ids.size for p in score_lists.values())
@@ -329,20 +331,20 @@ def _score_spec(
             algo == "wand" or (algo == "auto" and total >= WAND_MIN_POSTINGS)
         )
         if use_wand:
-            return wand_topk(score_lists, idf, doclens, avgdl, k)
-        return exact_topk(score_lists, idf, doclens, avgdl, k, with_ties=with_ties)
+            return wand_topk(score_lists, idf, avgdl, k)
+        return exact_topk(score_lists, idf, avgdl, k, with_ties=with_ties)
     if spec.mode == "conjunctive":
         need = {t: plists[t] for t in spec.score_terms if t in plists}
         if len(need) < len(spec.score_terms):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         cand = conjunctive_candidates(need)
         return exact_topk(
-            score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
+            score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
         )
     if spec.mode == "phrase":
         cand = phrase_candidates(spec.phrase_a or [], plists)
         return exact_topk(
-            score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
+            score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
         )
     # boolean
     la = phrase_candidates(spec.phrase_a or [], plists)
@@ -354,7 +356,7 @@ def _score_spec(
     else:
         cand = np.setdiff1d(la, rb, assume_unique=True)
     return exact_topk(
-        score_lists, idf, doclens, avgdl, k, candidates=cand, with_ties=with_ties
+        score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
     )
 
 
@@ -373,17 +375,14 @@ def _make_group_kernel(
     algo: str,
     with_ties: bool = False,
 ):
-    """Build the per-group cogroup kernel for one parsed query."""
+    """Build the per-group grouped kernel for one parsed query."""
 
-    def kernel(key: tuple, post_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(post_pdf) == 0:
             return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                  "score": pd.array([], dtype="float64")})
-        doclens = DocLens(dl_pdf)
         plists = _build_plists(post_pdf, idf, avgdl)
-        docs, scores = _score_spec(
-            spec, idf, plists, doclens, avgdl, k, algo, with_ties
-        )
+        docs, scores = _score_spec(spec, idf, plists, avgdl, k, algo, with_ties)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     return kernel
@@ -401,13 +400,13 @@ def _make_batch_kernel(
     algo: str,
     with_ties: bool = False,
 ):
-    """One cogroup kernel scoring EVERY query of a batch against the
+    """One grouped kernel scoring EVERY query of a batch against the
     group's postings: term posting lists are decoded once per group and
     shared across queries (idf is a corpus property, identical for any
     query naming the term), so N queries cost one postings scan + one
     decode instead of N jobs."""
 
-    def kernel(key: tuple, post_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "query_id": pd.array([], dtype="int32"),
@@ -417,13 +416,10 @@ def _make_batch_kernel(
         )
         if len(post_pdf) == 0:
             return empty
-        doclens = DocLens(dl_pdf)
         plists = _build_plists(post_pdf, merged_idf, avgdl)
         frames = []
         for qid, (spec, idf, k) in enumerate(zip(specs, idfs, ks)):
-            docs, scores = _score_spec(
-                spec, idf, plists, doclens, avgdl, k, algo, with_ties
-            )
+            docs, scores = _score_spec(spec, idf, plists, avgdl, k, algo, with_ties)
             if docs.size:
                 frames.append(
                     pd.DataFrame(
