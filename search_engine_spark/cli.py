@@ -55,6 +55,30 @@ def cmd_build(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_extend(args: argparse.Namespace) -> None:
+    from .index.build import load_meta
+    from .index.extend import extend_index
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    t0 = time.time()
+    extend_index(spark, args.index, load_transcripts(spark, args.input), args.output)
+    meta = load_meta(args.output)
+    print(
+        json.dumps(
+            {
+                "index": args.output,
+                "extended_from": args.index,
+                "n_docs": meta["n_docs"],
+                "n_docs_added": meta["n_docs"] - meta["n_docs_before_extend"],
+                "avgdl": round(meta["avgdl"], 3),
+                "order_isomorphic": meta["docid_order_isomorphic"],
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from .index.reader import CompressedIndex
 
@@ -197,6 +221,14 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--checkpoint", action="store_true", help="one job per group (resumable)")
     b.add_argument("--resume", action="store_true", help="resume a crashed build")
     b.set_defaults(fn=cmd_build)
+
+    ex = sub.add_parser(
+        "extend", help="absorb a delta of new transcripts into an existing index"
+    )
+    ex.add_argument("--index", required=True, help="existing index root (stays live)")
+    ex.add_argument("--input", required=True, help="delta transcripts (parquet/table:)")
+    ex.add_argument("--output", required=True, help="new index root")
+    ex.set_defaults(fn=cmd_extend)
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
     q.add_argument("--index", required=True)

@@ -37,6 +37,7 @@ ORACLES: dict[str, str] = {}
 PRIORITY = [
     "transcripts_phrase",  # red in r1, unsampled in r2
     "transcripts_bm25_batch",  # unsampled in r2
+    "transcripts_bm25_incremental",  # new in r3: extend_index parity
     "mmr_rerank",  # new in r3
     "phrase_doc_score",  # new in r3
     "rank_blend",  # r3: now reads the persisted PageRank artifact
@@ -2029,6 +2030,43 @@ def transcripts_bm25_batch(spark, sf_dir):
     idx = _xs_index(spark)
     return idx.topk_batch(_BATCH_QUERIES).select(
         "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+def _xs_incremental_index(spark):
+    """Index built INCREMENTALLY: base build over the first half of the
+    xs conversations, then ``extend_index`` absorbs the second half —
+    queried against the same full-corpus oracle as ``_xs_index`` (the
+    reference freshens its index with row upserts, IndexerService.java:
+    57-68; extend.py is the LSM-style Spark analog)."""
+    if "inc_path" not in _XS_INDEX:
+        from .corpus import generate_transcripts
+        from .index.build import build_index
+        from .index.extend import extend_index
+
+        d = _tmpdir("sgs_inc_")
+        pdf = generate_transcripts("xs")[["conv_id", "turn_idx", "text"]]
+        base = spark.createDataFrame(pdf[pdf.conv_id < "conv-000010"])
+        delta = spark.createDataFrame(pdf[pdf.conv_id >= "conv-000010"])
+        build_index(spark, base, os.path.join(d, "base"), BuildConfig(num_groups=2))
+        extend_index(spark, os.path.join(d, "base"), delta, os.path.join(d, "idx"))
+        _XS_INDEX["inc_path"] = os.path.join(d, "idx")
+    from .index.reader import CompressedIndex
+
+    return CompressedIndex(spark, _XS_INDEX["inc_path"])
+
+
+@q(
+    "transcripts_bm25_incremental",
+    _transcripts_oracle_sql("term0001 term0002", "disjunctive", 10),
+)
+def transcripts_bm25_incremental(spark, sf_dir):
+    """Incremental build parity: base-half build + extend_index of the
+    rest must answer queries byte-identically to a from-scratch build of
+    the full corpus (the oracle is the full-corpus pure-Python scorer)."""
+    idx = _xs_incremental_index(spark)
+    return idx.topk("term0001 term0002", "disjunctive", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 
 

@@ -1,0 +1,255 @@
+"""Incremental index extension (LSM-style delta ingest + compaction).
+
+The reference keeps its index fresh with row-level PostgreSQL upserts
+(``IndexerService.java:57-68`` ``ON CONFLICT`` statements, driven by the
+crawler's incremental batches at ``:370-452``).  A 10^12-turn corpus can
+never re-tokenize itself to absorb a day of new transcripts, and
+row-upserts don't exist for an immutable columnar index — so the
+Spark-first analog is the LSM pattern:
+
+  1. tokenize ONLY the delta (the expensive phase — Porter stemming per
+     token — runs over new turns alone),
+  2. reread the existing index's posting BLOCKS as pre-merged fragments
+     (a block row carries the same delta+varbyte blobs a fragment row
+     does, just already doc-sorted — zero decode on the old side), and
+  3. run both through the one (term, group)-salted merge shuffle into a
+     NEW index root.
+
+Cost is O(delta tokenize + index bytes), never O(corpus text); the old
+index stays live and readable until the new root's meta commits, so the
+swap is atomic and a crashed extend is simply re-run.
+
+Doc-id contract
+---------------
+``doc_id = conv_rank << TURN_BITS | turn_idx`` with ``conv_rank`` the
+lexicographic rank among distinct conversations.  New conversations get
+ranks APPENDED after the existing ones (rank offset = old conv count) so
+existing doc ids — and therefore every existing posting blob — stay
+valid byte-for-byte.  Two consequences, both handled:
+
+* If every new ``conv_id`` sorts after every existing one (the natural
+  shape for time-ordered ids), doc-id order stays isomorphic to
+  ``(conv_id, turn_idx)`` and the reader keeps its exact-cut kernels.
+  Otherwise the extend still produces a CORRECT index but records
+  ``docid_order_isomorphic: false`` in meta, and the reader switches to
+  tie-safe kernels (return score-ties at the k boundary; the final
+  ``ORDER BY score, conv_id, turn_idx LIMIT k`` resolves them) — results
+  remain identical to a from-scratch build.
+* Appending turns to an EXISTING conversation interleaves new doc ids
+  inside old posting runs; the merge kernel's stable-argsort fallback
+  (``build._merge_run``) reorders those runs per posting.
+
+Updating or deleting an already-indexed ``(conv_id, turn_idx)`` is out
+of scope (it would require rewriting old blocks around tombstones); the
+extend FAILS LOUDLY if the delta collides with an indexed turn, telling
+the caller to rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import BuildConfig
+from .build import (
+    FRAGMENTS_SCHEMA,
+    TURN_BITS,
+    TURN_MASK,
+    IndexBuilder,
+    IndexPaths,
+    conv_ranks,
+    finalize_index,
+    load_meta,
+    with_doc_ids,
+    write_blocks,
+    _fragment_kernel,
+)
+from .codec import varbyte_decode
+
+_DOC_EXPLODE_SCHEMA = "conv_rank long, max_turn long"
+
+
+def _doclen_max_turn_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Doclen blob rows → per-conversation max indexed turn.
+
+    Decodes each group's doc-id stream (delta+varbyte) and reduces to one
+    row per conv_rank — output is |conversations| rows, not |docs|."""
+    for pdf in batches:
+        frames = []
+        for blob in pdf["doc_blob"]:
+            docs = np.cumsum(varbyte_decode(blob).astype(np.int64))
+            ranks = docs >> TURN_BITS
+            turns = docs & TURN_MASK
+            s = pd.Series(turns).groupby(ranks).max()
+            frames.append(pd.DataFrame({"conv_rank": s.index, "max_turn": s.values}))
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"conv_rank": [], "max_turn": []})
+        )
+
+
+def _assert_no_turn_overlap(
+    spark: SparkSession, old_paths: IndexPaths, delta_known: DataFrame
+) -> None:
+    """Fail loudly if the delta re-submits an already-indexed turn.
+
+    ``delta_known`` is the delta restricted to conversations the index
+    already contains, joined to their ranks.  A delta turn must be
+    strictly greater than that conversation's max indexed turn —
+    anything else is an update/delete, which extend does not do."""
+    max_turns = (
+        spark.read.parquet(old_paths.doclen)
+        .select("doc_blob")
+        .mapInPandas(_doclen_max_turn_kernel, schema=_DOC_EXPLODE_SCHEMA)
+        .groupBy("conv_rank")
+        .agg(F.max("max_turn").alias("max_turn"))
+    )
+    bad = (
+        delta_known.select("conv_id", "conv_rank", "turn_idx")
+        .join(max_turns, "conv_rank")
+        .filter(F.col("turn_idx") <= F.col("max_turn"))
+    )
+    sample = bad.select("conv_id", "turn_idx").limit(5).collect()
+    if sample:
+        shown = ", ".join(f"({r.conv_id}, {r.turn_idx})" for r in sample)
+        raise ValueError(
+            "extend_index: delta contains turns already present in the "
+            f"index (e.g. {shown}). Incremental extension appends new "
+            "conversations or new turns only; to update or delete "
+            "indexed turns, rebuild the index."
+        )
+
+
+def _blocks_as_fragments(blocks: DataFrame) -> DataFrame:
+    """Existing posting blocks → fragment rows, zero decode.
+
+    A block row IS a doc-sorted fragment: same delta+varbyte blobs, with
+    ``first_doc`` as ``min_doc``.  Doclen blocks (``term IS NULL``) carry
+    their dl stream in ``tf_blob`` (see ``build._emit_blocks``); fragment
+    doclen rows carry it in ``dl_blob`` — swapped here in the projection.
+    """
+    is_dl = F.col("term").isNull()
+    return blocks.select(
+        "term",
+        "group",
+        "n",
+        F.col("first_doc").alias("min_doc"),
+        F.lit(0).cast("long").alias("sum_dl"),
+        "doc_blob",
+        F.when(is_dl, F.lit(None).cast("binary")).otherwise(F.col("tf_blob")).alias(
+            "tf_blob"
+        ),
+        "pos_blob",
+        F.when(is_dl, F.col("tf_blob")).otherwise(F.col("dl_blob")).alias("dl_blob"),
+    )
+
+
+def extend_index(
+    spark: SparkSession,
+    index_root: str,
+    delta: DataFrame,
+    out_dir: str,
+    config: BuildConfig | None = None,
+) -> IndexPaths:
+    """Absorb ``delta`` transcripts into the index at ``index_root``,
+    writing a NEW index under ``out_dir`` (the old root stays live).
+
+    Layout invariants (num_groups, block_size, turn_bits) are taken from
+    the existing index's meta — ``group = hash(conv_id) % G`` must stay
+    consistent or old and new postings of one conversation would land in
+    different shards.  ``config`` only supplies the shuffle width.
+    """
+    old_paths = IndexPaths(index_root)
+    meta = load_meta(index_root)
+    if int(meta.get("format_version", 0)) < 5:
+        raise ValueError(
+            f"extend_index: index at {index_root} is format "
+            f"v{meta.get('format_version')}; extend requires v5 "
+            "(inline dl_blob) — rebuild once"
+        )
+    num_groups = int(meta["num_groups"])
+    block_size = int(meta["block_size"])
+    shuffle_partitions = (config or BuildConfig()).shuffle_partitions
+    if os.path.abspath(out_dir) == os.path.abspath(index_root):
+        raise ValueError(
+            "extend_index: out_dir must differ from index_root (the old "
+            "index stays readable until the new meta commits)"
+        )
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    paths = IndexPaths(out_dir)
+
+    old_convs = spark.read.parquet(old_paths.convs)
+    delta_convs = delta.select("conv_id").distinct()
+    known = delta_convs.join(old_convs, "conv_id").select(
+        "conv_id", "conv_rank", "group"
+    )
+    new_ids = delta_convs.join(old_convs, "conv_id", "left_anti")
+
+    # -- rank assignment: new conversations APPEND after existing ranks
+    n_old, max_old_id = old_convs.agg(
+        F.count("*").alias("n"), F.max("conv_id").alias("m")
+    ).collect()[0]
+    n_new = new_ids.count()
+    iso = bool(meta.get("docid_order_isomorphic", True))
+    if n_new:
+        scratch = os.path.join(out_dir, "_convs_scratch")
+        new_convs = conv_ranks(new_ids, num_groups, scratch_dir=scratch).withColumn(
+            "conv_rank", F.col("conv_rank") + F.lit(int(n_old))
+        )
+        min_new_id = new_ids.agg(F.min("conv_id")).collect()[0][0]
+        # appended ranks keep doc-id order isomorphic to (conv_id, turn)
+        # only when every new id sorts after every old one
+        iso = iso and (max_old_id is None or str(min_new_id) > str(max_old_id))
+        merged_convs = old_convs.unionByName(new_convs)
+    else:
+        merged_convs = old_convs
+    merged_convs.write.mode("overwrite").parquet(paths.convs)
+    if n_new:
+        shutil.rmtree(scratch, ignore_errors=True)
+    merged_convs = spark.read.parquet(paths.convs)
+
+    # -- append-only contract: no delta turn may already be indexed
+    delta_known = delta.join(F.broadcast(known.select("conv_id", "conv_rank")), "conv_id")
+    if known.limit(1).count():
+        _assert_no_turn_overlap(spark, old_paths, delta_known)
+
+    # -- tokenize ONLY the delta; reread old blocks as fragments.
+    # The doc-id join uses just the conversations the delta touches (a
+    # delta-sized table, broadcastable even when the corpus has billions
+    # of conversations).
+    builder = IndexBuilder(
+        spark, out_dir, BuildConfig(num_groups=num_groups, block_size=block_size,
+                                    shuffle_partitions=shuffle_partitions)
+    )
+    touched_convs = merged_convs.join(F.broadcast(delta_convs), "conv_id")
+    staged = builder._parallelize_input(with_doc_ids(delta, touched_convs))
+    delta_frags = staged.mapInPandas(_fragment_kernel, schema=FRAGMENTS_SCHEMA)
+    old_frags = _blocks_as_fragments(spark.read.parquet(old_paths.postings))
+    write_blocks(
+        delta_frags.unionByName(old_frags), paths, shuffle_partitions, block_size
+    )
+
+    # meta/idf/doclen/lineage all derive from the merged blocks (same
+    # code path as a fresh build — no incremental-stats special case to
+    # drift); the delta's own size is recoverable as n_docs - old n_docs.
+    finalize_index(
+        spark,
+        paths,
+        num_groups,
+        block_size,
+        extra_meta={
+            "docid_order_isomorphic": iso,
+            "extended_from": os.path.abspath(index_root),
+            "n_docs_before_extend": int(meta["n_docs"]),
+        },
+        tokenize_metrics=None,
+    )
+    return paths

@@ -96,6 +96,15 @@ class CompressedIndex:
                 "(blocks carry dl_blob) — rebuild the index"
             )
         self.scheme = self.meta.get("docid_scheme", "dense")
+        # conv_rank doc ids are order-isomorphic to (conv_id, turn_idx),
+        # letting kernels cut exactly at k with doc-id tiebreaks.  An
+        # incremental extend that appended lexicographically-earlier
+        # conversations breaks the isomorphism (extend.py records it in
+        # meta); then the kernels must return score-ties at the boundary
+        # so the final ORDER BY conv_id resolves them.
+        self.tie_safe = self.scheme != "conv_rank" or not self.meta.get(
+            "docid_order_isomorphic", True
+        )
         if self.scheme == "conv_rank":
             self.turn_bits = int(self.meta["turn_bits"])
             self._convs = spark.read.parquet(self.paths.convs).cache()
@@ -224,7 +233,7 @@ class CompressedIndex:
         # emit boundary ties and let the global sort resolve them; WAND's
         # bounded heap cannot hold ties, so it is only safe on conv_rank
         kernel = _make_group_kernel(
-            spec, idf, avgdl, k, algo, with_ties=(self.scheme != "conv_rank")
+            spec, idf, avgdl, k, algo, with_ties=self.tie_safe
         )
         post = self.postings_df(fetch_terms)
         # v5: single-sided grouped kernel — the only exchange carries the
@@ -282,7 +291,7 @@ class CompressedIndex:
             self.avgdl,
             [kk for _, _, kk in specs],
             algo,
-            with_ties=(self.scheme != "conv_rank"),
+            with_ties=self.tie_safe,
         )
         post = self.postings_df(sorted(fetch_terms))
         cand = post.groupBy("group").applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
