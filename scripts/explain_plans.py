@@ -58,6 +58,28 @@ def main() -> None:
             cap(idx.topk("term0001 term0002", "disjunctive", 10)),
         )
     )
+    from search_engine_spark.index.multi import MultiIndex
+
+    pq2 = write_transcripts_parquet(os.path.join(d, "t2.parquet"), "xs")
+    from pyspark.sql import functions as F
+
+    delta_df = spark.read.parquet(pq2).withColumn(
+        "conv_id", F.concat(F.lit("z"), F.col("conv_id"))  # disjoint from base
+    )
+    build_index(spark, delta_df, os.path.join(d, "seg1"), BuildConfig(num_groups=4))
+    multi = MultiIndex(spark, [os.path.join(d, "idx"), os.path.join(d, "seg1")])
+    sections.append(
+        (
+            "Segmented (LSM) BM25 top-k over base + delta segment",
+            "Expected: a UNION of per-segment bucket/term-pruned postings "
+            "scans (PartitionFilters on `bucket`, PushedFilters on `term` in "
+            "BOTH branches); one grouped FlatMapGroupsInPandas keyed "
+            "(seg, group); join to the unioned conv maps; "
+            "TakeOrderedAndProject merging segments globally.",
+            cap(multi.topk("term0001 term0002", "disjunctive", 10)),
+        )
+    )
+
     sections.append(
         (
             "Docs-engine BM25 top-k (pure JVM path)",

@@ -79,11 +79,22 @@ def cmd_extend(args: argparse.Namespace) -> None:
     )
 
 
-def cmd_query(args: argparse.Namespace) -> None:
-    from .index.reader import CompressedIndex
+def _open_index(spark, index_arg: str):
+    """One root → CompressedIndex; comma-separated roots → MultiIndex
+    (LSM read path over base + delta segments)."""
+    roots = [p for p in index_arg.split(",") if p]
+    if len(roots) == 1:
+        from .index.reader import CompressedIndex
 
+        return CompressedIndex(spark, roots[0])
+    from .index.multi import MultiIndex
+
+    return MultiIndex(spark, roots)
+
+
+def cmd_query(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
-    idx = CompressedIndex(spark, args.index)
+    idx = _open_index(spark, args.index)
     t0 = time.time()
     rows = idx.topk(args.query, args.mode, args.k, algo=args.algo).collect()
     print(
@@ -105,10 +116,8 @@ def cmd_query_batch(args: argparse.Namespace) -> None:
     """Many queries, ONE Spark job (topk_batch) — the unit of work a
     Spark engine should serve; ~6x faster than per-query jobs on the
     30-query reference set."""
-    from .index.reader import CompressedIndex
-
     spark = _spark(args.cores)
-    idx = CompressedIndex(spark, args.index)
+    idx = _open_index(spark, args.index)
     with open(args.queries) as f:
         queries = [
             (q["query_text"], q.get("mode", "disjunctive"), q.get("k", args.k))
@@ -231,7 +240,10 @@ def main(argv: list[str] | None = None) -> None:
     ex.set_defaults(fn=cmd_extend)
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
-    q.add_argument("--index", required=True)
+    q.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
     q.add_argument("--query", required=True)
     q.add_argument("--mode", default="disjunctive",
                    choices=["disjunctive", "conjunctive", "phrase", "boolean"])
@@ -242,7 +254,10 @@ def main(argv: list[str] | None = None) -> None:
     qb = sub.add_parser(
         "query-batch", help="many BM25 queries in one job (JSONL of {query_text, mode, k})"
     )
-    qb.add_argument("--index", required=True)
+    qb.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
     qb.add_argument("--queries", required=True, help="JSONL file, one query object per line")
     qb.add_argument("--k", type=int, default=10)
     qb.add_argument("--algo", default="auto", choices=["auto", "exact", "wand"])

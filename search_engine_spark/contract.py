@@ -38,6 +38,7 @@ PRIORITY = [
     "transcripts_phrase",  # red in r1, unsampled in r2
     "transcripts_bm25_batch",  # unsampled in r2
     "transcripts_bm25_incremental",  # new in r3: extend_index parity
+    "transcripts_bm25_multi",  # new in r3: LSM segment-read parity
     "mmr_rerank",  # new in r3
     "phrase_doc_score",  # new in r3
     "rank_blend",  # r3: now reads the persisted PageRank artifact
@@ -2066,6 +2067,41 @@ def transcripts_bm25_incremental(spark, sf_dir):
     the full corpus (the oracle is the full-corpus pure-Python scorer)."""
     idx = _xs_incremental_index(spark)
     return idx.topk("term0001 term0002", "disjunctive", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+def _xs_multi_index(spark):
+    """LSM read path: the xs corpus split into TWO independently built
+    segments (no merge ever ran), queried through ``MultiIndex`` with
+    merged global BM25 stats — the O(delta) freshness unit whose
+    compaction is ``extend_index`` (see index/multi.py)."""
+    if "multi_roots" not in _XS_INDEX:
+        from .corpus import generate_transcripts
+        from .index.build import build_index
+
+        d = _tmpdir("sgs_multi_")
+        pdf = generate_transcripts("xs")[["conv_id", "turn_idx", "text"]]
+        base = spark.createDataFrame(pdf[pdf.conv_id < "conv-000010"])
+        delta = spark.createDataFrame(pdf[pdf.conv_id >= "conv-000010"])
+        build_index(spark, base, os.path.join(d, "seg0"), BuildConfig(num_groups=2))
+        build_index(spark, delta, os.path.join(d, "seg1"), BuildConfig(num_groups=2))
+        _XS_INDEX["multi_roots"] = [os.path.join(d, "seg0"), os.path.join(d, "seg1")]
+    from .index.multi import MultiIndex
+
+    return MultiIndex(spark, _XS_INDEX["multi_roots"])
+
+
+@q(
+    "transcripts_bm25_multi",
+    _transcripts_oracle_sql("term0003 term0004", "disjunctive", 10),
+)
+def transcripts_bm25_multi(spark, sf_dir):
+    """Segmented-read parity: two independently built index segments
+    queried as one logical index (global N/avgdl/df merged exactly)
+    must equal the full-corpus pure-Python oracle."""
+    idx = _xs_multi_index(spark)
+    return idx.topk("term0003 term0004", "disjunctive", 10).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 

@@ -41,9 +41,6 @@ from .xxhash import term_bucket
 
 RESULT_SCHEMA = "doc_id long, score double"
 RESULT_CACHE_SIZE = 500  # SearchController.java:35
-# below this many decoded postings the vectorized exact kernel beats the
-# document-at-a-time WAND loop; above it WAND's skipping wins
-WAND_MIN_POSTINGS = 50_000
 
 
 @dataclass
@@ -335,11 +332,15 @@ def _score_spec(
     Doclens come inline from the posting blocks (format v5)."""
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
-        total = sum(p.doc_ids.size for p in score_lists.values())
-        use_wand = not with_ties and (
-            algo == "wand" or (algo == "auto" and total >= WAND_MIN_POSTINGS)
-        )
-        if use_wand:
+        # measured (1M-turn group, 30 reference queries, BASELINE.md
+        # "WAND vs vectorized exact"): the NumPy-vectorized exact kernel
+        # scores every decoded posting faster than the document-at-a-time
+        # WAND loop can SKIP them — ~10 ns/posting vectorized vs ~µs per
+        # visited doc in Python — so `auto` always takes the exact path.
+        # WAND stays as an explicit algo: it is the right strategy for a
+        # compiled kernel, and its lossless skipping is pinned by the
+        # WAND==exact tests either way.
+        if not with_ties and algo == "wand":
             return wand_topk(score_lists, idf, avgdl, k)
         return exact_topk(score_lists, idf, avgdl, k, with_ties=with_ties)
     if spec.mode == "conjunctive":
