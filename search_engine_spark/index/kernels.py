@@ -33,7 +33,7 @@ class TermPostings:
 
     __slots__ = (
         "term", "doc_ids", "tfs", "dls", "block_starts", "block_ubs", "pos_blobs",
-        "_pos", "_block_pos",
+        "_pos", "_block_pos", "_flat",
     )
 
     def __init__(self, term: str, pdf: pd.DataFrame, idf: float, avgdl: float):
@@ -70,20 +70,42 @@ class TermPostings:
         self.block_ubs = np.asarray(ubs, dtype=np.float64)
         self._pos: list[np.ndarray] | None = None
         self._block_pos: dict[int, list[np.ndarray]] = {}
+        self._flat: tuple[np.ndarray, np.ndarray] | None = None
+
+    def flat_positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """ALL positions as one flat array (lazy decode, phrase path).
+
+        Returns ``(flat, offs)`` with posting ``i``'s positions at
+        ``flat[offs[i]:offs[i+1]]``.  The per-posting delta streams are
+        resolved with ONE segmented cumsum over the whole term — a
+        per-posting ``np.cumsum`` loop costs ~µs per posting (seconds
+        for a 100k-posting head term); this is ~10 ms."""
+        if self._flat is None:
+            parts = [varbyte_decode(blob) for _, blob in self.pos_blobs]
+            deltas = (
+                np.concatenate(parts).astype(np.int64)
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+            offs = np.concatenate(
+                [[0], np.cumsum(self.tfs)]
+            ).astype(np.int64)
+            c = np.cumsum(deltas)
+            # positions of posting i = c[offs[i]:offs[i+1]] - c[offs[i]-1]
+            base = np.zeros(len(self.tfs), dtype=np.int64)
+            starts = offs[:-1]
+            nz = starts > 0
+            base[nz] = c[starts[nz] - 1]
+            self._flat = (c - np.repeat(base, self.tfs), offs)
+        return self._flat
 
     def positions(self) -> list[np.ndarray]:
-        """Per-posting position arrays (lazy decode, phrase path only)."""
+        """Per-posting position arrays (views into the flat decode)."""
         if self._pos is None:
-            out: list[np.ndarray] = []
-            for (start, blob), nxt in zip(
-                self.pos_blobs, list(self.block_starts[1:]) + [len(self.doc_ids)]
-            ):
-                flat = varbyte_decode(blob).astype(np.int64)
-                counts = self.tfs[start:nxt]
-                offs = np.concatenate([[0], np.cumsum(counts)])
-                for i in range(len(counts)):
-                    out.append(np.cumsum(flat[offs[i] : offs[i + 1]]))
-            self._pos = out
+            flat, offs = self.flat_positions()
+            self._pos = [
+                flat[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)
+            ]
         return self._pos
 
     def positions_at(self, i: int) -> np.ndarray:
@@ -343,17 +365,38 @@ def phrase_candidates(
         cand = np.intersect1d(cand, plists[t].doc_ids, assume_unique=True)
     if cand.size == 0 or len(ordered_terms) == 1:
         return cand
-    pos = {t: plists[t].positions() for t in set(ordered_terms)}
-    keep = []
-    for d in cand:
-        survivors = pos[ordered_terms[0]][
-            int(np.searchsorted(plists[ordered_terms[0]].doc_ids, d))
-        ]
-        for j, t in enumerate(ordered_terms[1:], start=1):
-            pj = pos[t][int(np.searchsorted(plists[t].doc_ids, d))]
-            survivors = survivors[np.isin(survivors + j, pj, assume_unique=False)]
-            if survivors.size == 0:
-                break
-        if survivors.size > 0:
-            keep.append(d)
-    return np.asarray(keep, dtype=np.int64)
+    # Vectorized alignment: pack each candidate position into one int64
+    # key (candidate_rank << 32) | (position - term_order) — a phrase hit
+    # is a key present for EVERY term, so the per-doc python loop over
+    # np.isin calls (≈100 µs × |cand| docs) collapses into
+    # len(terms)-1 sorted intersections over flat arrays.  Keys are
+    # strictly increasing (docs ascend, positions ascend within a doc),
+    # so intersect1d runs in its assume_unique fast path.  Work is
+    # bounded by the CANDIDATE docs' position counts, not the full lists.
+    survivors: np.ndarray | None = None
+    for j, t in enumerate(ordered_terms):
+        tp = plists[t]
+        flat, offs = tp.flat_positions()
+        idx = np.searchsorted(tp.doc_ids, cand)
+        cnts = offs[idx + 1] - offs[idx]
+        total = int(cnts.sum())
+        out_starts = np.concatenate([[0], np.cumsum(cnts)])[:-1]
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_starts, cnts)
+            + np.repeat(offs[idx], cnts)
+        )
+        pos_vals = flat[gather]
+        keys = (
+            np.repeat(np.arange(cand.size, dtype=np.int64), cnts) << 32
+        ) + (pos_vals - j)
+        if j > 0:
+            keys = keys[pos_vals >= j]  # a phrase cannot start before 0
+        survivors = (
+            keys
+            if survivors is None
+            else np.intersect1d(survivors, keys, assume_unique=True)
+        )
+        if survivors.size == 0:
+            return np.empty(0, dtype=np.int64)
+    return cand[np.unique(survivors >> 32)]
