@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from search_engine_spark.corpus import REFERENCE_QUERIES, generate_transcripts
 from search_engine_spark.index.build import build_index, load_meta
-from search_engine_spark.index.extend import extend_index
+from search_engine_spark.index.extend import compact_segments, extend_index
 from search_engine_spark.index.multi import MultiIndex
 from search_engine_spark.index.reader import CompressedIndex
 from search_engine_spark.session import get_spark
@@ -93,6 +93,13 @@ def main() -> None:
         build_index(spark, delta, f"{d}/seg")
         t_segment = time.time() - t0
 
+        # fold the segments WITHOUT raw text: decode+remap+re-merge index
+        # bytes only (the compaction leg once deltas live as segments)
+        t0 = time.time()
+        compact_segments(spark, [f"{d}/base", f"{d}/seg"], f"{d}/cmp")
+        t_compact = time.time() - t0
+        assert load_meta(f"{d}/cmp")["n_docs"] == load_meta(f"{d}/full")["n_docs"]
+
         multi = MultiIndex(spark, [f"{d}/base", f"{d}/seg"])
         compacted = CompressedIndex(spark, f"{d}/ext")
         assert multi.n_docs == compacted.n_docs == load_meta(f"{d}/full")["n_docs"]
@@ -112,6 +119,7 @@ def main() -> None:
                     "ingest_rebuild_s": round(t_rebuild, 2),
                     "ingest_extend_s": round(t_extend, 2),
                     "ingest_segment_s": round(t_segment, 2),
+                    "compact_segments_s": round(t_compact, 2),
                     "query_multi": q_multi,
                     "query_compacted": q_compacted,
                 }

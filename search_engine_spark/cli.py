@@ -92,6 +92,29 @@ def _open_index(spark, index_arg: str):
     return MultiIndex(spark, roots)
 
 
+def cmd_compact(args: argparse.Namespace) -> None:
+    from .index.build import load_meta
+    from .index.extend import compact_segments
+
+    spark = _spark(args.cores)
+    roots = [p for p in args.segments.split(",") if p]
+    t0 = time.time()
+    compact_segments(spark, roots, args.output)
+    meta = load_meta(args.output)
+    print(
+        json.dumps(
+            {
+                "index": args.output,
+                "compacted_from": roots,
+                "n_docs": meta["n_docs"],
+                "avgdl": round(meta["avgdl"], 3),
+                "order_isomorphic": meta["docid_order_isomorphic"],
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     idx = _open_index(spark, args.index)
@@ -238,6 +261,15 @@ def main(argv: list[str] | None = None) -> None:
     ex.add_argument("--input", required=True, help="delta transcripts (parquet/table:)")
     ex.add_argument("--output", required=True, help="new index root")
     ex.set_defaults(fn=cmd_extend)
+
+    cp = sub.add_parser(
+        "compact", help="fold disjoint index segments into one root (no raw text)"
+    )
+    cp.add_argument(
+        "--segments", required=True, help="comma-separated segment roots"
+    )
+    cp.add_argument("--output", required=True, help="new index root")
+    cp.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
     q.add_argument(

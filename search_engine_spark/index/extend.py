@@ -69,7 +69,7 @@ from .build import (
     write_blocks,
     _fragment_kernel,
 )
-from .codec import varbyte_decode
+from .codec import delta_encode, stream_byte_offsets, varbyte_decode, varbyte_encode
 
 _DOC_EXPLODE_SCHEMA = "conv_rank long, max_turn long"
 
@@ -148,6 +148,216 @@ def _blocks_as_fragments(blocks: DataFrame) -> DataFrame:
         "pos_blob",
         F.when(is_dl, F.col("tf_blob")).otherwise(F.col("dl_blob")).alias("dl_blob"),
     )
+
+
+_TURNS_SCHEMA = "conv_rank long, turn_idx long"
+
+
+def _doclen_turns_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Doclen blob rows → every (conv_rank, turn_idx) the index holds."""
+    for pdf in batches:
+        frames = []
+        for blob in pdf["doc_blob"]:
+            docs = np.cumsum(varbyte_decode(blob).astype(np.int64))
+            frames.append(
+                pd.DataFrame(
+                    {"conv_rank": docs >> TURN_BITS, "turn_idx": docs & TURN_MASK}
+                )
+            )
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"conv_rank": [], "turn_idx": []})
+        )
+
+
+def _is_dl_row(term_v) -> bool:
+    return term_v is None or (isinstance(term_v, float) and np.isnan(term_v))
+
+
+def _remap_kernel(key: tuple, blocks_pdf: pd.DataFrame, map_pdf: pd.DataFrame):
+    """One segment's posting blocks of one group → fragment rows with doc
+    ids rewritten into the compacted global rank space.
+
+    Ranks of both spaces are lexicographic over conv_id, so the remap is
+    monotone and re-encoding is the only work — EXCEPT when the segment
+    itself came from an order-isomorphism-breaking extend; then the
+    stable argsort fallback reorders each posting (and its position byte
+    run) the same way ``build._merge_run`` does."""
+    g = int(key[0])
+    old = map_pdf["old_rank"].to_numpy(dtype=np.int64)
+    new = map_pdf["new_rank"].to_numpy(dtype=np.int64)
+    o = np.argsort(old)
+    old_s, new_s = old[o], new[o]
+    rows: list[tuple] = []
+    for r in blocks_pdf.itertuples(index=False):
+        docs = np.cumsum(varbyte_decode(r.doc_blob).astype(np.int64))
+        ranks = docs >> TURN_BITS
+        turns = docs & TURN_MASK
+        idx = np.searchsorted(old_s, ranks)
+        if ranks.size and (
+            old_s.size == 0
+            or np.any(idx >= old_s.size)
+            or np.any(old_s[np.minimum(idx, old_s.size - 1)] != ranks)
+        ):
+            raise ValueError(
+                "compact_segments: a posting references a conv_rank absent "
+                "from its segment's conv table — the segment is corrupt"
+            )
+        ndocs = (new_s[idx] << TURN_BITS) | turns
+        if _is_dl_row(r.term):
+            # block layout carries the doclen stream in tf_blob
+            dls = varbyte_decode(r.tf_blob).astype(np.int64)
+            if not np.all(ndocs[1:] > ndocs[:-1]):
+                o2 = np.argsort(ndocs, kind="stable")
+                ndocs, dls = ndocs[o2], dls[o2]
+            rows.append(
+                (
+                    None, g, len(ndocs), int(ndocs[0]), int(dls.sum()),
+                    varbyte_encode(delta_encode(ndocs)), None, None,
+                    varbyte_encode(dls.astype(np.uint64)),
+                )
+            )
+            continue
+        tfs = varbyte_decode(r.tf_blob).astype(np.int64)
+        dls = varbyte_decode(r.dl_blob).astype(np.int64)
+        pos = bytes(r.pos_blob)
+        if not np.all(ndocs[1:] > ndocs[:-1]):
+            offs = stream_byte_offsets(pos, tfs)
+            o2 = np.argsort(ndocs, kind="stable")
+            pos = b"".join(pos[offs[i] : offs[i + 1]] for i in o2)
+            ndocs, tfs, dls = ndocs[o2], tfs[o2], dls[o2]
+        rows.append(
+            (
+                r.term, g, len(ndocs), int(ndocs[0]), 0,
+                varbyte_encode(delta_encode(ndocs)),
+                varbyte_encode(tfs.astype(np.uint64)), pos,
+                varbyte_encode(dls.astype(np.uint64)),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "term", "group", "n", "min_doc", "sum_dl",
+            "doc_blob", "tf_blob", "pos_blob", "dl_blob",
+        ],
+    )
+
+
+def compact_segments(
+    spark: SparkSession,
+    roots: list[str],
+    out_dir: str,
+    config: BuildConfig | None = None,
+) -> IndexPaths:
+    """Fold N disjoint index segments into ONE index root — no raw text.
+
+    The compaction leg of the LSM triad (``build_index`` on a delta =
+    O(delta) ingest, ``MultiIndex`` = segmented reads, this = fold):
+    unlike ``extend_index`` it never re-reads the corpus, only index
+    bytes — each segment's posting blocks are decoded, their doc ids
+    rewritten into a single global ``conv_rank`` space, and re-merged
+    through the same salted shuffle a fresh build uses.  Global ranks
+    are lexicographic, so the output is always order-isomorphic: a
+    compaction RESTORES the exact-cut/WAND fast path even when an input
+    segment had lost it.
+
+    Segments must hold disjoint (conv_id, turn_idx) documents — verified
+    here (one pass over the doclen blobs, fail-loud), since a silent
+    duplicate would corrupt merged statistics.  All segments must share
+    num_groups/block_size/turn_bits (the conversation→group hash must
+    agree); use ``extend_index`` to absorb a layout-incompatible delta.
+    """
+    if not roots:
+        raise ValueError("compact_segments needs at least one segment root")
+    metas = [load_meta(r) for r in roots]
+    for r, m in zip(roots, metas):
+        if int(m.get("format_version", 0)) < 5:
+            raise ValueError(f"compact_segments: segment {r} is not format v5")
+        for k in ("num_groups", "block_size", "turn_bits"):
+            if m[k] != metas[0][k]:
+                raise ValueError(
+                    f"compact_segments: segments disagree on {k} "
+                    f"({r}: {m[k]} vs {roots[0]}: {metas[0][k]}) — "
+                    "rebuild or extend instead"
+                )
+    num_groups = int(metas[0]["num_groups"])
+    block_size = int(metas[0]["block_size"])
+    shuffle_partitions = (config or BuildConfig()).shuffle_partitions
+    if os.path.abspath(out_dir) in {os.path.abspath(r) for r in roots}:
+        raise ValueError("compact_segments: out_dir must differ from every segment")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    paths = IndexPaths(out_dir)
+    seg_paths = [IndexPaths(r) for r in roots]
+
+    # -- disjointness: a (conv_id, turn) indexed twice is corruption
+    turns = None
+    for p in seg_paths:
+        segc = spark.read.parquet(p.convs).select("conv_id", "conv_rank")
+        t = (
+            spark.read.parquet(p.doclen)
+            .select("doc_blob")
+            .mapInPandas(_doclen_turns_kernel, schema=_TURNS_SCHEMA)
+            .join(segc, "conv_rank")
+            .select("conv_id", "turn_idx")
+        )
+        turns = t if turns is None else turns.unionByName(t)
+    dup = (
+        turns.groupBy("conv_id", "turn_idx")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        shown = ", ".join(f"({r.conv_id}, {r.turn_idx})" for r in dup)
+        raise ValueError(
+            f"compact_segments: segments overlap on indexed turns (e.g. {shown})"
+            " — segments must hold disjoint documents"
+        )
+
+    # -- one global rank space over the union of conversations
+    all_convs = None
+    for p in seg_paths:
+        c = spark.read.parquet(p.convs).select("conv_id")
+        all_convs = c if all_convs is None else all_convs.unionByName(c)
+    scratch = os.path.join(out_dir, "_convs_scratch")
+    merged = conv_ranks(all_convs.distinct(), num_groups, scratch_dir=scratch)
+    merged.write.mode("overwrite").parquet(paths.convs)
+    shutil.rmtree(scratch, ignore_errors=True)
+    merged = spark.read.parquet(paths.convs)
+
+    # -- remap every segment's blocks into fragments, one merge shuffle
+    frags = None
+    for p in seg_paths:
+        segc = spark.read.parquet(p.convs).select(
+            "conv_id", F.col("conv_rank").alias("old_rank")
+        )
+        mapping = segc.join(merged, "conv_id").select(
+            "group", "old_rank", F.col("conv_rank").alias("new_rank")
+        )
+        f = (
+            spark.read.parquet(p.postings)
+            .groupBy("group")
+            .cogroup(mapping.groupBy("group"))
+            .applyInPandas(_remap_kernel, schema=FRAGMENTS_SCHEMA)
+        )
+        frags = f if frags is None else frags.unionByName(f)
+    write_blocks(frags, paths, shuffle_partitions, block_size)
+    finalize_index(
+        spark,
+        paths,
+        num_groups,
+        block_size,
+        extra_meta={
+            "docid_order_isomorphic": True,
+            "compacted_from": [os.path.abspath(r) for r in roots],
+        },
+        tokenize_metrics=None,
+    )
+    return paths
 
 
 def extend_index(
