@@ -39,6 +39,7 @@ PRIORITY = [
     "transcripts_bm25_batch",  # unsampled in r2
     "transcripts_bm25_incremental",  # new in r3: extend_index parity
     "transcripts_bm25_multi",  # new in r3: LSM segment-read parity
+    "transcripts_bm25_compacted",  # new in r3: blob-level compaction parity
     "mmr_rerank",  # new in r3
     "phrase_doc_score",  # new in r3
     "rank_blend",  # r3: now reads the persisted PageRank artifact
@@ -2102,6 +2103,31 @@ def transcripts_bm25_multi(spark, sf_dir):
     must equal the full-corpus pure-Python oracle."""
     idx = _xs_multi_index(spark)
     return idx.topk("term0003 term0004", "disjunctive", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+@q(
+    "transcripts_bm25_compacted",
+    _transcripts_oracle_sql("term0002 term0005", "disjunctive", 10),
+)
+def transcripts_bm25_compacted(spark, sf_dir):
+    """Blob-level compaction parity: the two segments folded into one
+    root by ``compact_segments`` (index bytes only, global doc-id
+    re-rank — no raw text) must equal the full-corpus oracle."""
+    _xs_multi_index(spark)  # ensures the segment roots exist
+    if "compact_path" not in _XS_INDEX:
+        from .index.extend import compact_segments
+
+        d = _tmpdir("sgs_cmp_")
+        compact_segments(
+            spark, _XS_INDEX["multi_roots"], os.path.join(d, "idx")
+        )
+        _XS_INDEX["compact_path"] = os.path.join(d, "idx")
+    from .index.reader import CompressedIndex
+
+    idx = CompressedIndex(spark, _XS_INDEX["compact_path"])
+    return idx.topk("term0002 term0005", "disjunctive", 10).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 

@@ -101,6 +101,28 @@ def test_batch_matches_per_query(spark, three_segments):
         assert by_q.get(i, []) == _rows(multi, q), q["query_text"]
 
 
+def test_multi_over_extended_segment(spark, xs_pdf, xs_full_index, tmp_path_factory):
+    """Composition: a segment that is itself an order-isomorphism-broken
+    extend output (tie-safe reader) plus a fresh delta segment still
+    answer as one index — per-segment kernels always run with_ties."""
+    from search_engine_spark.index.build import load_meta
+    from search_engine_spark.index.extend import extend_index
+
+    d = tmp_path_factory.mktemp("multi")
+    conv_num = xs_pdf.conv_id.str.slice(5).astype(int)
+    older = xs_pdf[(conv_num % 2 == 0) & (conv_num < 14)]
+    interleave = xs_pdf[(conv_num % 2 == 1) & (conv_num < 14)]
+    fresh = xs_pdf[conv_num >= 14]
+    build_index(spark, _spark_df(spark, older), f"{d}/base", BuildConfig(num_groups=2))
+    extend_index(spark, f"{d}/base", _spark_df(spark, interleave), f"{d}/ext")
+    assert load_meta(f"{d}/ext")["docid_order_isomorphic"] is False
+    build_index(spark, _spark_df(spark, fresh), f"{d}/seg", BuildConfig(num_groups=2))
+    multi = MultiIndex(spark, [f"{d}/ext", f"{d}/seg"])
+    assert multi.n_docs == xs_full_index.n_docs
+    for q in _PROBE_QUERIES:
+        assert _rows(multi, q) == _rows(xs_full_index, q), q["query_text"]
+
+
 def test_rejects_mixed_layout(spark, xs_full_index, three_segments, tmp_path_factory):
     import json
     import shutil
