@@ -14,6 +14,16 @@ Spark-native extensions a transcript pipeline needs:
   ``(high-watermark offset + rank within batch)`` — monotonically
   increasing, stable under replay, persisted in ``stream_state.json``.
 
+* :class:`SegmentStreamIndexer` — the streaming leg of the LSM triad:
+  each micro-batch becomes its OWN conv_rank index segment (the same
+  ``build_index`` a batch build runs, committed atomically by directory
+  rename), instantly queryable through ``MultiIndex`` with exact merged
+  global stats, and folded by ``compact_segments`` when the segment
+  count grows.  Trade vs :class:`IncrementalIndexer`: per-batch cost is
+  a full small build (a few jobs) instead of one fragment append, but
+  the index is LIVE the moment the batch commits — no compaction on the
+  query path.
+
 * :func:`windowed_event_counts` — watermarked tumbling-window
   aggregation over an event stream (late data handled by the
   watermark), the Structured Streaming form of the batch
@@ -147,6 +157,98 @@ class IncrementalIndexer:
             self.config.block_size,
             extra_meta={"docid_scheme": "dense", "source": "streaming"},
         )
+        return index_dir
+
+
+class SegmentStreamIndexer:
+    """Streaming transcript ingestion → one queryable segment per batch.
+
+    Micro-batches must carry disjoint (conv_id, turn_idx) documents
+    across batches (the MultiIndex/compact contract; replayed batches
+    are skipped by the commit marker, so at-least-once delivery is
+    safe).  New turns of an already-segmented conversation are fine —
+    segments hold disjoint documents, not disjoint conversations.
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str, config: BuildConfig | None = None):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.config = config or BuildConfig()
+        self.segments_dir = os.path.join(out_dir, "segments")
+        os.makedirs(self.segments_dir, exist_ok=True)
+
+    def _seg_dir(self, batch_id: int) -> str:
+        return os.path.join(self.segments_dir, f"seg={batch_id}")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: build the batch into its own segment.
+
+        Idempotent: a committed segment (meta.json present — the build's
+        last write) is never rebuilt; a crashed attempt leaves only a
+        ``.tmp`` directory that the retry replaces.  The rename commit
+        is atomic on one filesystem."""
+        import shutil as _sh
+
+        from ..index.build import build_index
+
+        seg = self._seg_dir(batch_id)
+        if os.path.exists(os.path.join(seg, "meta.json")):
+            return  # replayed micro-batch
+        if batch_df.limit(1).count() == 0:
+            return
+        tmp = seg + ".tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        _sh.rmtree(seg, ignore_errors=True)  # stale partial commit
+        build_index(
+            self.spark,
+            batch_df.select("conv_id", "turn_idx", "text"),
+            tmp,
+            self.config,
+        )
+        os.rename(tmp, seg)
+
+    def start(
+        self,
+        input_dir: str,
+        trigger_available_now: bool = True,
+        max_files_per_trigger: int = 4,
+    ):
+        stream = (
+            self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", os.path.join(self.out_dir, "checkpoint")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def segment_roots(self) -> list[str]:
+        """Committed segments, oldest batch first."""
+        out = []
+        for name in sorted(
+            os.listdir(self.segments_dir),
+            key=lambda s: int(s.split("=", 1)[1]) if "=" in s else -1,
+        ):
+            d = os.path.join(self.segments_dir, name)
+            if "=" in name and os.path.exists(os.path.join(d, "meta.json")):
+                out.append(d)
+        return out
+
+    def open(self):
+        """Live read handle over every committed segment."""
+        from ..index.multi import MultiIndex
+
+        return MultiIndex(self.spark, self.segment_roots())
+
+    def compact(self, index_dir: str | None = None) -> str:
+        """Fold all committed segments into one conv_rank root."""
+        from ..index.extend import compact_segments
+
+        index_dir = index_dir or os.path.join(self.out_dir, "index")
+        compact_segments(self.spark, self.segment_roots(), index_dir, self.config)
         return index_dir
 
 

@@ -322,3 +322,73 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     # a's second burst and b's session: closed by watermark timeout
     assert ("a", "2026-01-01 01:00:00", "2026-01-01 01:00:00", 1) in rows
     assert ("b", "2026-01-01 00:05:00", "2026-01-01 00:05:00", 1) in rows
+
+
+def test_segment_stream_indexer(spark, tmp_path_factory, xs_corpus):
+    """Segment-per-batch streaming: live MultiIndex reads equal the
+    oracle with NO compaction step, replay is idempotent, and the
+    segment fold equals the same answers on one root."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.index.reader import CompressedIndex
+    from search_engine_spark.streaming.ingest import SegmentStreamIndexer
+
+    base = tmp_path_factory.mktemp("segstream")
+    inp = base / "incoming"
+    inp.mkdir()
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    third = len(xs_corpus) // 3
+    for i in range(3):
+        part = xs_corpus.iloc[i * third : (i + 1) * third if i < 2 else len(xs_corpus)]
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+            str(inp / f"part{i}.parquet"),
+        )
+
+    ing = SegmentStreamIndexer(spark, str(base / "out"), BuildConfig(num_groups=2))
+    q = ing.start(str(inp), trigger_available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    roots = ing.segment_roots()
+    assert len(roots) == 3  # one live segment per micro-batch
+
+    oracle = build_oracle_index(xs_corpus)
+    probes = [
+        ("term0000", "disjunctive"),
+        ("term0001 term0002", "disjunctive"),
+        ('"phrase alpha beta"', "phrase"),
+    ]
+
+    def check(index):
+        assert index.n_docs == len(xs_corpus)
+        assert index.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+        for qtext, mode in probes:
+            golden = oracle_topk(oracle, qtext, mode, 10)
+            got = index.topk(qtext, mode, 10).collect()
+            assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+                k for k, _s in golden
+            ]
+            for row, (_k, s) in zip(got, golden):
+                assert row["score"] == pytest.approx(s, abs=1e-9)
+
+    # live segmented reads — no compaction ran
+    check(ing.open())
+
+    # replaying a committed batch is a no-op
+    before = sorted(os.listdir(ing.segments_dir))
+    batch0 = spark.read.parquet(str(inp / "part0.parquet"))
+    ing.process_batch(batch0, 0)
+    assert sorted(os.listdir(ing.segments_dir)) == before
+
+    # folding the segments gives one root with the same answers
+    idx_dir = ing.compact()
+    check(CompressedIndex(spark, idx_dir))
