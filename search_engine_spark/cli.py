@@ -115,6 +115,20 @@ def cmd_compact(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_search(args: argparse.Namespace) -> None:
+    """Enriched result page (snippets + suggestions) — /api/search analog."""
+    from .service import search
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    tr = load_transcripts(spark, args.input)
+    t0 = time.time()
+    page = search(idx, tr, args.query, args.mode, args.k, page=args.page)
+    page["seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(page))
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     idx = _open_index(spark, args.index)
@@ -270,6 +284,21 @@ def main(argv: list[str] | None = None) -> None:
     )
     cp.add_argument("--output", required=True, help="new index root")
     cp.set_defaults(fn=cmd_compact)
+
+    se = sub.add_parser(
+        "search", help="enriched result page: top-k + snippets + suggested queries"
+    )
+    se.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    se.add_argument("--input", required=True, help="transcripts (parquet/table:) for text")
+    se.add_argument("--query", required=True)
+    se.add_argument("--mode", default="disjunctive",
+                    choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--page", type=int, default=1)
+    se.set_defaults(fn=cmd_search)
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
     q.add_argument(

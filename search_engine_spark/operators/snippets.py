@@ -26,14 +26,22 @@ def first_hit(terms: list[str]):
     return F.when(pos == big, F.lit(0)).otherwise(pos)
 
 
-def snippets(docs: DataFrame, terms: list[str], width: int = WIDTH) -> DataFrame:
-    """(doc_id, hit_pos, snippet) for docs containing ≥1 query term.
+def snippets(
+    docs: DataFrame,
+    terms: list[str],
+    width: int = WIDTH,
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(*key_cols, hit_pos, snippet) for docs containing ≥1 query term.
 
     snippet = text[max(1, pos-width) : pos+width] with '...' markers when
-    truncated on either side.
+    truncated on either side.  ``key_cols`` lets callers keyed by
+    (conv_id, turn_idx) reuse the same expressions.
     """
     pos = first_hit(terms)
-    d = docs.select("doc_id", "text", pos.alias("hit_pos")).filter(F.col("hit_pos") > 0)
+    d = docs.select(*key_cols, "text", pos.alias("hit_pos")).filter(
+        F.col("hit_pos") > 0
+    )
     start = F.greatest(F.col("hit_pos") - width, F.lit(1))
     frag = F.substring(F.col("text"), start, 2 * width)
     lead = F.when(start > 1, F.lit("...")).otherwise(F.lit(""))
@@ -41,7 +49,7 @@ def snippets(docs: DataFrame, terms: list[str], width: int = WIDTH) -> DataFrame
         (start + 2 * width - 1) < F.length("text"), F.lit("...")
     ).otherwise(F.lit(""))
     return d.select(
-        "doc_id",
+        *key_cols,
         "hit_pos",
         F.concat(lead, frag, tail).alias("snippet"),
     )

@@ -1,0 +1,107 @@
+"""Search service facade — the ``/api/search`` response analog.
+
+The reference's ``QueryService.search`` (QueryService.java:73-188)
+returns an enriched page per request: ranked results with snippets
+(``:1102-1257``), related-query suggestions (``:1498-1540``), and
+pagination.  The engine pieces exist as separate tested operators; this
+module composes them over the transcripts index — single root or LSM
+segments (``CompressedIndex`` / ``MultiIndex`` both serve, same
+surface).
+
+Plan shape per request: ONE index top-k job (fetch ``page*k`` then
+slice — the reference paginates the same ranked list), then one
+broadcast-key join back to the transcripts table for text — the scan is
+pruned by a pushed ``conv_id IN (...)`` filter over at most ``page*k``
+conversations, never a full-corpus read — with the snippet window
+computed by built-in expressions during that same job.  Suggestions are
+driver-side over the ≤5 top snippets (the reference uses result titles;
+transcript turns have none, so the leading words of each top result
+stand in, documented divergence).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.snippets import WIDTH, snippets
+from .operators.suggest import MAX_TITLES, suggested_queries
+
+_TITLE_WORDS = 8  # leading words of a turn standing in for a page title
+
+
+def _raw_terms(query_text: str) -> list[str]:
+    """Lowercased literal query words for snippet locate — the reference
+    highlights the ORIGINAL words, not the stemmed forms (:1102-1257)."""
+    return [w for w in re.split(r"[^0-9a-z]+", query_text.lower()) if w]
+
+
+def search(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    k: int = 10,
+    page: int = 1,
+    width: int = WIDTH,
+) -> dict:
+    """One enriched result page.
+
+    Returns ``{"query", "mode", "page", "results": [{conv_id, turn_idx,
+    score, snippet}], "suggested_queries": [...]}`` — the DataFrame work
+    is two jobs (top-k, then the pruned text join); everything after the
+    ≤ ``page*k``-row collect is driver-side, like the reference's
+    response assembly."""
+    if page < 1:
+        raise ValueError("page is 1-based")
+    deep = index.topk(query_text, mode, page * k)
+    rows = deep.collect()[(page - 1) * k : page * k]
+    if not rows:
+        return {
+            "query": query_text,
+            "mode": mode,
+            "page": page,
+            "results": [],
+            "suggested_queries": [],
+        }
+    convs = sorted({r.conv_id for r in rows})
+    keys = sorted({f"{r.conv_id}\x1f{r.turn_idx}" for r in rows})
+    # conv_id IN (...) reaches the parquet scan (pushed filter); the
+    # exact (conv, turn) pair match runs on the pruned rows
+    hits = transcripts.filter(F.col("conv_id").isin(convs)).filter(
+        F.concat_ws("\x1f", F.col("conv_id"), F.col("turn_idx")).isin(keys)
+    )
+    snip = snippets(
+        hits, _raw_terms(query_text), width=width, key_cols=("conv_id", "turn_idx")
+    )
+    snippet_map = {
+        (r.conv_id, r.turn_idx): r.snippet for r in snip.collect()
+    }
+    results = [
+        {
+            "conv_id": r.conv_id,
+            "turn_idx": r.turn_idx,
+            "score": r.score,
+            "snippet": snippet_map.get((r.conv_id, r.turn_idx), ""),
+        }
+        for r in rows
+    ]
+    titles = []
+    for res in results[:MAX_TITLES]:
+        snip = res["snippet"]
+        if not snip:
+            continue
+        words = snip.strip(".").split()
+        # a leading '...' means the window cut mid-text: the first token
+        # may be a word fragment — drop it so suggestions stay real words
+        if snip.startswith("...") and words:
+            words = words[1:]
+        titles.append(" ".join(words[:_TITLE_WORDS]))
+    return {
+        "query": query_text,
+        "mode": mode,
+        "page": page,
+        "results": results,
+        "suggested_queries": suggested_queries(query_text, titles),
+    }

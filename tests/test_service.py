@@ -1,0 +1,109 @@
+"""Search service facade (service.search): composed /api/search analog.
+
+Results must equal the bare topk ranking; snippets must window the first
+raw-term hit exactly like the standalone snippets operator; suggestions
+follow the Java-port generator; pagination slices the same ranked list.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.config import BuildConfig
+from search_engine_spark.corpus import generate_transcripts
+from search_engine_spark.index.build import build_index
+from search_engine_spark.index.multi import MultiIndex
+from search_engine_spark.index.reader import CompressedIndex
+from search_engine_spark.service import search
+
+
+@pytest.fixture(scope="module")
+def xs_setup(spark, tmp_path_factory):
+    pdf = generate_transcripts("xs")
+    out = str(tmp_path_factory.mktemp("svc") / "idx")
+    tr = spark.createDataFrame(pdf[["conv_id", "turn_idx", "text"]])
+    build_index(spark, tr, out, BuildConfig(num_groups=2))
+    return CompressedIndex(spark, out), tr
+
+
+def test_search_page_matches_topk(spark, xs_setup):
+    idx, tr = xs_setup
+    page = search(idx, tr, "term0001 term0002", k=5)
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in page["results"]]
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9))
+        for r in idx.topk("term0001 term0002", "disjunctive", 5).collect()
+    ]
+    assert got == want
+    assert len(got) == 5
+
+
+def test_search_snippets_window_the_hit(spark, xs_setup):
+    idx, tr = xs_setup
+    page = search(idx, tr, "term0001", k=5)
+    texts = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in tr.filter(
+            tr.conv_id.isin([r["conv_id"] for r in page["results"]])
+        ).collect()
+    }
+    for res in page["results"]:
+        raw = texts[(res["conv_id"], res["turn_idx"])].lower()
+        assert "term0001" in raw
+        assert "term0001" in res["snippet"].lower()
+        core = res["snippet"].strip(".")
+        assert core in texts[(res["conv_id"], res["turn_idx"])]
+
+
+def test_search_pagination_slices_one_ranking(spark, xs_setup):
+    idx, tr = xs_setup
+    p1 = search(idx, tr, "term0001 term0002", k=3, page=1)
+    p2 = search(idx, tr, "term0001 term0002", k=3, page=2)
+    deep = [
+        (r.conv_id, r.turn_idx)
+        for r in idx.topk("term0001 term0002", "disjunctive", 6).collect()
+    ]
+    got = [(r["conv_id"], r["turn_idx"]) for r in p1["results"] + p2["results"]]
+    assert got == deep
+    with pytest.raises(ValueError, match="1-based"):
+        search(idx, tr, "term0001", page=0)
+
+
+def test_search_suggestions_follow_reference_rules(spark, xs_setup):
+    idx, tr = xs_setup
+    page = search(idx, tr, "term0001", k=5)
+    for s in page["suggested_queries"]:
+        assert s.startswith("term0001 ")  # single-word query: append-only form
+        extra = s.split(" ", 1)[1]
+        assert len(extra) > 3 and "term0001" not in extra
+
+
+def test_search_over_segments(spark, xs_setup, tmp_path_factory):
+    """Same surface over an LSM MultiIndex."""
+    _, tr = xs_setup
+    pdf = generate_transcripts("xs")
+    d = tmp_path_factory.mktemp("svc")
+    a = pdf[pdf.conv_id < "conv-000010"]
+    b = pdf[pdf.conv_id >= "conv-000010"]
+    roots = []
+    for name, part in (("a", a), ("b", b)):
+        out = str(d / name)
+        build_index(
+            spark,
+            spark.createDataFrame(part[["conv_id", "turn_idx", "text"]]),
+            out,
+            BuildConfig(num_groups=2),
+        )
+        roots.append(out)
+    multi = MultiIndex(spark, roots)
+    single, _ = xs_setup
+    pm = search(multi, tr, "term0001 term0002", k=5)
+    ps = search(single, tr, "term0001 term0002", k=5)
+    assert pm["results"] == ps["results"]
+    assert pm["suggested_queries"] == ps["suggested_queries"]
+
+
+def test_search_empty_query(spark, xs_setup):
+    idx, tr = xs_setup
+    page = search(idx, tr, "zzzznotaterm")
+    assert page["results"] == [] and page["suggested_queries"] == []
