@@ -123,9 +123,31 @@ class MultiIndex:
             ],
         ).cache()
         self._idf_cache: dict[str, float] = {}
+        from collections import OrderedDict
+
+        self._results: "OrderedDict[tuple, list]" = OrderedDict()
 
     def warm(self) -> None:
         self._convs.count()
+
+    def topk_cached(
+        self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
+    ) -> list:
+        """Collected top-k with the same LRU result cache the single-index
+        reader serves (SearchController.java:33-36 analog) — segments are
+        immutable once committed, so entries never go stale."""
+        from .reader import RESULT_CACHE_SIZE
+
+        key = (query_text, mode, k, algo)
+        hit = self._results.get(key)
+        if hit is not None:
+            self._results.move_to_end(key)
+            return hit
+        rows = self.topk(query_text, mode, k, algo).collect()
+        self._results[key] = rows
+        if len(self._results) > RESULT_CACHE_SIZE:
+            self._results.popitem(last=False)
+        return rows
 
     # -- global statistics -------------------------------------------
 

@@ -101,6 +101,18 @@ def test_batch_matches_per_query(spark, three_segments):
         assert by_q.get(i, []) == _rows(multi, q), q["query_text"]
 
 
+def test_topk_cached_round_trip(spark, three_segments):
+    multi = MultiIndex(spark, three_segments)
+    first = multi.topk_cached("term0001 term0002", "disjunctive", 5)
+    again = multi.topk_cached("term0001 term0002", "disjunctive", 5)
+    assert again is first  # LRU hit, no second job
+    fresh = [
+        (r.conv_id, r.turn_idx, r.score)
+        for r in multi.topk("term0001 term0002", "disjunctive", 5).collect()
+    ]
+    assert [(r.conv_id, r.turn_idx, r.score) for r in first] == fresh
+
+
 def test_multi_over_extended_segment(spark, xs_pdf, xs_full_index, tmp_path_factory):
     """Composition: a segment that is itself an order-isomorphism-broken
     extend output (tie-safe reader) plus a fresh delta segment still
