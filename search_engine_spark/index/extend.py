@@ -74,17 +74,22 @@ from .codec import delta_encode, stream_byte_offsets, varbyte_decode, varbyte_en
 _DOC_EXPLODE_SCHEMA = "conv_rank long, max_turn long"
 
 
+def _decode_doclen_blob(blob) -> tuple[np.ndarray, np.ndarray]:
+    """Doclen doc-id stream (delta+varbyte) → (conv_ranks, turn_idxs)."""
+    docs = np.cumsum(varbyte_decode(blob).astype(np.int64))
+    return docs >> TURN_BITS, docs & TURN_MASK
+
+
 def _doclen_max_turn_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Doclen blob rows → per-conversation max indexed turn.
 
-    Decodes each group's doc-id stream (delta+varbyte) and reduces to one
-    row per conv_rank — output is |conversations| rows, not |docs|."""
+    Reduces docs → conversations INSIDE the kernel so the downstream
+    shuffle carries |conversations| rows, not |docs| (the turns kernel
+    below exists for consumers that need every row)."""
     for pdf in batches:
         frames = []
         for blob in pdf["doc_blob"]:
-            docs = np.cumsum(varbyte_decode(blob).astype(np.int64))
-            ranks = docs >> TURN_BITS
-            turns = docs & TURN_MASK
+            ranks, turns = _decode_doclen_blob(blob)
             s = pd.Series(turns).groupby(ranks).max()
             frames.append(pd.DataFrame({"conv_rank": s.index, "max_turn": s.values}))
         yield (
@@ -158,12 +163,8 @@ def _doclen_turns_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     for pdf in batches:
         frames = []
         for blob in pdf["doc_blob"]:
-            docs = np.cumsum(varbyte_decode(blob).astype(np.int64))
-            frames.append(
-                pd.DataFrame(
-                    {"conv_rank": docs >> TURN_BITS, "turn_idx": docs & TURN_MASK}
-                )
-            )
+            ranks, turns = _decode_doclen_blob(blob)
+            frames.append(pd.DataFrame({"conv_rank": ranks, "turn_idx": turns}))
         yield (
             pd.concat(frames, ignore_index=True)
             if frames
@@ -274,6 +275,12 @@ def compact_segments(
     for r, m in zip(roots, metas):
         if int(m.get("format_version", 0)) < 5:
             raise ValueError(f"compact_segments: segment {r} is not format v5")
+        if m.get("docid_scheme", "dense") != "conv_rank":
+            raise ValueError(
+                f"compact_segments: segment {r} uses doc-id scheme "
+                f"{m.get('docid_scheme')!r}; segments must be conv_rank "
+                "batch builds (dense streaming indexes have no conv table)"
+            )
         for k in ("num_groups", "block_size", "turn_bits"):
             if m[k] != metas[0][k]:
                 raise ValueError(
@@ -383,6 +390,12 @@ def extend_index(
             f"v{meta.get('format_version')}; extend requires v5 "
             "(inline dl_blob) — rebuild once"
         )
+    if meta.get("docid_scheme", "dense") != "conv_rank":
+        raise ValueError(
+            f"extend_index: index at {index_root} uses doc-id scheme "
+            f"{meta.get('docid_scheme')!r}; extend requires a conv_rank "
+            "batch build (dense streaming indexes carry no conv table)"
+        )
     num_groups = int(meta["num_groups"])
     block_size = int(meta["block_size"])
     shuffle_partitions = (config or BuildConfig()).shuffle_partitions
@@ -397,7 +410,10 @@ def extend_index(
     paths = IndexPaths(out_dir)
 
     old_convs = spark.read.parquet(old_paths.convs)
-    delta_convs = delta.select("conv_id").distinct()
+    # the delta's distinct conv set feeds ~5 downstream jobs (overlap
+    # check, rank counts, rank assignment, the tokenize join) — persist
+    # it once instead of re-scanning the delta per consumer
+    delta_convs = delta.select("conv_id").distinct().persist()
     known = delta_convs.join(old_convs, "conv_id").select(
         "conv_id", "conv_rank", "group"
     )
@@ -446,6 +462,7 @@ def extend_index(
     write_blocks(
         delta_frags.unionByName(old_frags), paths, shuffle_partitions, block_size
     )
+    delta_convs.unpersist()
 
     # meta/idf/doclen/lineage all derive from the merged blocks (same
     # code path as a fresh build — no incremental-stats special case to

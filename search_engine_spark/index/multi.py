@@ -45,8 +45,12 @@ from .reader import (
     BATCH_RESULT_SCHEMA,
     RESULT_SCHEMA,
     CompressedIndex,
+    _batch_term_sets,
+    _lru_topk,
     _make_batch_kernel,
     _make_group_kernel,
+    _parse_batch,
+    _rank_per_query,
     parse_query,
 )
 
@@ -133,21 +137,9 @@ class MultiIndex:
     def topk_cached(
         self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
     ) -> list:
-        """Collected top-k with the same LRU result cache the single-index
-        reader serves (SearchController.java:33-36 analog) — segments are
-        immutable once committed, so entries never go stale."""
-        from .reader import RESULT_CACHE_SIZE
-
-        key = (query_text, mode, k, algo)
-        hit = self._results.get(key)
-        if hit is not None:
-            self._results.move_to_end(key)
-            return hit
-        rows = self.topk(query_text, mode, k, algo).collect()
-        self._results[key] = rows
-        if len(self._results) > RESULT_CACHE_SIZE:
-            self._results.popitem(last=False)
-        return rows
+        """Collected top-k through the shared LRU result cache — committed
+        segments are immutable, so entries never go stale."""
+        return _lru_topk(self, query_text, mode, k, algo)
 
     # -- global statistics -------------------------------------------
 
@@ -240,22 +232,13 @@ class MultiIndex:
         """Batched top-k across all segments in ONE job →
         DataFrame(query_id, conv_id, turn_idx, score); row-identical to
         per-query :meth:`topk` (pinned by tests)."""
-        from pyspark.sql.window import Window
-
-        parsed = [
-            (parse_query(q[0], q[1]), (q[2] if len(q) > 2 else k)) for q in queries
-        ]
-        specs = [(i, s, kk) for i, (s, kk) in enumerate(parsed) if s is not None]
+        specs = _parse_batch(queries, k)
         empty = self.spark.createDataFrame(
             [], "query_id int, conv_id string, turn_idx int, score double"
         )
         if not specs:
             return empty
-        fetch_terms: set[str] = set()
-        score_terms: set[str] = set()
-        for _, s, _ in specs:
-            fetch_terms |= set(s.score_terms) | set(s.phrase_a or []) | set(s.phrase_b or [])
-            score_terms |= set(s.score_terms)
+        fetch_terms, score_terms = _batch_term_sets(specs)
         merged_idf = self.idf_map(sorted(score_terms))
         idfs = [{t: merged_idf[t] for t in s.score_terms} for _, s, _ in specs]
         kernel = _make_batch_kernel(
@@ -272,23 +255,4 @@ class MultiIndex:
             .groupBy("seg", "group")
             .applyInPandas(_with_seg(kernel), schema="seg int, " + BATCH_RESULT_SCHEMA)
         )
-        labeled = self._label(cand, extra=("query_id",))
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
-        )
-        ks_df = F.create_map(
-            *[x for pos, (_, _, kk) in enumerate(specs) for x in (F.lit(pos), F.lit(kk))]
-        )
-        qid_map = F.create_map(
-            *[x for pos, (i, _, _) in enumerate(specs) for x in (F.lit(pos), F.lit(i))]
-        )
-        return (
-            labeled.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= ks_df[F.col("query_id")])
-            .select(
-                qid_map[F.col("query_id")].cast("int").alias("query_id"),
-                "conv_id",
-                "turn_idx",
-                "score",
-            )
-        )
+        return _rank_per_query(self._label(cand, extra=("query_id",)), specs)

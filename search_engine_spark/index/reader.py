@@ -75,6 +75,72 @@ def parse_query(query_text: str, mode: str) -> QuerySpec | None:
     return QuerySpec(mode, sorted(set(terms)))
 
 
+def _parse_batch(
+    queries: list[tuple], default_k: int
+) -> list[tuple[int, QuerySpec, int]]:
+    """(query_text, mode[, k]) list → [(caller_index, spec, k)] for the
+    parseable queries — shared by both readers' batch paths."""
+    parsed = [
+        (parse_query(q[0], q[1]), (q[2] if len(q) > 2 else default_k)) for q in queries
+    ]
+    return [(i, s, kk) for i, (s, kk) in enumerate(parsed) if s is not None]
+
+
+def _batch_term_sets(specs: list[tuple[int, QuerySpec, int]]) -> tuple[set, set]:
+    fetch_terms: set[str] = set()
+    score_terms: set[str] = set()
+    for _, s, _ in specs:
+        fetch_terms |= set(s.score_terms) | set(s.phrase_a or []) | set(s.phrase_b or [])
+        score_terms |= set(s.score_terms)
+    return fetch_terms, score_terms
+
+
+def _rank_per_query(labeled: DataFrame, specs: list[tuple[int, QuerySpec, int]]) -> DataFrame:
+    """Candidate rows (query_id, conv_id, turn_idx, score) → per-query
+    top-k via a query_id-partitioned rank (WindowGroupLimit: partial
+    per-partition top-k before the exchange, never one global task).
+    The kernel emits qid = POSITION in the specs list; map position →
+    that query's k for the rank filter, and position → the caller's
+    original list index for the output."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+    )
+    ks_df = F.create_map(
+        *[x for pos, (_, _, kk) in enumerate(specs) for x in (F.lit(pos), F.lit(kk))]
+    )
+    qid_map = F.create_map(
+        *[x for pos, (i, _, _) in enumerate(specs) for x in (F.lit(pos), F.lit(i))]
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ks_df[F.col("query_id")])
+        .select(
+            qid_map[F.col("query_id")].cast("int").alias("query_id"),
+            "conv_id",
+            "turn_idx",
+            "score",
+        )
+    )
+
+
+def _lru_topk(index, query_text: str, mode: str, k: int, algo: str) -> list:
+    """Collected top-k through the index's 500-entry LRU result cache
+    (SearchController.java:33-36 analog, minus the TTL — indexes and
+    committed segments are immutable)."""
+    key = (query_text, mode, k, algo)
+    hit = index._results.get(key)
+    if hit is not None:
+        index._results.move_to_end(key)
+        return hit
+    rows = index.topk(query_text, mode, k, algo).collect()
+    index._results[key] = rows
+    if len(index._results) > RESULT_CACHE_SIZE:
+        index._results.popitem(last=False)
+    return rows
+
+
 class CompressedIndex:
     """Reader over an index directory produced by :class:`IndexBuilder`."""
 
@@ -196,19 +262,8 @@ class CompressedIndex:
     def topk_cached(
         self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
     ) -> list:
-        """Collected top-k with an LRU result cache — the reference's
-        500-entry search cache analog (SearchController.java:33-36, minus
-        the TTL: the index is immutable once built)."""
-        key = (query_text, mode, k, algo)
-        hit = self._results.get(key)
-        if hit is not None:
-            self._results.move_to_end(key)
-            return hit
-        rows = self.topk(query_text, mode, k, algo).collect()
-        self._results[key] = rows
-        if len(self._results) > RESULT_CACHE_SIZE:
-            self._results.popitem(last=False)
-        return rows
+        """Collected top-k with an LRU result cache (see :func:`_lru_topk`)."""
+        return _lru_topk(self, query_text, mode, k, algo)
 
     def topk(
         self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
@@ -258,27 +313,16 @@ class CompressedIndex:
         that the wrong unit, so the batch path prunes the postings scan
         to the UNION of all queries' term buckets, decodes each group's
         posting blocks once, scores every query against them in the same
-        cogroup kernel pass, and takes per-query top-k with a
-        query_id-partitioned rank (WindowGroupLimit: per-partition
-        partial top-k before the exchange, never a single-task global
-        window).  Results are row-identical to calling :meth:`topk` per
-        query (pinned by tests)."""
-        from pyspark.sql.window import Window
-
-        parsed = [
-            (parse_query(q[0], q[1]), (q[2] if len(q) > 2 else k)) for q in queries
-        ]
-        specs = [(i, s, kk) for i, (s, kk) in enumerate(parsed) if s is not None]
+        cogroup kernel pass, and takes per-query top-k via
+        :func:`_rank_per_query`.  Results are row-identical to calling
+        :meth:`topk` per query (pinned by tests)."""
+        specs = _parse_batch(queries, k)
         empty = self.spark.createDataFrame(
             [], "query_id int, conv_id string, turn_idx int, score double"
         )
         if not specs:
             return empty
-        fetch_terms: set[str] = set()
-        score_terms: set[str] = set()
-        for _, s, _ in specs:
-            fetch_terms |= set(s.score_terms) | set(s.phrase_a or []) | set(s.phrase_b or [])
-            score_terms |= set(s.score_terms)
+        fetch_terms, score_terms = _batch_term_sets(specs)
         merged_idf = self.idf_map(sorted(score_terms))
         idfs = [{t: merged_idf[t] for t in s.score_terms} for _, s, _ in specs]
         kernel = _make_batch_kernel(
@@ -292,29 +336,7 @@ class CompressedIndex:
         )
         post = self.postings_df(sorted(fetch_terms))
         cand = post.groupBy("group").applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
-        labeled = self._label(cand, extra=("query_id",))
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
-        )
-        # the kernel emits qid = POSITION in the specs list; map position
-        # → that query's k for the rank filter, and position → the
-        # caller's original list index for the output
-        ks_df = F.create_map(
-            *[x for pos, (_, _, kk) in enumerate(specs) for x in (F.lit(pos), F.lit(kk))]
-        )
-        qid_map = F.create_map(
-            *[x for pos, (i, _, _) in enumerate(specs) for x in (F.lit(pos), F.lit(i))]
-        )
-        return (
-            labeled.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= ks_df[F.col("query_id")])
-            .select(
-                qid_map[F.col("query_id")].cast("int").alias("query_id"),
-                "conv_id",
-                "turn_idx",
-                "score",
-            )
-        )
+        return _rank_per_query(self._label(cand, extra=("query_id",)), specs)
 
 
 def _score_spec(

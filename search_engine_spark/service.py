@@ -31,9 +31,23 @@ from .operators.suggest import MAX_TITLES, suggested_queries
 _TITLE_WORDS = 8  # leading words of a turn standing in for a page title
 
 
-def _raw_terms(query_text: str) -> list[str]:
+def _raw_terms(query_text: str, mode: str = "disjunctive") -> list[str]:
     """Lowercased literal query words for snippet locate — the reference
-    highlights the ORIGINAL words, not the stemmed forms (:1102-1257)."""
+    highlights the ORIGINAL words, not the stemmed forms (:1102-1257).
+
+    Mode-aware: boolean operator tokens never enter the locate set (the
+    substring ``locate`` would center snippets on 'and' inside
+    'standard'), and for a NOT query only the left phrase's words are
+    highlighted — results must not contain the right phrase."""
+    if mode in ("phrase", "boolean"):
+        from .oracle import OPERATOR_PATTERN, PHRASE_PATTERN
+
+        phrases = PHRASE_PATTERN.findall(query_text)
+        if phrases:
+            m = OPERATOR_PATTERN.search(query_text)
+            if mode == "boolean" and m and m.group(1) == "NOT":
+                phrases = phrases[:1]
+            query_text = " ".join(phrases)
     return [w for w in re.split(r"[^0-9a-z]+", query_text.lower()) if w]
 
 
@@ -73,7 +87,10 @@ def search(
         F.concat_ws("\x1f", F.col("conv_id"), F.col("turn_idx")).isin(keys)
     )
     snip = snippets(
-        hits, _raw_terms(query_text), width=width, key_cols=("conv_id", "turn_idx")
+        hits,
+        _raw_terms(query_text, mode),
+        width=width,
+        key_cols=("conv_id", "turn_idx"),
     )
     snippet_map = {
         (r.conv_id, r.turn_idx): r.snippet for r in snip.collect()

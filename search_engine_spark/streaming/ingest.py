@@ -226,14 +226,19 @@ class SegmentStreamIndexer:
         return writer.start()
 
     def segment_roots(self) -> list[str]:
-        """Committed segments, oldest batch first."""
+        """Committed segments, oldest batch first.
+
+        Only ``seg=<id>`` directories count — in-flight ``.tmp`` builds
+        and crashed leftovers are invisible to readers."""
+        import re
+
         out = []
         for name in sorted(
-            os.listdir(self.segments_dir),
-            key=lambda s: int(s.split("=", 1)[1]) if "=" in s else -1,
+            (n for n in os.listdir(self.segments_dir) if re.fullmatch(r"seg=\d+", n)),
+            key=lambda s: int(s.split("=", 1)[1]),
         ):
             d = os.path.join(self.segments_dir, name)
-            if "=" in name and os.path.exists(os.path.join(d, "meta.json")):
+            if os.path.exists(os.path.join(d, "meta.json")):
                 out.append(d)
         return out
 

@@ -107,3 +107,14 @@ def test_search_empty_query(spark, xs_setup):
     idx, tr = xs_setup
     page = search(idx, tr, "zzzznotaterm")
     assert page["results"] == [] and page["suggested_queries"] == []
+
+
+def test_boolean_snippets_ignore_operator_words(spark, xs_setup):
+    """'AND' must not enter the snippet locator (substring locate would
+    center windows on 'and' inside unrelated words)."""
+    idx, tr = xs_setup
+    page = search(idx, tr, '"alpha" AND "beta"', mode="boolean", k=5)
+    assert page["results"]
+    for res in page["results"]:
+        s = res["snippet"].lower()
+        assert "alpha" in s or "beta" in s

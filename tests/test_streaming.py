@@ -392,3 +392,17 @@ def test_segment_stream_indexer(spark, tmp_path_factory, xs_corpus):
     # folding the segments gives one root with the same answers
     idx_dir = ing.compact()
     check(CompressedIndex(spark, idx_dir))
+
+
+def test_segment_roots_ignores_tmp_and_junk(spark, tmp_path_factory):
+    """In-flight .tmp builds and stray files must be invisible to readers
+    (a crashed attempt used to crash the sort key)."""
+    from search_engine_spark.streaming.ingest import SegmentStreamIndexer
+
+    out = str(tmp_path_factory.mktemp("segjunk") / "out")
+    ing = SegmentStreamIndexer(spark, out, BuildConfig(num_groups=2))
+    os.makedirs(os.path.join(ing.segments_dir, "seg=3.tmp"))
+    os.makedirs(os.path.join(ing.segments_dir, "seg=1"))  # no meta.json yet
+    with open(os.path.join(ing.segments_dir, "stray.txt"), "w") as f:
+        f.write("x")
+    assert ing.segment_roots() == []
