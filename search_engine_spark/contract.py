@@ -40,6 +40,7 @@ PRIORITY = [
     "transcripts_bm25_incremental",  # new in r3: extend_index parity
     "transcripts_bm25_multi",  # new in r3: LSM segment-read parity
     "transcripts_bm25_compacted",  # new in r3: blob-level compaction parity
+    "transcripts_match_count",  # new in r3: totalResults pagination parity
     "mmr_rerank",  # new in r3
     "phrase_doc_score",  # new in r3
     "rank_blend",  # r3: now reads the persisted PageRank artifact
@@ -2130,6 +2131,40 @@ def transcripts_bm25_compacted(spark, sf_dir):
     return idx.topk("term0002 term0005", "disjunctive", 10).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
+
+
+_COUNT_QUERIES = [
+    ("term0001 term0002", "disjunctive"),
+    ("term0001 term0002", "conjunctive"),
+    ('"phrase alpha beta"', "phrase"),
+    ('"alpha" AND "beta"', "boolean"),
+    ('"alpha" NOT "beta"', "boolean"),
+]
+
+
+def _match_count_oracle_sql() -> str:
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_match_count
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    values = ",\n  ".join(
+        f"({i}, {oracle_match_count(idx, q, m)})"
+        for i, (q, m) in enumerate(_COUNT_QUERIES)
+    )
+    return (
+        "SELECT query_id, total FROM (VALUES\n  "
+        f"{values}\n) t(query_id, total)"
+    )
+
+
+@q("transcripts_match_count", _match_count_oracle_sql())
+def transcripts_match_count(spark, sf_dir):
+    """totalResults pagination parity (QueryService serves the total on
+    every /api/search response): the engine's grouped candidate count
+    must equal the pure-Python oracle across all four query modes."""
+    idx = _xs_index(spark)
+    rows = [(i, idx.match_count(qt, m)) for i, (qt, m) in enumerate(_COUNT_QUERIES)]
+    return spark.createDataFrame(rows, "query_id int, total long")
 
 
 def flagship(spark: SparkSession) -> DataFrame:

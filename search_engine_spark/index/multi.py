@@ -223,6 +223,29 @@ class MultiIndex:
             .limit(k)
         )
 
+    def match_count(self, query_text: str, mode: str = "disjunctive") -> int:
+        """Total matching documents across all segments (totalResults
+        analog) — per-(seg, group) counts sum because segments and
+        groups hold disjoint documents."""
+        from .reader import _make_count_kernel
+
+        spec = parse_query(query_text, mode)
+        if spec is None:
+            return 0
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        kernel = _make_count_kernel(spec, idf, self.avgdl)
+        row = (
+            self._postings(fetch_terms)
+            .groupBy("seg", "group")
+            .applyInPandas(_with_seg(kernel), schema="seg int, n long")
+            .agg(F.sum("n"))
+            .collect()[0]
+        )
+        return int(row[0] or 0)
+
     def topk_batch(
         self,
         queries: list[tuple[str, str] | tuple[str, str, int]],

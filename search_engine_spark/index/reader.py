@@ -298,6 +298,28 @@ class CompressedIndex:
             .limit(k)
         )
 
+    def match_count(self, query_text: str, mode: str = "disjunctive") -> int:
+        """Total matching documents (the reference's totalResults field,
+        served by every /api/search response for pagination): size of
+        the candidate set :meth:`topk` ranks, via one grouped count pass
+        over the same bucket-pruned postings scan."""
+        spec = parse_query(query_text, mode)
+        if spec is None:
+            return 0
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        kernel = _make_count_kernel(spec, idf, self.avgdl)
+        post = self.postings_df(fetch_terms)
+        row = (
+            post.groupBy("group")
+            .applyInPandas(kernel, schema="n long")
+            .agg(F.sum("n"))
+            .collect()[0]
+        )
+        return int(row[0] or 0)
+
     def topk_batch(
         self,
         queries: list[tuple[str, str] | tuple[str, str, int]],
@@ -390,6 +412,41 @@ def _score_spec(
     return exact_topk(
         score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
     )
+
+
+def _count_spec(spec: QuerySpec, idf: dict[str, float], plists: dict) -> int:
+    """Matching-doc count for one group — the candidate set top-k draws
+    from (totalResults analog); groups hold disjoint docs, so counts sum."""
+    score_lists = {t: p for t, p in plists.items() if t in idf}
+    if spec.mode == "disjunctive":
+        arrs = [p.doc_ids for p in score_lists.values()]
+        return int(np.unique(np.concatenate(arrs)).size) if arrs else 0
+    if spec.mode == "conjunctive":
+        need = {t: plists[t] for t in spec.score_terms if t in plists}
+        if len(need) < len(spec.score_terms):
+            return 0
+        return int(conjunctive_candidates(need).size)
+    if spec.mode == "phrase":
+        return int(phrase_candidates(spec.phrase_a or [], plists).size)
+    la = phrase_candidates(spec.phrase_a or [], plists)
+    rb = phrase_candidates(spec.phrase_b or [], plists)
+    if spec.bool_op == "AND":
+        return int(np.intersect1d(la, rb, assume_unique=True).size)
+    if spec.bool_op == "OR":
+        return int(np.union1d(la, rb).size)
+    return int(np.setdiff1d(la, rb, assume_unique=True).size)
+
+
+def _make_count_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float):
+    def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(post_pdf) == 0:
+            return pd.DataFrame({"n": pd.array([0], dtype="int64")})
+        plists = _build_plists(post_pdf, idf, avgdl)
+        return pd.DataFrame(
+            {"n": pd.array([_count_spec(spec, idf, plists)], dtype="int64")}
+        )
+
+    return kernel
 
 
 def _build_plists(post_pdf: pd.DataFrame, idf: dict[str, float], avgdl: float) -> dict:

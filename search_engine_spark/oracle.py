@@ -181,6 +181,38 @@ def _boolean_topk(index: OracleIndex, query_text: str, k: int) -> list[tuple[Doc
     return _topk(_score_candidates(index, terms, docs), k)
 
 
+def oracle_match_count(
+    index: OracleIndex, query_text: str, mode: str = "disjunctive"
+) -> int:
+    """Total matching documents for one query — the candidate set the
+    ranked page is drawn from (the reference's totalResults /
+    totalPages field, QueryService.java pagination)."""
+    if mode == "boolean":
+        op_match = OPERATOR_PATTERN.search(query_text)
+        phrases = PHRASE_PATTERN.findall(query_text)
+        if not op_match or len(phrases) != 2:
+            raise ValueError(f"invalid boolean query: {query_text!r}")
+        op = op_match.group(1)
+        ldocs = _phrase_match_docs(index, analyze_text(phrases[0]))
+        rdocs = _phrase_match_docs(index, analyze_text(phrases[1]))
+        return len(
+            ldocs & rdocs if op == "AND" else ldocs | rdocs if op == "OR" else ldocs - rdocs
+        )
+    if mode == "phrase":
+        phrase = PHRASE_PATTERN.search(query_text)
+        text = phrase.group(1) if phrase else query_text
+        return len(_phrase_match_docs(index, analyze_text(text)))
+    terms = analyze_query(query_text)
+    if not terms:
+        return 0
+    if mode == "conjunctive":
+        sets = [
+            {key for key, _f, _p in index.postings.get(t, [])} for t in set(terms)
+        ]
+        return len(set.intersection(*sets)) if sets else 0
+    return len(_score_candidates(index, terms, None))
+
+
 def golden_stats(index: OracleIndex) -> dict:
     return {
         "n_docs": index.n_docs,

@@ -59,6 +59,7 @@ def search(
     k: int = 10,
     page: int = 1,
     width: int = WIDTH,
+    include_total: bool = True,
 ) -> dict:
     """One enriched result page.
 
@@ -71,6 +72,12 @@ def search(
         raise ValueError("page is 1-based")
     deep = index.topk(query_text, mode, page * k)
     rows = deep.collect()[(page - 1) * k : page * k]
+    totals = {}
+    if include_total:
+        # totalResults/totalPages, served on every reference response
+        # (QueryService pagination) — one grouped count pass
+        total = index.match_count(query_text, mode)
+        totals = {"total_results": total, "total_pages": -(-total // k)}
     if not rows:
         return {
             "query": query_text,
@@ -78,6 +85,7 @@ def search(
             "page": page,
             "results": [],
             "suggested_queries": [],
+            **totals,
         }
     convs = sorted({r.conv_id for r in rows})
     keys = sorted({f"{r.conv_id}\x1f{r.turn_idx}" for r in rows})
@@ -121,4 +129,5 @@ def search(
         "page": page,
         "results": results,
         "suggested_queries": suggested_queries(query_text, titles),
+        **totals,
     }

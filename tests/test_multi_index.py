@@ -151,3 +151,22 @@ def test_rejects_mixed_layout(spark, xs_full_index, three_segments, tmp_path_fac
         json.dump(meta, f)
     with pytest.raises(ValueError, match="turn_bits"):
         MultiIndex(spark, [xs_full_index.paths.root, d])
+
+
+def test_match_count_matches_oracle(spark, xs_pdf, xs_full_index, three_segments):
+    from search_engine_spark.oracle import build_oracle_index, oracle_match_count
+
+    oracle = build_oracle_index(xs_pdf)
+    multi = MultiIndex(spark, three_segments)
+    probes = [
+        ("term0001 term0002", "disjunctive"),
+        ("term0001 term0002", "conjunctive"),
+        ('"phrase alpha beta"', "phrase"),
+        ('"alpha" AND "beta"', "boolean"),
+        ('"alpha" NOT "beta"', "boolean"),
+        ("zzznotaterm", "disjunctive"),
+    ]
+    for qt, mode in probes:
+        want = oracle_match_count(oracle, qt, mode)
+        assert xs_full_index.match_count(qt, mode) == want, (qt, mode)
+        assert multi.match_count(qt, mode) == want, (qt, mode)

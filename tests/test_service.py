@@ -118,3 +118,17 @@ def test_boolean_snippets_ignore_operator_words(spark, xs_setup):
     for res in page["results"]:
         s = res["snippet"].lower()
         assert "alpha" in s or "beta" in s
+
+
+def test_search_totals_pagination(spark, xs_setup):
+    from search_engine_spark.corpus import generate_transcripts
+    from search_engine_spark.oracle import build_oracle_index, oracle_match_count
+
+    idx, tr = xs_setup
+    oracle = build_oracle_index(generate_transcripts("xs"))
+    page = search(idx, tr, "term0001 term0002", k=7)
+    want = oracle_match_count(oracle, "term0001 term0002")
+    assert page["total_results"] == want
+    assert page["total_pages"] == -(-want // 7)
+    lean = search(idx, tr, "term0001 term0002", k=7, include_total=False)
+    assert "total_results" not in lean
