@@ -189,18 +189,14 @@ def cmd_bench(_args: argparse.Namespace) -> None:
     runpy.run_module("bench", run_name="__main__")
 
 
-def cmd_stats(args: argparse.Namespace) -> None:
-    """Index status — the /index-status + /api/indexer/stats analog
-    (ReindexController.java:106-155, IndexController.java:41-233)."""
+def _one_index_stats(spark, root: str) -> dict:
     from pyspark.sql import functions as F
 
     from .index.build import load_meta
     from .index.reader import CompressedIndex
 
-    spark = _spark(args.cores)
-    idx = CompressedIndex(spark, args.index)
-    blocks = idx._postings
-    agg = blocks.filter(F.col("bucket") >= 0).agg(
+    idx = CompressedIndex(spark, root)
+    agg = idx._postings.filter(F.col("bucket") >= 0).agg(
         F.countDistinct("term").alias("n_terms"),
         F.sum("n").alias("n_postings"),
         F.count("*").alias("n_blocks"),
@@ -210,15 +206,44 @@ def cmd_stats(args: argparse.Namespace) -> None:
         ).alias("compressed_bytes"),
     ).collect()[0]
     lineage = [r.asDict() for r in spark.read.parquet(idx.paths.lineage).collect()]
+    return {
+        "meta": load_meta(root),
+        "n_terms": int(agg["n_terms"] or 0),
+        "n_postings": int(agg["n_postings"] or 0),
+        "n_blocks": int(agg["n_blocks"] or 0),
+        "compressed_bytes": int(agg["compressed_bytes"] or 0),
+        "lineage": lineage,
+    }
+
+
+def cmd_stats(args: argparse.Namespace) -> None:
+    """Index status — the /index-status + /api/indexer/stats analog
+    (ReindexController.java:106-155, IndexController.java:41-233).
+    Comma-separated roots report per-segment stats plus the merged view
+    MultiIndex would serve (n_terms is per-segment-distinct; the other
+    totals sum exactly)."""
+    spark = _spark(args.cores)
+    roots = [p for p in args.index.split(",") if p]
+    if len(roots) == 1:
+        print(json.dumps(_one_index_stats(spark, roots[0])))
+        return
+    from .index.multi import MultiIndex
+
+    multi = MultiIndex(spark, roots)
+    segs = [_one_index_stats(spark, r) for r in roots]
     print(
         json.dumps(
             {
-                "meta": load_meta(args.index),
-                "n_terms": int(agg["n_terms"] or 0),
-                "n_postings": int(agg["n_postings"] or 0),
-                "n_blocks": int(agg["n_blocks"] or 0),
-                "compressed_bytes": int(agg["compressed_bytes"] or 0),
-                "lineage": lineage,
+                "n_docs": multi.n_docs,
+                "avgdl": round(multi.avgdl, 3),
+                "n_segments": len(roots),
+                "n_postings": sum(s["n_postings"] for s in segs),
+                "n_blocks": sum(s["n_blocks"] for s in segs),
+                "compressed_bytes": sum(s["compressed_bytes"] for s in segs),
+                "segments": [
+                    {"root": r, **{k: s[k] for k in ("n_terms", "n_postings", "n_blocks", "compressed_bytes")}}
+                    for r, s in zip(roots, segs)
+                ],
             }
         )
     )
