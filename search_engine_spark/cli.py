@@ -79,6 +79,24 @@ def cmd_extend(args: argparse.Namespace) -> None:
     )
 
 
+def _load_tombstones(path: str | None) -> list | None:
+    """JSONL of {"conv_id": ...} (whole conversation) or
+    {"conv_id": ..., "turn_idx": N} (one turn) → tombstone items."""
+    if not path:
+        return None
+    items: list = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            items.append(
+                d["conv_id"] if d.get("turn_idx") is None
+                else (d["conv_id"], int(d["turn_idx"]))
+            )
+    return items
+
+
 def _open_index(spark, index_arg: str):
     """One root → CompressedIndex; comma-separated roots → MultiIndex
     (LSM read path over base + delta segments)."""
@@ -99,7 +117,9 @@ def cmd_compact(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     roots = [p for p in args.segments.split(",") if p]
     t0 = time.time()
-    compact_segments(spark, roots, args.output)
+    compact_segments(
+        spark, roots, args.output, tombstones=_load_tombstones(args.tombstones)
+    )
     meta = load_meta(args.output)
     print(
         json.dumps(
@@ -133,7 +153,10 @@ def cmd_query(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     idx = _open_index(spark, args.index)
     t0 = time.time()
-    rows = idx.topk(args.query, args.mode, args.k, algo=args.algo).collect()
+    rows = idx.topk(
+        args.query, args.mode, args.k, algo=args.algo,
+        tombstones=_load_tombstones(args.tombstones),
+    ).collect()
     print(
         json.dumps(
             {
@@ -308,6 +331,10 @@ def main(argv: list[str] | None = None) -> None:
         "--segments", required=True, help="comma-separated segment roots"
     )
     cp.add_argument("--output", required=True, help="new index root")
+    cp.add_argument(
+        "--tombstones",
+        help="JSONL of {conv_id[, turn_idx]} rows to delete physically",
+    )
     cp.set_defaults(fn=cmd_compact)
 
     se = sub.add_parser(
@@ -335,6 +362,10 @@ def main(argv: list[str] | None = None) -> None:
                    choices=["disjunctive", "conjunctive", "phrase", "boolean"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--algo", default="auto", choices=["auto", "exact", "wand"])
+    q.add_argument(
+        "--tombstones",
+        help="JSONL of {conv_id[, turn_idx]} rows to exclude (deleted docs)",
+    )
     q.set_defaults(fn=cmd_query)
 
     qb = sub.add_parser(

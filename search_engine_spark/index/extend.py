@@ -176,73 +176,102 @@ def _is_dl_row(term_v) -> bool:
     return term_v is None or (isinstance(term_v, float) and np.isnan(term_v))
 
 
-def _remap_kernel(key: tuple, blocks_pdf: pd.DataFrame, map_pdf: pd.DataFrame):
-    """One segment's posting blocks of one group → fragment rows with doc
-    ids rewritten into the compacted global rank space.
+def _make_remap_kernel(tomb=None):
+    """Cogroup kernel factory: one segment's posting blocks of one group
+    → fragment rows with doc ids rewritten into the compacted global
+    rank space.
 
     Ranks of both spaces are lexicographic over conv_id, so the remap is
     monotone and re-encoding is the only work — EXCEPT when the segment
     itself came from an order-isomorphism-breaking extend; then the
     stable argsort fallback reorders each posting (and its position byte
-    run) the same way ``build._merge_run`` does."""
-    g = int(key[0])
-    old = map_pdf["old_rank"].to_numpy(dtype=np.int64)
-    new = map_pdf["new_rank"].to_numpy(dtype=np.int64)
-    o = np.argsort(old)
-    old_s, new_s = old[o], new[o]
-    rows: list[tuple] = []
-    for r in blocks_pdf.itertuples(index=False):
-        docs = np.cumsum(varbyte_decode(r.doc_blob).astype(np.int64))
-        ranks = docs >> TURN_BITS
-        turns = docs & TURN_MASK
-        idx = np.searchsorted(old_s, ranks)
-        if ranks.size and (
-            old_s.size == 0
-            or np.any(idx >= old_s.size)
-            or np.any(old_s[np.minimum(idx, old_s.size - 1)] != ranks)
-        ):
-            raise ValueError(
-                "compact_segments: a posting references a conv_rank absent "
-                "from its segment's conv table — the segment is corrupt"
-            )
-        ndocs = (new_s[idx] << TURN_BITS) | turns
-        if _is_dl_row(r.term):
-            # block layout carries the doclen stream in tf_blob
-            dls = varbyte_decode(r.tf_blob).astype(np.int64)
+    run) the same way ``build._merge_run`` does.
+
+    ``tomb`` (a resolved :class:`reader.Tombstones` in the segment's OLD
+    id space) drops deleted postings before the remap — compaction is
+    where LSM deletions become physical, so the rebuilt doclen/idf/meta
+    (finalize_index) reflect the post-deletion corpus exactly."""
+
+    def kernel(key: tuple, blocks_pdf: pd.DataFrame, map_pdf: pd.DataFrame):
+        g = int(key[0])
+        old = map_pdf["old_rank"].to_numpy(dtype=np.int64)
+        new = map_pdf["new_rank"].to_numpy(dtype=np.int64)
+        o = np.argsort(old)
+        old_s, new_s = old[o], new[o]
+        rows: list[tuple] = []
+        for r in blocks_pdf.itertuples(index=False):
+            docs = np.cumsum(varbyte_decode(r.doc_blob).astype(np.int64))
+            is_dl = _is_dl_row(r.term)
+            if is_dl:
+                tfs = None
+                dls = varbyte_decode(r.tf_blob).astype(np.int64)
+                pos = None
+            else:
+                tfs = varbyte_decode(r.tf_blob).astype(np.int64)
+                dls = varbyte_decode(r.dl_blob).astype(np.int64)
+                pos = bytes(r.pos_blob)
+            if tomb is not None:
+                keep = tomb.keep_mask(docs, TURN_BITS)
+                if not keep.all():
+                    if not keep.any():
+                        continue  # every posting in this block deleted
+                    if pos is not None:
+                        offs = stream_byte_offsets(pos, tfs)
+                        pos = b"".join(
+                            pos[offs[i] : offs[i + 1]]
+                            for i in np.flatnonzero(keep)
+                        )
+                    docs = docs[keep]
+                    dls = dls[keep]
+                    if tfs is not None:
+                        tfs = tfs[keep]
+            ranks = docs >> TURN_BITS
+            turns = docs & TURN_MASK
+            idx = np.searchsorted(old_s, ranks)
+            if ranks.size and (
+                old_s.size == 0
+                or np.any(idx >= old_s.size)
+                or np.any(old_s[np.minimum(idx, old_s.size - 1)] != ranks)
+            ):
+                raise ValueError(
+                    "compact_segments: a posting references a conv_rank absent "
+                    "from its segment's conv table — the segment is corrupt"
+                )
+            ndocs = (new_s[idx] << TURN_BITS) | turns
+            if is_dl:
+                if not np.all(ndocs[1:] > ndocs[:-1]):
+                    o2 = np.argsort(ndocs, kind="stable")
+                    ndocs, dls = ndocs[o2], dls[o2]
+                rows.append(
+                    (
+                        None, g, len(ndocs), int(ndocs[0]), int(dls.sum()),
+                        varbyte_encode(delta_encode(ndocs)), None, None,
+                        varbyte_encode(dls.astype(np.uint64)),
+                    )
+                )
+                continue
             if not np.all(ndocs[1:] > ndocs[:-1]):
+                offs = stream_byte_offsets(pos, tfs)
                 o2 = np.argsort(ndocs, kind="stable")
-                ndocs, dls = ndocs[o2], dls[o2]
+                pos = b"".join(pos[offs[i] : offs[i + 1]] for i in o2)
+                ndocs, tfs, dls = ndocs[o2], tfs[o2], dls[o2]
             rows.append(
                 (
-                    None, g, len(ndocs), int(ndocs[0]), int(dls.sum()),
-                    varbyte_encode(delta_encode(ndocs)), None, None,
+                    r.term, g, len(ndocs), int(ndocs[0]), 0,
+                    varbyte_encode(delta_encode(ndocs)),
+                    varbyte_encode(tfs.astype(np.uint64)), pos,
                     varbyte_encode(dls.astype(np.uint64)),
                 )
             )
-            continue
-        tfs = varbyte_decode(r.tf_blob).astype(np.int64)
-        dls = varbyte_decode(r.dl_blob).astype(np.int64)
-        pos = bytes(r.pos_blob)
-        if not np.all(ndocs[1:] > ndocs[:-1]):
-            offs = stream_byte_offsets(pos, tfs)
-            o2 = np.argsort(ndocs, kind="stable")
-            pos = b"".join(pos[offs[i] : offs[i + 1]] for i in o2)
-            ndocs, tfs, dls = ndocs[o2], tfs[o2], dls[o2]
-        rows.append(
-            (
-                r.term, g, len(ndocs), int(ndocs[0]), 0,
-                varbyte_encode(delta_encode(ndocs)),
-                varbyte_encode(tfs.astype(np.uint64)), pos,
-                varbyte_encode(dls.astype(np.uint64)),
-            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "group", "n", "min_doc", "sum_dl",
+                "doc_blob", "tf_blob", "pos_blob", "dl_blob",
+            ],
         )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "term", "group", "n", "min_doc", "sum_dl",
-            "doc_blob", "tf_blob", "pos_blob", "dl_blob",
-        ],
-    )
+
+    return kernel
 
 
 def compact_segments(
@@ -250,6 +279,7 @@ def compact_segments(
     roots: list[str],
     out_dir: str,
     config: BuildConfig | None = None,
+    tombstones: list | None = None,
 ) -> IndexPaths:
     """Fold N disjoint index segments into ONE index root — no raw text.
 
@@ -268,6 +298,14 @@ def compact_segments(
     duplicate would corrupt merged statistics.  All segments must share
     num_groups/block_size/turn_bits (the conversation→group hash must
     agree); use ``extend_index`` to absorb a layout-incompatible delta.
+
+    ``tombstones`` (bare conv_id strings and/or (conv_id, turn_idx)
+    pairs) are deleted PHYSICALLY here: their postings are dropped
+    before the merge, and the rebuilt doclen/idf/meta reflect the
+    post-deletion corpus exactly — query-time exclusion (the readers'
+    ``tombstones=`` parameter) becomes unnecessary after the fold.
+    Fully-deleted conversations keep a rank in the conv table (harmless:
+    no posting references them).
     """
     if not roots:
         raise ValueError("compact_segments needs at least one segment root")
@@ -337,11 +375,13 @@ def compact_segments(
     merged = spark.read.parquet(paths.convs)
 
     # -- remap every segment's blocks into fragments, one merge shuffle
+    from .reader import resolve_tombstones
+
     frags = None
     for p in seg_paths:
-        segc = spark.read.parquet(p.convs).select(
-            "conv_id", F.col("conv_rank").alias("old_rank")
-        )
+        seg_convs = spark.read.parquet(p.convs)
+        tomb = resolve_tombstones(seg_convs, tombstones) if tombstones else None
+        segc = seg_convs.select("conv_id", F.col("conv_rank").alias("old_rank"))
         mapping = segc.join(merged, "conv_id").select(
             "group", "old_rank", F.col("conv_rank").alias("new_rank")
         )
@@ -349,7 +389,7 @@ def compact_segments(
             spark.read.parquet(p.postings)
             .groupBy("group")
             .cogroup(mapping.groupBy("group"))
-            .applyInPandas(_remap_kernel, schema=FRAGMENTS_SCHEMA)
+            .applyInPandas(_make_remap_kernel(tomb), schema=FRAGMENTS_SCHEMA)
         )
         frags = f if frags is None else frags.unionByName(f)
     write_blocks(frags, paths, shuffle_partitions, block_size)

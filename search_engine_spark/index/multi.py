@@ -52,6 +52,7 @@ from .reader import (
     _parse_batch,
     _rank_per_query,
     parse_query,
+    resolve_tombstones,
 )
 
 
@@ -143,6 +144,17 @@ class MultiIndex:
 
     # -- global statistics -------------------------------------------
 
+    def _resolve_tomb(self, tombstones) -> dict | None:
+        """Tombstone items → one resolved set per segment (doc ids are
+        segment-local rank encodings); kernels pick their segment's set
+        from the batch's ``seg`` column."""
+        if not tombstones:
+            return None
+        return {
+            i: resolve_tombstones(seg._convs, tombstones)
+            for i, seg in enumerate(self.segments)
+        }
+
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         """Global idf: df summed across segments, the build formula
         ``ln((1+N)/(1+df)) + 1`` (IndexerService.java:966) applied at
@@ -195,7 +207,12 @@ class MultiIndex:
     # -- query -------------------------------------------------------
 
     def topk(
-        self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        algo: str = "auto",
+        tombstones: list | None = None,
     ) -> DataFrame:
         """Top-k across all segments → DataFrame(conv_id, turn_idx,
         score); identical to a single index built over the union."""
@@ -210,7 +227,8 @@ class MultiIndex:
         )
         idf = self.idf_map(spec.score_terms)
         kernel = _make_group_kernel(
-            spec, idf, self.avgdl, k, algo, with_ties=True
+            spec, idf, self.avgdl, k, algo, with_ties=True,
+            exclude=self._resolve_tomb(tombstones),
         )
         cand = (
             self._postings(fetch_terms)
@@ -223,7 +241,12 @@ class MultiIndex:
             .limit(k)
         )
 
-    def match_count(self, query_text: str, mode: str = "disjunctive") -> int:
+    def match_count(
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+    ) -> int:
         """Total matching documents across all segments (totalResults
         analog) — per-(seg, group) counts sum because segments and
         groups hold disjoint documents."""
@@ -236,7 +259,9 @@ class MultiIndex:
             set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
         )
         idf = self.idf_map(spec.score_terms)
-        kernel = _make_count_kernel(spec, idf, self.avgdl)
+        kernel = _make_count_kernel(
+            spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones)
+        )
         row = (
             self._postings(fetch_terms)
             .groupBy("seg", "group")
@@ -251,6 +276,7 @@ class MultiIndex:
         queries: list[tuple[str, str] | tuple[str, str, int]],
         k: int = 10,
         algo: str = "auto",
+        tombstones: list | None = None,
     ) -> DataFrame:
         """Batched top-k across all segments in ONE job →
         DataFrame(query_id, conv_id, turn_idx, score); row-identical to
@@ -272,6 +298,7 @@ class MultiIndex:
             [kk for _, _, kk in specs],
             algo,
             with_ties=True,
+            exclude=self._resolve_tomb(tombstones),
         )
         cand = (
             self._postings(sorted(fetch_terms))

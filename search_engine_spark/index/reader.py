@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..oracle import OPERATOR_PATTERN, PHRASE_PATTERN
 from ..textproc import analyze_query, analyze_text
-from .build import IndexPaths
+from .build import TURN_BITS, IndexPaths
 from .kernels import (
     TermPostings,
     conjunctive_candidates,
@@ -73,6 +73,76 @@ def parse_query(query_text: str, mode: str) -> QuerySpec | None:
     if not terms:
         return None
     return QuerySpec(mode, sorted(set(terms)))
+
+
+class Tombstones:
+    """Resolved deletion set for ONE index's doc-id space.
+
+    The reference deletes rows in place (its PostgreSQL store); an
+    immutable columnar index deletes the LSM way instead — queries
+    EXCLUDE tombstoned docs at candidate time (global stats stay as
+    built, the standard LSM trade), and ``compact_segments`` removes
+    them physically, refreshing N/avgdl/df.  ``conv_ranks`` deletes
+    whole conversations (every turn, via the rank bits of the doc id);
+    ``doc_ids`` deletes exact (conv, turn) docs.
+    """
+
+    __slots__ = ("doc_ids", "conv_ranks")
+
+    def __init__(self, doc_ids: np.ndarray, conv_ranks: np.ndarray):
+        self.doc_ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        self.conv_ranks = np.unique(np.asarray(conv_ranks, dtype=np.int64))
+
+    def keep_mask(self, docs: np.ndarray, turn_bits: int) -> np.ndarray:
+        keep = np.ones(docs.size, dtype=bool)
+        if self.doc_ids.size:
+            keep &= ~np.isin(docs, self.doc_ids, assume_unique=False)
+        if self.conv_ranks.size:
+            keep &= ~np.isin(docs >> turn_bits, self.conv_ranks)
+        return keep
+
+    def mask(self, docs: np.ndarray, turn_bits: int) -> np.ndarray:
+        return docs[self.keep_mask(docs, turn_bits)]
+
+
+def resolve_tombstones(convs_df: DataFrame, items: list) -> Tombstones:
+    """Tombstone items → this index's doc-id space.
+
+    ``items`` mixes bare ``conv_id`` strings (delete the whole
+    conversation) and ``(conv_id, turn_idx)`` pairs (delete one turn).
+    Deletion sets are small (removal requests), so the rank lookup is a
+    driver-side collect over the pruned conv table; items naming
+    unknown conversations are no-ops (already absent)."""
+    from .build import TURN_BITS
+
+    conv_only = [it for it in items if isinstance(it, str)]
+    pairs = [tuple(it) for it in items if not isinstance(it, str)]
+    need = sorted(set(conv_only) | {c for c, _ in pairs})
+    if not need:
+        return Tombstones(np.empty(0, np.int64), np.empty(0, np.int64))
+    rows = (
+        convs_df.filter(F.col("conv_id").isin(need))
+        .select("conv_id", "conv_rank")
+        .collect()
+    )
+    rank = {r.conv_id: int(r.conv_rank) for r in rows}
+    ranks = [rank[c] for c in conv_only if c in rank]
+    doc_ids = [
+        (rank[c] << TURN_BITS) | int(t) for c, t in pairs if c in rank
+    ]
+    return Tombstones(
+        np.asarray(doc_ids, dtype=np.int64), np.asarray(ranks, dtype=np.int64)
+    )
+
+
+def _tomb_for(exclude, post_pdf: pd.DataFrame):
+    """Kernel-side tombstone lookup: a plain set for one index, or a
+    per-segment dict keyed by the batch's ``seg`` column (MultiIndex)."""
+    if not isinstance(exclude, dict):
+        return exclude
+    if "seg" not in post_pdf.columns or len(post_pdf) == 0:
+        return None
+    return exclude.get(int(post_pdf["seg"].iloc[0]))
 
 
 def _parse_batch(
@@ -265,10 +335,30 @@ class CompressedIndex:
         """Collected top-k with an LRU result cache (see :func:`_lru_topk`)."""
         return _lru_topk(self, query_text, mode, k, algo)
 
+    def _resolve_tomb(self, tombstones) -> "Tombstones | None":
+        if not tombstones:
+            return None
+        if self.scheme != "conv_rank":
+            raise ValueError(
+                "tombstones need the conv_rank doc-id scheme (dense "
+                "streaming indexes: rebuild or compact first)"
+            )
+        return resolve_tombstones(self._convs, tombstones)
+
     def topk(
-        self, query_text: str, mode: str = "disjunctive", k: int = 10, algo: str = "auto"
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        algo: str = "auto",
+        tombstones: list | None = None,
     ) -> DataFrame:
-        """Top-k → DataFrame(conv_id, turn_idx, score), oracle-identical."""
+        """Top-k → DataFrame(conv_id, turn_idx, score), oracle-identical.
+
+        ``tombstones`` (bare conv_id strings and/or (conv_id, turn_idx)
+        pairs) excludes deleted docs at candidate time; remaining scores
+        keep the as-built global stats until a compaction removes the
+        docs physically (see :class:`Tombstones`)."""
         spec = parse_query(query_text, mode)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int, score double")
         if spec is None:
@@ -285,7 +375,8 @@ class CompressedIndex:
         # emit boundary ties and let the global sort resolve them; WAND's
         # bounded heap cannot hold ties, so it is only safe on conv_rank
         kernel = _make_group_kernel(
-            spec, idf, avgdl, k, algo, with_ties=self.tie_safe
+            spec, idf, avgdl, k, algo, with_ties=self.tie_safe,
+            exclude=self._resolve_tomb(tombstones),
         )
         post = self.postings_df(fetch_terms)
         # v5: single-sided grouped kernel — the only exchange carries the
@@ -298,7 +389,12 @@ class CompressedIndex:
             .limit(k)
         )
 
-    def match_count(self, query_text: str, mode: str = "disjunctive") -> int:
+    def match_count(
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+    ) -> int:
         """Total matching documents (the reference's totalResults field,
         served by every /api/search response for pagination): size of
         the candidate set :meth:`topk` ranks, via one grouped count pass
@@ -310,7 +406,9 @@ class CompressedIndex:
             set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
         )
         idf = self.idf_map(spec.score_terms)
-        kernel = _make_count_kernel(spec, idf, self.avgdl)
+        kernel = _make_count_kernel(
+            spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones)
+        )
         post = self.postings_df(fetch_terms)
         row = (
             post.groupBy("group")
@@ -325,6 +423,7 @@ class CompressedIndex:
         queries: list[tuple[str, str] | tuple[str, str, int]],
         k: int = 10,
         algo: str = "auto",
+        tombstones: list | None = None,
     ) -> DataFrame:
         """Top-k for MANY queries in ONE job →
         DataFrame(query_id, conv_id, turn_idx, score).
@@ -355,6 +454,7 @@ class CompressedIndex:
             [kk for _, _, kk in specs],
             algo,
             with_ties=self.tie_safe,
+            exclude=self._resolve_tomb(tombstones),
         )
         post = self.postings_df(sorted(fetch_terms))
         cand = post.groupBy("group").applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
@@ -369,13 +469,24 @@ def _score_spec(
     k: int,
     algo: str,
     with_ties: bool,
+    tomb: "Tombstones | None" = None,
 ):
     """Score ONE parsed query against a group's posting lists →
     (docs, scores) arrays.  Shared by the single-query and batch
     kernels so both paths run the identical tested dispatch.
-    Doclens come inline from the posting blocks (format v5)."""
+    Doclens come inline from the posting blocks (format v5).
+    ``tomb`` removes deleted docs from the candidate set BEFORE the
+    top-k cut (scores keep the as-built global stats until compaction)."""
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
+        if tomb is not None:
+            arrs = [p.doc_ids for p in score_lists.values()]
+            if not arrs:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            cand = tomb.mask(np.unique(np.concatenate(arrs)), TURN_BITS)
+            return exact_topk(
+                score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
+            )
         # measured (1M-turn group, 30 reference queries, BASELINE.md
         # "WAND vs vectorized exact"): the NumPy-vectorized exact kernel
         # scores every decoded posting faster than the document-at-a-time
@@ -392,58 +503,67 @@ def _score_spec(
         if len(need) < len(spec.score_terms):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         cand = conjunctive_candidates(need)
-        return exact_topk(
-            score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
-        )
-    if spec.mode == "phrase":
+    elif spec.mode == "phrase":
         cand = phrase_candidates(spec.phrase_a or [], plists)
-        return exact_topk(
-            score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
-        )
-    # boolean
-    la = phrase_candidates(spec.phrase_a or [], plists)
-    rb = phrase_candidates(spec.phrase_b or [], plists)
-    if spec.bool_op == "AND":
-        cand = np.intersect1d(la, rb, assume_unique=True)
-    elif spec.bool_op == "OR":
-        cand = np.union1d(la, rb)
-    else:
-        cand = np.setdiff1d(la, rb, assume_unique=True)
+    else:  # boolean
+        la = phrase_candidates(spec.phrase_a or [], plists)
+        rb = phrase_candidates(spec.phrase_b or [], plists)
+        if spec.bool_op == "AND":
+            cand = np.intersect1d(la, rb, assume_unique=True)
+        elif spec.bool_op == "OR":
+            cand = np.union1d(la, rb)
+        else:
+            cand = np.setdiff1d(la, rb, assume_unique=True)
+    if tomb is not None:
+        cand = tomb.mask(cand, TURN_BITS)
     return exact_topk(
         score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
     )
 
 
-def _count_spec(spec: QuerySpec, idf: dict[str, float], plists: dict) -> int:
+def _count_spec(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    plists: dict,
+    tomb: "Tombstones | None" = None,
+) -> int:
     """Matching-doc count for one group — the candidate set top-k draws
     from (totalResults analog); groups hold disjoint docs, so counts sum."""
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
         arrs = [p.doc_ids for p in score_lists.values()]
-        return int(np.unique(np.concatenate(arrs)).size) if arrs else 0
-    if spec.mode == "conjunctive":
+        if not arrs:
+            return 0
+        cand = np.unique(np.concatenate(arrs))
+    elif spec.mode == "conjunctive":
         need = {t: plists[t] for t in spec.score_terms if t in plists}
         if len(need) < len(spec.score_terms):
             return 0
-        return int(conjunctive_candidates(need).size)
-    if spec.mode == "phrase":
-        return int(phrase_candidates(spec.phrase_a or [], plists).size)
-    la = phrase_candidates(spec.phrase_a or [], plists)
-    rb = phrase_candidates(spec.phrase_b or [], plists)
-    if spec.bool_op == "AND":
-        return int(np.intersect1d(la, rb, assume_unique=True).size)
-    if spec.bool_op == "OR":
-        return int(np.union1d(la, rb).size)
-    return int(np.setdiff1d(la, rb, assume_unique=True).size)
+        cand = conjunctive_candidates(need)
+    elif spec.mode == "phrase":
+        cand = phrase_candidates(spec.phrase_a or [], plists)
+    else:
+        la = phrase_candidates(spec.phrase_a or [], plists)
+        rb = phrase_candidates(spec.phrase_b or [], plists)
+        if spec.bool_op == "AND":
+            cand = np.intersect1d(la, rb, assume_unique=True)
+        elif spec.bool_op == "OR":
+            cand = np.union1d(la, rb)
+        else:
+            cand = np.setdiff1d(la, rb, assume_unique=True)
+    if tomb is not None:
+        cand = tomb.mask(cand, TURN_BITS)
+    return int(cand.size)
 
 
-def _make_count_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float):
+def _make_count_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float, exclude=None):
     def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(post_pdf) == 0:
             return pd.DataFrame({"n": pd.array([0], dtype="int64")})
         plists = _build_plists(post_pdf, idf, avgdl)
+        tomb = _tomb_for(exclude, post_pdf)
         return pd.DataFrame(
-            {"n": pd.array([_count_spec(spec, idf, plists)], dtype="int64")}
+            {"n": pd.array([_count_spec(spec, idf, plists, tomb)], dtype="int64")}
         )
 
     return kernel
@@ -463,6 +583,7 @@ def _make_group_kernel(
     k: int,
     algo: str,
     with_ties: bool = False,
+    exclude=None,
 ):
     """Build the per-group grouped kernel for one parsed query."""
 
@@ -471,7 +592,10 @@ def _make_group_kernel(
             return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                  "score": pd.array([], dtype="float64")})
         plists = _build_plists(post_pdf, idf, avgdl)
-        docs, scores = _score_spec(spec, idf, plists, avgdl, k, algo, with_ties)
+        docs, scores = _score_spec(
+            spec, idf, plists, avgdl, k, algo, with_ties,
+            tomb=_tomb_for(exclude, post_pdf),
+        )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     return kernel
@@ -488,6 +612,7 @@ def _make_batch_kernel(
     ks: list[int],
     algo: str,
     with_ties: bool = False,
+    exclude=None,
 ):
     """One grouped kernel scoring EVERY query of a batch against the
     group's postings: term posting lists are decoded once per group and
@@ -506,9 +631,12 @@ def _make_batch_kernel(
         if len(post_pdf) == 0:
             return empty
         plists = _build_plists(post_pdf, merged_idf, avgdl)
+        tomb = _tomb_for(exclude, post_pdf)
         frames = []
         for qid, (spec, idf, k) in enumerate(zip(specs, idfs, ks)):
-            docs, scores = _score_spec(spec, idf, plists, avgdl, k, algo, with_ties)
+            docs, scores = _score_spec(
+                spec, idf, plists, avgdl, k, algo, with_ties, tomb=tomb
+            )
             if docs.size:
                 frames.append(
                     pd.DataFrame(
