@@ -144,7 +144,10 @@ def cmd_search(args: argparse.Namespace) -> None:
     idx = _open_index(spark, args.index)
     tr = load_transcripts(spark, args.input)
     t0 = time.time()
-    page = search(idx, tr, args.query, args.mode, args.k, page=args.page)
+    page = search(
+        idx, tr, args.query, args.mode, args.k, page=args.page,
+        tombstones=_load_tombstones(args.tombstones),
+    )
     page["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(page))
 
@@ -350,6 +353,10 @@ def main(argv: list[str] | None = None) -> None:
                     choices=["disjunctive", "conjunctive", "phrase", "boolean"])
     se.add_argument("--k", type=int, default=10)
     se.add_argument("--page", type=int, default=1)
+    se.add_argument(
+        "--tombstones",
+        help="JSONL of {conv_id[, turn_idx]} rows to exclude (deleted docs)",
+    )
     se.set_defaults(fn=cmd_search)
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")

@@ -60,6 +60,7 @@ def search(
     page: int = 1,
     width: int = WIDTH,
     include_total: bool = True,
+    tombstones: list | None = None,
 ) -> dict:
     """One enriched result page.
 
@@ -70,13 +71,13 @@ def search(
     response assembly."""
     if page < 1:
         raise ValueError("page is 1-based")
-    deep = index.topk(query_text, mode, page * k)
+    deep = index.topk(query_text, mode, page * k, tombstones=tombstones)
     rows = deep.collect()[(page - 1) * k : page * k]
     totals = {}
     if include_total:
         # totalResults/totalPages, served on every reference response
         # (QueryService pagination) — one grouped count pass
-        total = index.match_count(query_text, mode)
+        total = index.match_count(query_text, mode, tombstones=tombstones)
         totals = {"total_results": total, "total_pages": -(-total // k)}
     if not rows:
         return {

@@ -132,3 +132,16 @@ def test_search_totals_pagination(spark, xs_setup):
     assert page["total_pages"] == -(-want // 7)
     lean = search(idx, tr, "term0001 term0002", k=7, include_total=False)
     assert "total_results" not in lean
+
+
+def test_search_with_tombstones(spark, xs_setup):
+    idx, tr = xs_setup
+    base = search(idx, tr, "term0001 term0002", k=3)
+    dead = base["results"][0]
+    page = search(
+        idx, tr, "term0001 term0002", k=3,
+        tombstones=[(dead["conv_id"], dead["turn_idx"])],
+    )
+    keys = [(r["conv_id"], r["turn_idx"]) for r in page["results"]]
+    assert (dead["conv_id"], dead["turn_idx"]) not in keys
+    assert page["total_results"] == base["total_results"] - 1
