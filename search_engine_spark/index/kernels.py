@@ -28,49 +28,163 @@ from ..config import BM25_B, BM25_K1
 from .codec import varbyte_decode
 
 
+def _varbyte_first(blob) -> int:
+    """First value of a varbyte stream without decoding the rest.
+
+    For a doc blob the first delta IS the block's first absolute doc id,
+    so per-block doc ranges are known from a few bytes — the hook that
+    lets :func:`blockmax_topk` locate a candidate's block (and decode
+    ONLY it) from metadata."""
+    v = 0
+    shift = 0
+    for byte in bytes(blob[:10]):
+        v |= (byte & 0x7F) << shift
+        if not (byte & 0x80):
+            return v
+        shift += 7
+    return v
+
+
 class TermPostings:
-    """Decoded postings of one term within one group."""
+    """Postings of one term within one group — LAZY per-block decode.
+
+    Construction reads only block METADATA (counts, max_tf/min_dl upper
+    bounds); blobs decompress on demand, per block, with caching.  The
+    exact kernel touches every block (full-decode properties below);
+    :func:`blockmax_topk` decodes only the blocks whose upper bound can
+    still reach the top-k — the whole point of block skipping is to
+    avoid the decompression, not just the scoring.
+    """
 
     __slots__ = (
-        "term", "doc_ids", "tfs", "dls", "block_starts", "block_ubs", "pos_blobs",
+        "term", "idf", "avgdl", "ns", "block_starts", "block_ubs", "pos_blobs",
+        "_doc_blobs", "_tf_blobs", "_dl_blobs", "_blk", "_full", "_first",
         "_pos", "_block_pos", "_flat",
     )
 
     def __init__(self, term: str, pdf: pd.DataFrame, idf: float, avgdl: float):
         rows = pdf.sort_values("block_id")
-        docs, tfs, dls, starts, ubs = [], [], [], [], []
-        n = 0
-        self.pos_blobs: list[tuple[int, bytes]] = []  # (start_offset, blob)
-        for r in rows.itertuples(index=False):
-            deltas = varbyte_decode(r.doc_blob)
-            docs.append(np.cumsum(deltas.astype(np.int64)))
-            tfs.append(varbyte_decode(r.tf_blob).astype(np.int64))
-            # v5: the block carries each posting's doclen — scoring
-            # never consults a side doclen table
-            dls.append(varbyte_decode(r.dl_blob).astype(np.int64))
-            starts.append(n)
-            # avgdl-independent stored bound (max_tf, min_dl): partial is
-            # increasing in tf, decreasing in dl, so this dominates every
-            # posting in the block at the query-time avgdl
-            ub_partial = float(
-                _partial(
-                    np.asarray([r.max_tf], dtype=np.int64),
-                    np.asarray([float(r.min_dl)]),
-                    avgdl,
-                )[0]
-            )
-            ubs.append(idf * ub_partial)
-            self.pos_blobs.append((n, r.pos_blob))
-            n += int(r.n)
         self.term = term
-        self.doc_ids = np.concatenate(docs) if docs else np.empty(0, dtype=np.int64)
-        self.tfs = np.concatenate(tfs) if tfs else np.empty(0, dtype=np.int64)
-        self.dls = np.concatenate(dls) if dls else np.empty(0, dtype=np.int64)
-        self.block_starts = np.asarray(starts, dtype=np.int64)
-        self.block_ubs = np.asarray(ubs, dtype=np.float64)
+        self.idf = float(idf)
+        self.avgdl = float(avgdl)
+        self.ns = rows["n"].to_numpy(dtype=np.int64)
+        starts = np.zeros(len(self.ns), dtype=np.int64)
+        if len(self.ns) > 1:
+            starts[1:] = np.cumsum(self.ns)[:-1]
+        self.block_starts = starts
+        # avgdl-independent stored bound (max_tf, min_dl): partial is
+        # increasing in tf, decreasing in dl, so this dominates every
+        # posting in the block at the query-time avgdl
+        if len(rows):
+            self.block_ubs = idf * _partial(
+                rows["max_tf"].to_numpy(dtype=np.int64),
+                rows["min_dl"].to_numpy(dtype=np.float64),
+                avgdl,
+            )
+        else:
+            self.block_ubs = np.empty(0, dtype=np.float64)
+        self._doc_blobs = rows["doc_blob"].tolist()
+        self._tf_blobs = rows["tf_blob"].tolist()
+        self._dl_blobs = rows["dl_blob"].tolist()
+        self.pos_blobs: list[tuple[int, bytes]] = list(
+            zip(starts.tolist(), rows["pos_blob"].tolist())
+        )
+        self._blk: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._full: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self._first: np.ndarray | None = None
         self._pos: list[np.ndarray] | None = None
         self._block_pos: dict[int, list[np.ndarray]] = {}
         self._flat: tuple[np.ndarray, np.ndarray] | None = None
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.ns)
+
+    @property
+    def n_postings(self) -> int:
+        return int(self.ns.sum()) if self.ns.size else 0
+
+    def block(self, b: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, dls) of block ``b`` — decoded once, cached."""
+        hit = self._blk.get(b)
+        if hit is None:
+            docs = np.cumsum(varbyte_decode(self._doc_blobs[b]).astype(np.int64))
+            tfs = varbyte_decode(self._tf_blobs[b]).astype(np.int64)
+            # v5: the block carries each posting's doclen — scoring
+            # never consults a side doclen table
+            dls = varbyte_decode(self._dl_blobs[b]).astype(np.int64)
+            hit = (docs, tfs, dls)
+            self._blk[b] = hit
+        return hit
+
+    @property
+    def first_docs(self) -> np.ndarray:
+        """First doc id of every block, from metadata bytes only."""
+        if self._first is None:
+            self._first = np.asarray(
+                [_varbyte_first(blob) for blob in self._doc_blobs], dtype=np.int64
+            )
+        return self._first
+
+    def _ensure_full(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._full is None:
+            if not self.n_blocks:
+                e = np.empty(0, dtype=np.int64)
+                self._full = (e, e, e)
+            else:
+                parts = [self.block(b) for b in range(self.n_blocks)]
+                self._full = (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                    np.concatenate([p[2] for p in parts]),
+                )
+        return self._full
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        return self._ensure_full()[0]
+
+    @property
+    def tfs(self) -> np.ndarray:
+        return self._ensure_full()[1]
+
+    @property
+    def dls(self) -> np.ndarray:
+        return self._ensure_full()[2]
+
+    def lookup(
+        self, docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(tf, dl, found) for sorted candidate ``docs``, decoding ONLY
+        the blocks that could contain them (located via first_docs)."""
+        tf = np.zeros(docs.size, dtype=np.int64)
+        dl = np.zeros(docs.size, dtype=np.int64)
+        found = np.zeros(docs.size, dtype=bool)
+        if not self.n_blocks or docs.size == 0:
+            return tf, dl, found
+        if self._full is not None:
+            adocs, atfs, adls = self._full  # already paid for — use it
+        else:
+            bi = np.searchsorted(self.first_docs, docs, side="right") - 1
+            blocks = np.unique(bi[bi >= 0])
+            # decode ONLY the touched blocks, but answer with ONE
+            # vectorized searchsorted over their concatenation (block
+            # order == doc order, so the concat stays sorted).  A
+            # per-block probe loop here made head+head queries
+            # pathological (bench_blockmax_kernel.py): tens of
+            # thousands of Python-level slice/searchsorted rounds.
+            parts = [self.block(int(b)) for b in blocks]
+            if not parts:
+                return tf, dl, found
+            adocs = np.concatenate([p[0] for p in parts])
+            atfs = np.concatenate([p[1] for p in parts])
+            adls = np.concatenate([p[2] for p in parts])
+        j = np.searchsorted(adocs, docs)
+        ok = (j < adocs.size) & (adocs[np.minimum(j, adocs.size - 1)] == docs)
+        tf[ok] = atfs[j[ok]]
+        dl[ok] = adls[j[ok]]
+        found[ok] = True
+        return tf, dl, found
 
     def flat_positions(self) -> tuple[np.ndarray, np.ndarray]:
         """ALL positions as one flat array (lazy decode, phrase path).
@@ -121,13 +235,8 @@ class TermPostings:
         blk = self._block_pos.get(b)
         if blk is None:
             start, blob = self.pos_blobs[b]
-            nxt = (
-                int(self.block_starts[b + 1])
-                if b + 1 < len(self.block_starts)
-                else len(self.doc_ids)
-            )
             flat = varbyte_decode(blob).astype(np.int64)
-            counts = self.tfs[start:nxt]
+            counts = self.block(b)[1]  # this block's tfs only — no full decode
             offs = np.concatenate([[0], np.cumsum(counts)])
             blk = [
                 np.cumsum(flat[offs[j] : offs[j + 1]]) for j in range(len(counts))
@@ -217,6 +326,15 @@ def exact_topk(
         scores[idx[ok]] += idf[t] * _partial(
             p.tfs[ok], p.dls[ok].astype(np.float64), avgdl
         )
+    return _cut_topk(union, scores, k, with_ties)
+
+
+def _cut_topk(
+    union: np.ndarray, scores: np.ndarray, k: int, with_ties: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared top-k cut: drop zero scores, sort (score desc, doc asc),
+    keep k (plus boundary ties when ``with_ties``).  Both the exact and
+    block-max kernels end here so their outputs are bit-identical."""
     hit = scores > 0.0
     union, scores = union[hit], scores[hit]
     order = np.lexsort((union, -scores))
@@ -229,6 +347,113 @@ def exact_topk(
     else:
         order = order[:k]
     return union[order], scores[order]
+
+
+def blockmax_topk(
+    plists: dict[str, TermPostings],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    with_ties: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized block-max disjunctive top-k — lossless block skipping.
+
+    The exact kernel is O(total postings of the query terms): it decodes
+    and scores every block.  This kernel consumes blocks in descending
+    upper-bound order (per-block ``idf * partial(max_tf, min_dl)`` —
+    stored metadata, no decode needed) and stops as soon as no UNSEEN
+    document can still reach the top-k:
+
+    * every doc in a consumed block is scored EXACTLY at first sight —
+      its tf/dl in the other terms come from :meth:`TermPostings.lookup`,
+      which decodes only the specific blocks containing it (block doc
+      ranges are known from metadata via ``first_docs``);
+    * a doc never seen in any consumed block appears in at most one
+      UNconsumed block per term, so its score is at most
+      ``S = Σ_t max_ub(unconsumed blocks of t)``;
+    * once ``S < theta`` (the k-th best exact score so far, strict — a
+      tie at theta could still win the doc-id tie-break), no unseen doc
+      can displace the current top-k: stop.
+
+    Lossless by the same argument as WAND (Broder et al. 2003; Ding &
+    Suel 2011 block-max bounds), but vectorized: work happens in numpy
+    over whole blocks, not a per-document Python loop — the reason the
+    measured WAND loop lost to the exact kernel (BASELINE.md "WAND vs
+    vectorized exact") does not apply here.  Score arithmetic (term
+    order, float op sequence) is identical to :func:`exact_topk`, so
+    results are bit-identical (pinned by tests).
+
+    The win is largest when terms differ in selectivity (rare high-idf
+    term + head terms: the head term's blocks are skipped wholesale once
+    the rare term's candidates set theta).  For a single head term with
+    near-uniform block bounds it degenerates to the exact kernel plus a
+    metadata pass — the doubling chunk schedule bounds the extra rounds
+    to O(log #blocks).
+    """
+    terms = sorted(t for t in plists if plists[t].n_blocks > 0)
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    # per-term block consumption order: descending upper bound
+    order = {t: np.argsort(-plists[t].block_ubs, kind="stable") for t in terms}
+    ubs_desc = {t: plists[t].block_ubs[order[t]] for t in terms}
+    nblocks = {t: plists[t].n_blocks for t in terms}
+    ptr = {t: 0 for t in terms}
+    chunk = {t: 1 for t in terms}
+    cand_docs = np.empty(0, dtype=np.int64)
+    cand_scores = np.empty(0, dtype=np.float64)
+    # bail-out: when bounds are near-uniform across terms (two head
+    # terms), the threshold never prunes and this loop would consume
+    # everything with per-round lookup/merge overhead on top.  Once an
+    # eighth of the total postings is consumed without the stop
+    # condition firing, hand the query to the exact kernel —
+    # already-decoded blocks are cached on the TermPostings, so the
+    # switch costs only the remaining decode.  Measured (bench_blockmax
+    # _kernel.py): prunable shapes stop far below 1/8 (wins intact at
+    # 3-23x), and the non-prunable head+head worst case lands within
+    # ~1.3x of exact instead of 2.4x at a 1/2 threshold.
+    total_postings = sum(plists[t].n_postings for t in terms)
+    consumed = 0
+    while True:
+        alive = [t for t in terms if ptr[t] < nblocks[t]]
+        if not alive:
+            break
+        rem = {t: float(ubs_desc[t][ptr[t]]) for t in alive}
+        if cand_docs.size >= k > 0:
+            theta = float(np.partition(cand_scores, cand_scores.size - k)[
+                cand_scores.size - k
+            ])
+            if sum(rem.values()) < theta:
+                break  # no unseen doc can reach the top-k
+        if consumed * 8 > total_postings:
+            return exact_topk(plists, idf, avgdl, k, with_ties=with_ties)
+        tstar = max(alive, key=lambda t: (rem[t], t))
+        p = plists[tstar]
+        take = order[tstar][ptr[tstar] : ptr[tstar] + chunk[tstar]]
+        ptr[tstar] += chunk[tstar]
+        chunk[tstar] *= 2
+        consumed += int(p.ns[take].sum())
+        new = np.concatenate([p.block(int(b))[0] for b in take])
+        if cand_docs.size:
+            pos = np.searchsorted(cand_docs, new)
+            seen = (pos < cand_docs.size) & (
+                cand_docs[np.minimum(pos, cand_docs.size - 1)] == new
+            )
+            new = new[~seen]
+        if new.size == 0:
+            continue
+        new = np.sort(new)
+        scores = np.zeros(new.size, dtype=np.float64)
+        for u in terms:  # lexicographic order == oracle summation order
+            tfv, dlv, ok = plists[u].lookup(new)
+            if ok.any():
+                scores[ok] += idf[u] * _partial(
+                    tfv[ok], dlv[ok].astype(np.float64), avgdl
+                )
+        merged = np.concatenate([cand_docs, new])
+        sidx = np.argsort(merged, kind="stable")
+        cand_docs = merged[sidx]
+        cand_scores = np.concatenate([cand_scores, scores])[sidx]
+    return _cut_topk(cand_docs, cand_scores, k, with_ties)
 
 
 def wand_topk(

@@ -41,10 +41,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .codec import varbyte_decode
 from .reader import (
     BATCH_RESULT_SCHEMA,
     RESULT_SCHEMA,
     CompressedIndex,
+    Tombstones,
     _batch_term_sets,
     _lru_topk,
     _make_batch_kernel,
@@ -69,14 +71,31 @@ def _with_seg(inner, n_cols_before: int = 0):
 
 
 class MultiIndex:
-    """Read-only view over several disjoint index segments.
+    """Read-only view over several index segments, later segments win.
 
-    Segments must hold disjoint (conv_id, turn_idx) documents — that is
-    the ingest contract (each turn is indexed into exactly one segment;
-    ``extend_index`` enforces it on compaction).  Layout invariants
-    (format v5, conv_rank scheme, turn_bits, num_buckets) must match
-    across segments; num_groups may differ (groups are per-segment
-    parallelism units, never joined across segments).
+    Pass ``roots`` in chronological order (oldest first).  Effective
+    documents must be disjoint: a (conv_id, turn_idx) may appear in
+    several segments ONLY when every earlier occurrence is named by a
+    later segment's SHADOW sidecar (``ingest_update_segment`` writes it;
+    plain ``build_index`` segments must stay disjoint — ``extend_index``
+    still enforces that on compaction).  Shadowed docs are excluded at
+    candidate time like tombstones, and the global statistics are
+    corrected EXACTLY (not the usual LSM approximation):
+
+    * N and Σdl subtract the sidecars' ``n_prev``/``dl_prev`` totals —
+      each superseded live occurrence is counted by exactly one sidecar;
+    * per-term df subtracts the number of shadowed docs whose posting
+      lists contain the term, counted from the shadowed docs' own
+      blocks at query time (bucket- and group-pruned, memoized per
+      term in the idf cache).
+
+    Results therefore equal a fresh build of the updated corpus
+    byte-for-byte (pinned by tests).
+
+    Layout invariants (format v5, conv_rank scheme, turn_bits,
+    num_buckets) must match across segments; num_groups may differ
+    (groups are per-segment parallelism units, never joined across
+    segments).
     """
 
     def __init__(self, spark: SparkSession, roots: list[str]):
@@ -108,8 +127,38 @@ class MultiIndex:
         r = doclen.agg(
             F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("tok")
         ).collect()[0]
-        self.n_docs = int(r["n"] or 0)
-        self.avgdl = (int(r["tok"] or 0) / self.n_docs) if self.n_docs else 0.0
+        # shadow sidecars (update segments): keys a later segment
+        # supersedes in earlier ones — applied as per-segment exclusion
+        # sets, with exact N/Σdl corrections from the sidecar totals
+        from .extend import read_shadow_keys, shadows_path
+
+        self._shadow_keys = [read_shadow_keys(spark, r) for r in roots]
+        self._shadow_for: list[list[tuple[str, int]]] = []
+        for i in range(len(roots)):
+            s: set[tuple[str, int]] = set()
+            for j in range(i + 1, len(roots)):
+                s.update(self._shadow_keys[j])
+            self._shadow_for.append(sorted(s))
+        self._shadow_resolved: dict[int, tuple] | None = None
+        n_excl = dl_excl = 0
+        import os as _os
+
+        sidecars = [
+            spark.read.parquet(shadows_path(r))
+            for r in roots
+            if _os.path.exists(shadows_path(r))
+        ]
+        if sidecars:
+            sc = (
+                reduce(DataFrame.unionByName, sidecars)
+                .agg(F.sum("n_prev").alias("n"), F.sum("dl_prev").alias("dl"))
+                .collect()[0]
+            )
+            n_excl, dl_excl = int(sc["n"] or 0), int(sc["dl"] or 0)
+        self.n_docs = int(r["n"] or 0) - n_excl
+        self.avgdl = (
+            (int(r["tok"] or 0) - dl_excl) / self.n_docs if self.n_docs else 0.0
+        )
         # segments hold disjoint docs, so per-term document frequencies
         # ADD; idf is recomputed from the summed df at the global N
         self._df_all = reduce(
@@ -128,6 +177,7 @@ class MultiIndex:
             ],
         ).cache()
         self._idf_cache: dict[str, float] = {}
+        self._tomb_memo: dict[tuple, dict] = {}
         from collections import OrderedDict
 
         self._results: "OrderedDict[tuple, list]" = OrderedDict()
@@ -147,13 +197,120 @@ class MultiIndex:
     def _resolve_tomb(self, tombstones) -> dict | None:
         """Tombstone items → one resolved set per segment (doc ids are
         segment-local rank encodings); kernels pick their segment's set
-        from the batch's ``seg`` column."""
+        from the batch's ``seg`` column.  Memoized per distinct item
+        list — resolution costs one small collect job PER SEGMENT, and
+        service.search would otherwise pay it twice per request (topk +
+        match_count)."""
         if not tombstones:
             return None
-        return {
-            i: resolve_tombstones(seg._convs, tombstones)
-            for i, seg in enumerate(self.segments)
-        }
+        from .reader import _tomb_key
+
+        key = _tomb_key(tombstones)
+        hit = self._tomb_memo.get(key)
+        if hit is None:
+            hit = {
+                i: resolve_tombstones(seg._convs, tombstones)
+                for i, seg in enumerate(self.segments)
+            }
+            self._tomb_memo[key] = hit
+        return hit
+
+    def _shadow_exclude(self) -> dict | None:
+        """Per-segment (Tombstones, affected-groups) for shadowed docs,
+        resolved once per instance — sidecar lists are update-batch
+        sized, so the rank lookup is one small collect per segment."""
+        if not any(self._shadow_for):
+            return None
+        if self._shadow_resolved is None:
+            d: dict[int, tuple] = {}
+            for i, seg in enumerate(self.segments):
+                items = self._shadow_for[i]
+                if not items:
+                    continue
+                need = sorted({c for c, _ in items})
+                rows = (
+                    seg._convs.filter(F.col("conv_id").isin(need))
+                    .select("conv_id", "conv_rank", "group")
+                    .collect()
+                )
+                rank = {r.conv_id: (int(r.conv_rank), int(r.group)) for r in rows}
+                ids, groups = [], set()
+                for c, t in items:
+                    if c in rank:
+                        ids.append((rank[c][0] << self.turn_bits) | int(t))
+                        groups.add(rank[c][1])
+                if ids:
+                    d[i] = (
+                        Tombstones(
+                            np.asarray(ids, dtype=np.int64),
+                            np.empty(0, dtype=np.int64),
+                        ),
+                        sorted(groups),
+                    )
+            self._shadow_resolved = d
+        return self._shadow_resolved or None
+
+    def _effective_exclude(self, tombstones) -> dict | None:
+        """User tombstones ∪ shadow supersession, per segment."""
+        user = self._resolve_tomb(tombstones)
+        sh = self._shadow_exclude()
+        if sh is None:
+            return user
+        out: dict[int, Tombstones] = {}
+        for i in range(len(self.segments)):
+            u = user.get(i) if user else None
+            s = sh.get(i, (None, None))[0]
+            if u is not None and s is not None:
+                out[i] = Tombstones(
+                    np.concatenate([u.doc_ids, s.doc_ids]),
+                    np.concatenate([u.conv_ranks, s.conv_ranks]),
+                )
+            elif s is not None:
+                out[i] = s
+            elif u is not None:
+                out[i] = u
+        return out
+
+    def _shadow_df_counts(self, terms: list[str]) -> dict[str, int]:
+        """For each term: how many SHADOWED docs contain it, summed over
+        segments — the exact df correction.  One bucket+group-pruned
+        scan of the shadowed docs' posting blocks per segment that has
+        any (results land in the idf cache, so each term pays once)."""
+        out = {t: 0 for t in terms}
+        sh = self._shadow_exclude()
+        if sh is None or not terms:
+            return out
+        for i, seg in enumerate(self.segments):
+            if i not in sh:
+                continue
+            tomb, groups = sh[i]
+            ids = np.sort(tomb.doc_ids)
+
+            def cnt(batches, _ids=ids):
+                for pdf in batches:
+                    ts, cs = [], []
+                    for term, blob in zip(pdf["term"], pdf["doc_blob"]):
+                        docs = np.cumsum(varbyte_decode(blob).astype(np.int64))
+                        j = np.searchsorted(_ids, docs)
+                        hit = (j < _ids.size) & (
+                            _ids[np.minimum(j, _ids.size - 1)] == docs
+                        )
+                        ts.append(term)
+                        cs.append(int(hit.sum()))
+                    yield pd.DataFrame({"term": ts, "c": cs})
+
+            rows = (
+                seg.postings_df(terms)
+                .filter(F.col("group").isin(groups))
+                .select("term", "doc_blob")
+                .mapInPandas(cnt, schema="term string, c long")
+                .groupBy("term")
+                .agg(F.sum("c").alias("c"))
+                .collect()
+            )
+            for r in rows:
+                out[r["term"]] += int(r["c"])
+        return out
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         """Global idf: df summed across segments, the build formula
@@ -176,8 +333,9 @@ class MultiIndex:
                 .collect()
             )
             found = {r["term"]: int(r["df"]) for r in rows}
+            corr = self._shadow_df_counts(missing)
             for t in missing:
-                df = found.get(t, 0)
+                df = found.get(t, 0) - corr.get(t, 0)
                 self._idf_cache[t] = (
                     math.log((1.0 + self.n_docs) / (1.0 + df)) + 1.0
                 )
@@ -228,7 +386,7 @@ class MultiIndex:
         idf = self.idf_map(spec.score_terms)
         kernel = _make_group_kernel(
             spec, idf, self.avgdl, k, algo, with_ties=True,
-            exclude=self._resolve_tomb(tombstones),
+            exclude=self._effective_exclude(tombstones), turn_bits=self.turn_bits,
         )
         cand = (
             self._postings(fetch_terms)
@@ -260,7 +418,8 @@ class MultiIndex:
         )
         idf = self.idf_map(spec.score_terms)
         kernel = _make_count_kernel(
-            spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones)
+            spec, idf, self.avgdl, exclude=self._effective_exclude(tombstones),
+            turn_bits=self.turn_bits,
         )
         row = (
             self._postings(fetch_terms)
@@ -298,7 +457,8 @@ class MultiIndex:
             [kk for _, _, kk in specs],
             algo,
             with_ties=True,
-            exclude=self._resolve_tomb(tombstones),
+            exclude=self._effective_exclude(tombstones),
+            turn_bits=self.turn_bits,
         )
         cand = (
             self._postings(sorted(fetch_terms))

@@ -32,6 +32,7 @@ from ..textproc import analyze_query, analyze_text
 from .build import TURN_BITS, IndexPaths
 from .kernels import (
     TermPostings,
+    blockmax_topk,
     conjunctive_candidates,
     exact_topk,
     phrase_candidates,
@@ -132,6 +133,15 @@ def resolve_tombstones(convs_df: DataFrame, items: list) -> Tombstones:
     ]
     return Tombstones(
         np.asarray(doc_ids, dtype=np.int64), np.asarray(ranks, dtype=np.int64)
+    )
+
+
+def _tomb_key(items: list) -> tuple:
+    """Canonical memo key for a tombstone item list (strings and
+    (conv_id, turn_idx) pairs, order-insensitive)."""
+    return tuple(
+        sorted((it, -1) if isinstance(it, str) else (str(it[0]), int(it[1]))
+               for it in items)
     )
 
 
@@ -245,6 +255,7 @@ class CompressedIndex:
             # streaming/dense builds carry an explicit per-doc map
             self._docmap = spark.read.parquet(self.paths.docmap).cache()
         self._idf_cache: dict[str, float] = {}
+        self._tomb_memo: dict[tuple, Tombstones] = {}
         from collections import OrderedDict
 
         self._results: "OrderedDict[tuple, list]" = OrderedDict()
@@ -343,7 +354,15 @@ class CompressedIndex:
                 "tombstones need the conv_rank doc-id scheme (dense "
                 "streaming indexes: rebuild or compact first)"
             )
-        return resolve_tombstones(self._convs, tombstones)
+        # memo: the same deletion list arrives on every topk/match_count
+        # call of a request (service.search resolves it twice otherwise)
+        # — one small collect job per distinct list, not per call
+        key = _tomb_key(tombstones)
+        hit = self._tomb_memo.get(key)
+        if hit is None:
+            hit = resolve_tombstones(self._convs, tombstones)
+            self._tomb_memo[key] = hit
+        return hit
 
     def topk(
         self,
@@ -359,6 +378,11 @@ class CompressedIndex:
         pairs) excludes deleted docs at candidate time; remaining scores
         keep the as-built global stats until a compaction removes the
         docs physically (see :class:`Tombstones`)."""
+        if tombstones and algo == "wand":
+            raise ValueError(
+                "algo='wand' cannot honor tombstones (its bounded heap has "
+                "no candidate-exclusion hook); use algo='auto' or 'exact'"
+            )
         spec = parse_query(query_text, mode)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int, score double")
         if spec is None:
@@ -377,6 +401,7 @@ class CompressedIndex:
         kernel = _make_group_kernel(
             spec, idf, avgdl, k, algo, with_ties=self.tie_safe,
             exclude=self._resolve_tomb(tombstones),
+            turn_bits=getattr(self, "turn_bits", TURN_BITS),
         )
         post = self.postings_df(fetch_terms)
         # v5: single-sided grouped kernel — the only exchange carries the
@@ -407,7 +432,8 @@ class CompressedIndex:
         )
         idf = self.idf_map(spec.score_terms)
         kernel = _make_count_kernel(
-            spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones)
+            spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones),
+            turn_bits=getattr(self, "turn_bits", TURN_BITS),
         )
         post = self.postings_df(fetch_terms)
         row = (
@@ -437,6 +463,11 @@ class CompressedIndex:
         cogroup kernel pass, and takes per-query top-k via
         :func:`_rank_per_query`.  Results are row-identical to calling
         :meth:`topk` per query (pinned by tests)."""
+        if tombstones and algo == "wand":
+            raise ValueError(
+                "algo='wand' cannot honor tombstones (its bounded heap has "
+                "no candidate-exclusion hook); use algo='auto' or 'exact'"
+            )
         specs = _parse_batch(queries, k)
         empty = self.spark.createDataFrame(
             [], "query_id int, conv_id string, turn_idx int, score double"
@@ -455,6 +486,7 @@ class CompressedIndex:
             algo,
             with_ties=self.tie_safe,
             exclude=self._resolve_tomb(tombstones),
+            turn_bits=getattr(self, "turn_bits", TURN_BITS),
         )
         post = self.postings_df(sorted(fetch_terms))
         cand = post.groupBy("group").applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
@@ -470,6 +502,7 @@ def _score_spec(
     algo: str,
     with_ties: bool,
     tomb: "Tombstones | None" = None,
+    turn_bits: int = TURN_BITS,
 ):
     """Score ONE parsed query against a group's posting lists →
     (docs, scores) arrays.  Shared by the single-query and batch
@@ -480,24 +513,28 @@ def _score_spec(
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
         if tomb is not None:
+            # tombstoned disjunctive queries always run candidates+exact
+            # (topk() rejects an explicit algo='wand' with tombstones up
+            # front): exclusion happens on the materialized candidate
+            # set, before the top-k cut
             arrs = [p.doc_ids for p in score_lists.values()]
             if not arrs:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-            cand = tomb.mask(np.unique(np.concatenate(arrs)), TURN_BITS)
+            cand = tomb.mask(np.unique(np.concatenate(arrs)), turn_bits)
             return exact_topk(
                 score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
             )
-        # measured (1M-turn group, 30 reference queries, BASELINE.md
-        # "WAND vs vectorized exact"): the NumPy-vectorized exact kernel
-        # scores every decoded posting faster than the document-at-a-time
-        # WAND loop can SKIP them — ~10 ns/posting vectorized vs ~µs per
-        # visited doc in Python — so `auto` always takes the exact path.
-        # WAND stays as an explicit algo: it is the right strategy for a
-        # compiled kernel, and its lossless skipping is pinned by the
-        # WAND==exact tests either way.
+        # `auto` = vectorized block-max pruning (kernels.blockmax_topk):
+        # numpy block-at-a-time skipping with the exact kernel's float
+        # semantics — lossless (blockmax==exact==wand pinned by tests).
+        # The pure-Python doc-at-a-time WAND loop measured 1.7-2.6x
+        # SLOWER than exact (BASELINE.md "WAND vs vectorized exact"), so
+        # it stays an explicit algo only.
         if not with_ties and algo == "wand":
             return wand_topk(score_lists, idf, avgdl, k)
-        return exact_topk(score_lists, idf, avgdl, k, with_ties=with_ties)
+        if algo == "exact":
+            return exact_topk(score_lists, idf, avgdl, k, with_ties=with_ties)
+        return blockmax_topk(score_lists, idf, avgdl, k, with_ties=with_ties)
     if spec.mode == "conjunctive":
         need = {t: plists[t] for t in spec.score_terms if t in plists}
         if len(need) < len(spec.score_terms):
@@ -515,7 +552,7 @@ def _score_spec(
         else:
             cand = np.setdiff1d(la, rb, assume_unique=True)
     if tomb is not None:
-        cand = tomb.mask(cand, TURN_BITS)
+        cand = tomb.mask(cand, turn_bits)
     return exact_topk(
         score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
     )
@@ -526,6 +563,7 @@ def _count_spec(
     idf: dict[str, float],
     plists: dict,
     tomb: "Tombstones | None" = None,
+    turn_bits: int = TURN_BITS,
 ) -> int:
     """Matching-doc count for one group — the candidate set top-k draws
     from (totalResults analog); groups hold disjoint docs, so counts sum."""
@@ -552,18 +590,26 @@ def _count_spec(
         else:
             cand = np.setdiff1d(la, rb, assume_unique=True)
     if tomb is not None:
-        cand = tomb.mask(cand, TURN_BITS)
+        cand = tomb.mask(cand, turn_bits)
     return int(cand.size)
 
 
-def _make_count_kernel(spec: QuerySpec, idf: dict[str, float], avgdl: float, exclude=None):
+def _make_count_kernel(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    avgdl: float,
+    exclude=None,
+    turn_bits: int = TURN_BITS,
+):
     def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(post_pdf) == 0:
             return pd.DataFrame({"n": pd.array([0], dtype="int64")})
         plists = _build_plists(post_pdf, idf, avgdl)
         tomb = _tomb_for(exclude, post_pdf)
         return pd.DataFrame(
-            {"n": pd.array([_count_spec(spec, idf, plists, tomb)], dtype="int64")}
+            {"n": pd.array(
+                [_count_spec(spec, idf, plists, tomb, turn_bits)], dtype="int64"
+            )}
         )
 
     return kernel
@@ -584,6 +630,7 @@ def _make_group_kernel(
     algo: str,
     with_ties: bool = False,
     exclude=None,
+    turn_bits: int = TURN_BITS,
 ):
     """Build the per-group grouped kernel for one parsed query."""
 
@@ -594,7 +641,7 @@ def _make_group_kernel(
         plists = _build_plists(post_pdf, idf, avgdl)
         docs, scores = _score_spec(
             spec, idf, plists, avgdl, k, algo, with_ties,
-            tomb=_tomb_for(exclude, post_pdf),
+            tomb=_tomb_for(exclude, post_pdf), turn_bits=turn_bits,
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -613,6 +660,7 @@ def _make_batch_kernel(
     algo: str,
     with_ties: bool = False,
     exclude=None,
+    turn_bits: int = TURN_BITS,
 ):
     """One grouped kernel scoring EVERY query of a batch against the
     group's postings: term posting lists are decoded once per group and
@@ -635,7 +683,8 @@ def _make_batch_kernel(
         frames = []
         for qid, (spec, idf, k) in enumerate(zip(specs, idfs, ks)):
             docs, scores = _score_spec(
-                spec, idf, plists, avgdl, k, algo, with_ties, tomb=tomb
+                spec, idf, plists, avgdl, k, algo, with_ties,
+                tomb=tomb, turn_bits=turn_bits,
             )
             if docs.size:
                 frames.append(
