@@ -2133,6 +2133,97 @@ def transcripts_bm25_compacted(spark, sf_dir):
     )
 
 
+def _updated_xs_pdfs():
+    """Deterministic UPDATE batch over the xs corpus: 5 existing turns
+    rewritten (distinctive token + a head term) and 2 new turns appended
+    — (updated corpus, update delta)."""
+    import pandas as pd
+
+    from .corpus import generate_transcripts
+
+    pdf = generate_transcripts("xs")[["conv_id", "turn_idx", "text"]].copy()
+    keys = list(
+        pdf.sort_values(["conv_id", "turn_idx"])[["conv_id", "turn_idx"]]
+        .iloc[[3, 10, 17, 24, 31]]
+        .itertuples(index=False, name=None)
+    )
+    updated = pdf.copy()
+    mask = updated.set_index(["conv_id", "turn_idx"]).index.isin(keys)
+    updated.loc[mask, "text"] = [
+        f"updated special zebra transcript number {i} term0001 alpha"
+        for i in range(int(mask.sum()))
+    ]
+    new_rows = pd.DataFrame(
+        {
+            "conv_id": ["zzz-update-conv"] * 2,
+            "turn_idx": [0, 1],
+            "text": ["brand new turn zebra term0002", "another new turn beta"],
+        }
+    )
+    delta = pd.concat([updated[mask], new_rows], ignore_index=True)
+    updated = pd.concat([updated, new_rows], ignore_index=True)
+    return updated, delta
+
+
+def _transcripts_updated_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
+    """Pure-Python oracle over the UPDATED corpus as VALUES literals."""
+    from .oracle import build_oracle_index, oracle_topk
+
+    updated, _ = _updated_xs_pdfs()
+    idx = build_oracle_index(updated)
+    rows = oracle_topk(idx, query_text, mode, k)
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+def _xs_updated_multi(spark):
+    """Base build of the ORIGINAL corpus + ``ingest_update_segment`` of
+    the update delta, read through MultiIndex — the turn-level UPDATE
+    path (the reference's ``ON CONFLICT ... DO UPDATE`` upsert,
+    IndexerService.java:57-68, driven by ReindexController.java:40-104)."""
+    if "updated_roots" not in _XS_INDEX:
+        from .corpus import generate_transcripts
+        from .index.build import build_index
+        from .index.extend import ingest_update_segment
+
+        d = _tmpdir("sgs_upd_")
+        pdf = generate_transcripts("xs")[["conv_id", "turn_idx", "text"]]
+        _, delta = _updated_xs_pdfs()
+        base = os.path.join(d, "base")
+        seg = os.path.join(d, "seg")
+        build_index(spark, spark.createDataFrame(pdf), base, BuildConfig(num_groups=2))
+        ingest_update_segment(spark, [base], spark.createDataFrame(delta), seg)
+        _XS_INDEX["updated_roots"] = [base, seg]
+    from .index.multi import MultiIndex
+
+    return MultiIndex(spark, _XS_INDEX["updated_roots"])
+
+
+@q(
+    "transcripts_bm25_updated",
+    _transcripts_updated_oracle_sql("zebra term0001", "disjunctive", 10),
+)
+def transcripts_bm25_updated(spark, sf_dir):
+    """Turn-level UPDATE parity: re-indexed turns supersede their old
+    versions via a shadow-sidecar delta segment; MultiIndex excludes the
+    shadowed docs and corrects N/Σdl/df exactly, so results equal the
+    pure-Python oracle over the updated corpus byte-for-byte."""
+    idx = _xs_updated_multi(spark)
+    return idx.topk("zebra term0001", "disjunctive", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
 _COUNT_QUERIES = [
     ("term0001 term0002", "disjunctive"),
     ("term0001 term0002", "conjunctive"),

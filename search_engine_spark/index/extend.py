@@ -39,10 +39,15 @@ valid byte-for-byte.  Two consequences, both handled:
   inside old posting runs; the merge kernel's stable-argsort fallback
   (``build._merge_run``) reorders those runs per posting.
 
-Updating or deleting an already-indexed ``(conv_id, turn_idx)`` is out
-of scope (it would require rewriting old blocks around tombstones); the
-extend FAILS LOUDLY if the delta collides with an indexed turn, telling
-the caller to rebuild.
+Updating an already-indexed ``(conv_id, turn_idx)`` has two paths, the
+analogs of the reference's ``ON CONFLICT ... DO UPDATE`` upsert
+(``IndexerService.java:57-68``): ``extend_index(..., updates=True)``
+drops the old version's postings block-wise during the merge (exact
+stats, O(index bytes)); ``ingest_update_segment`` builds the delta as
+its own LSM segment with a SHADOW sidecar naming the superseded docs —
+O(delta) work, read through ``MultiIndex`` which excludes shadowed docs
+and corrects N/Σdl/df exactly.  A collision under the default
+``updates=False`` still FAILS LOUDLY.
 """
 
 from __future__ import annotations
@@ -62,6 +67,7 @@ from .build import (
     TURN_MASK,
     IndexBuilder,
     IndexPaths,
+    build_index,
     conv_ranks,
     finalize_index,
     load_meta,
@@ -174,6 +180,89 @@ def _doclen_turns_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 def _is_dl_row(term_v) -> bool:
     return term_v is None or (isinstance(term_v, float) and np.isnan(term_v))
+
+
+_TURNS_DL_SCHEMA = "conv_rank long, turn_idx long, dl long"
+
+
+def _doclen_turns_dl_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Doclen table rows → (conv_rank, turn_idx, doclen) per indexed doc
+    — the update path reads old doc lengths from here (shadow sidecars
+    carry them so MultiIndex can correct Σdl exactly)."""
+    for pdf in batches:
+        frames = []
+        for doc_blob, dl_blob in zip(pdf["doc_blob"], pdf["dl_blob"]):
+            ranks, turns = _decode_doclen_blob(doc_blob)
+            dls = varbyte_decode(dl_blob).astype(np.int64)
+            frames.append(
+                pd.DataFrame({"conv_rank": ranks, "turn_idx": turns, "dl": dls})
+            )
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"conv_rank": [], "turn_idx": [], "dl": []})
+        )
+
+
+def _make_drop_kernel(tomb):
+    """mapInPandas kernel: posting/doclen BLOCK rows → fragment rows with
+    tombstoned postings REMOVED (doc ids unchanged — no remap).
+
+    The update leg of ``extend_index``: blocks of groups containing an
+    updated doc are decode-filtered here; every other group passes
+    through :func:`_blocks_as_fragments` zero-decode.  Filtering keeps
+    doc order, so the output rows are valid doc-sorted fragments."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "term", "group", "n", "min_doc", "sum_dl",
+            "doc_blob", "tf_blob", "pos_blob", "dl_blob",
+        ]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for r in pdf.itertuples(index=False):
+                docs = np.cumsum(varbyte_decode(r.doc_blob).astype(np.int64))
+                keep = tomb.keep_mask(docs, TURN_BITS)
+                is_dl = _is_dl_row(r.term)
+                if keep.all():
+                    # untouched block: reuse its blobs byte-for-byte
+                    # (same projection as _blocks_as_fragments)
+                    rows.append((
+                        None if is_dl else r.term, int(r.group), int(r.n),
+                        int(docs[0]), 0,
+                        bytes(r.doc_blob),
+                        None if is_dl else bytes(r.tf_blob),
+                        None if is_dl else bytes(r.pos_blob),
+                        bytes(r.tf_blob) if is_dl else bytes(r.dl_blob),
+                    ))
+                    continue
+                if not keep.any():
+                    continue  # every posting in this block was updated
+                docs = docs[keep]
+                if is_dl:
+                    dls = varbyte_decode(r.tf_blob).astype(np.int64)[keep]
+                    rows.append((
+                        None, int(r.group), len(docs), int(docs[0]), 0,
+                        varbyte_encode(delta_encode(docs)), None, None,
+                        varbyte_encode(dls.astype(np.uint64)),
+                    ))
+                    continue
+                tfs = varbyte_decode(r.tf_blob).astype(np.int64)
+                dls = varbyte_decode(r.dl_blob).astype(np.int64)
+                pos = bytes(r.pos_blob)
+                offs = stream_byte_offsets(pos, tfs)
+                pos = b"".join(
+                    pos[offs[i] : offs[i + 1]] for i in np.flatnonzero(keep)
+                )
+                rows.append((
+                    r.term, int(r.group), len(docs), int(docs[0]), 0,
+                    varbyte_encode(delta_encode(docs)),
+                    varbyte_encode(tfs[keep].astype(np.uint64)), pos,
+                    varbyte_encode(dls[keep].astype(np.uint64)),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return kernel
 
 
 def _make_remap_kernel(tomb=None):
@@ -293,9 +382,12 @@ def compact_segments(
     compaction RESTORES the exact-cut/WAND fast path even when an input
     segment had lost it.
 
-    Segments must hold disjoint (conv_id, turn_idx) documents — verified
-    here (one pass over the doclen blobs, fail-loud), since a silent
-    duplicate would corrupt merged statistics.  All segments must share
+    Segments must hold disjoint LIVE (conv_id, turn_idx) documents —
+    verified here (one pass over the doclen blobs, fail-loud), since a
+    silent duplicate would corrupt merged statistics.  Occurrences
+    superseded by a later segment's shadow sidecar (update ingests) are
+    exempt: compaction drops them physically, exactly like tombstones,
+    so the output equals a fresh build of the updated corpus.  All segments must share
     num_groups/block_size/turn_bits (the conversation→group hash must
     agree); use ``extend_index`` to absorb a layout-incompatible delta.
 
@@ -337,9 +429,21 @@ def compact_segments(
     paths = IndexPaths(out_dir)
     seg_paths = [IndexPaths(r) for r in roots]
 
-    # -- disjointness: a (conv_id, turn) indexed twice is corruption
+    # shadow sidecars: segment j's shadow keys supersede every earlier
+    # occurrence — compaction is where supersession becomes physical
+    # (the shadowed postings are dropped like tombstones)
+    shadow_keys = [read_shadow_keys(spark, r) for r in roots]
+    shadow_for: list[list[tuple[str, int]]] = []
+    for i in range(len(roots)):
+        s: set[tuple[str, int]] = set()
+        for j in range(i + 1, len(roots)):
+            s.update(shadow_keys[j])
+        shadow_for.append(sorted(s))
+
+    # -- disjointness: a (conv_id, turn) indexed twice is corruption —
+    # unless a later segment's sidecar shadows the earlier occurrence
     turns = None
-    for p in seg_paths:
+    for p, dead in zip(seg_paths, shadow_for):
         segc = spark.read.parquet(p.convs).select("conv_id", "conv_rank")
         t = (
             spark.read.parquet(p.doclen)
@@ -348,6 +452,14 @@ def compact_segments(
             .join(segc, "conv_rank")
             .select("conv_id", "turn_idx")
         )
+        if dead:
+            t = t.join(
+                F.broadcast(
+                    spark.createDataFrame(list(dead), "conv_id string, turn_idx long")
+                ),
+                ["conv_id", "turn_idx"],
+                "left_anti",
+            )
         turns = t if turns is None else turns.unionByName(t)
     dup = (
         turns.groupBy("conv_id", "turn_idx")
@@ -378,9 +490,10 @@ def compact_segments(
     from .reader import resolve_tombstones
 
     frags = None
-    for p in seg_paths:
+    for p, dead in zip(seg_paths, shadow_for):
         seg_convs = spark.read.parquet(p.convs)
-        tomb = resolve_tombstones(seg_convs, tombstones) if tombstones else None
+        items = list(tombstones or []) + [tuple(k) for k in dead]
+        tomb = resolve_tombstones(seg_convs, items) if items else None
         segc = seg_convs.select("conv_id", F.col("conv_rank").alias("old_rank"))
         mapping = segc.join(merged, "conv_id").select(
             "group", "old_rank", F.col("conv_rank").alias("new_rank")
@@ -407,12 +520,56 @@ def compact_segments(
     return paths
 
 
+def _resolve_update_collisions(
+    spark: SparkSession,
+    old_paths: IndexPaths,
+    delta_known: DataFrame,
+    known: DataFrame,
+):
+    """(conv_rank, turn_idx) pairs the delta re-submits → a resolved
+    :class:`reader.Tombstones` in the OLD index's doc-id space plus the
+    groups whose blocks contain them.
+
+    The collision list is collected driver-side: updates are assumed to
+    be batch-sized (the reference re-indexes one page per request,
+    ``ReindexController.java:40-104``), not corpus-sized — a delta that
+    rewrites a large share of the corpus should be a rebuild."""
+    from .reader import Tombstones
+
+    groups = [int(r.group) for r in known.select("group").distinct().collect()]
+    indexed = (
+        spark.read.parquet(old_paths.doclen)
+        .filter(F.col("group").isin(groups))
+        .select("doc_blob")
+        .mapInPandas(_doclen_turns_kernel, schema=_TURNS_SCHEMA)
+    )
+    hits = (
+        indexed.join(
+            F.broadcast(delta_known.select("conv_rank", "turn_idx").distinct()),
+            ["conv_rank", "turn_idx"],
+        )
+        .join(
+            F.broadcast(known.select("conv_rank", "group").distinct()), "conv_rank"
+        )
+        .collect()
+    )
+    if not hits:
+        return None, []
+    doc_ids = np.asarray(
+        [(int(r.conv_rank) << TURN_BITS) | int(r.turn_idx) for r in hits],
+        dtype=np.int64,
+    )
+    tomb = Tombstones(doc_ids, np.empty(0, dtype=np.int64))
+    return tomb, sorted({int(r.group) for r in hits})
+
+
 def extend_index(
     spark: SparkSession,
     index_root: str,
     delta: DataFrame,
     out_dir: str,
     config: BuildConfig | None = None,
+    updates: bool = False,
 ) -> IndexPaths:
     """Absorb ``delta`` transcripts into the index at ``index_root``,
     writing a NEW index under ``out_dir`` (the old root stays live).
@@ -421,6 +578,17 @@ def extend_index(
     the existing index's meta — ``group = hash(conv_id) % G`` must stay
     consistent or old and new postings of one conversation would land in
     different shards.  ``config`` only supplies the shuffle width.
+
+    ``updates=True`` is the reference's ``ON CONFLICT ... DO UPDATE``
+    (IndexerService.java:57-68): a delta turn that is already indexed
+    REPLACES the old version — its old postings are dropped block-wise
+    (only the groups containing an updated doc are decode-filtered;
+    every other group still passes through zero-decode) before the
+    delta's tokenized postings merge in.  Doc ids are reused, so order
+    isomorphism is untouched, and ``finalize_index`` recomputes
+    N/avgdl/df from the merged blocks — the result equals a fresh build
+    of the updated corpus byte-for-byte (pinned by tests).  With the
+    default ``updates=False`` a collision still fails loudly.
     """
     old_paths = IndexPaths(index_root)
     meta = load_meta(index_root)
@@ -482,10 +650,17 @@ def extend_index(
         shutil.rmtree(scratch, ignore_errors=True)
     merged_convs = spark.read.parquet(paths.convs)
 
-    # -- append-only contract: no delta turn may already be indexed
+    # -- append-only contract: no delta turn may already be indexed —
+    # unless updates=True, where collisions become block-level drops
     delta_known = delta.join(F.broadcast(known.select("conv_id", "conv_rank")), "conv_id")
+    tomb, touched_groups = None, []
     if known.limit(1).count():
-        _assert_no_turn_overlap(spark, old_paths, delta_known)
+        if updates:
+            tomb, touched_groups = _resolve_update_collisions(
+                spark, old_paths, delta_known, known
+            )
+        else:
+            _assert_no_turn_overlap(spark, old_paths, delta_known)
 
     # -- tokenize ONLY the delta; reread old blocks as fragments.
     # The doc-id join uses just the conversations the delta touches (a
@@ -498,7 +673,17 @@ def extend_index(
     touched_convs = merged_convs.join(F.broadcast(delta_convs), "conv_id")
     staged = builder._parallelize_input(with_doc_ids(delta, touched_convs))
     delta_frags = staged.mapInPandas(_fragment_kernel, schema=FRAGMENTS_SCHEMA)
-    old_frags = _blocks_as_fragments(spark.read.parquet(old_paths.postings))
+    old_blocks = spark.read.parquet(old_paths.postings)
+    if tomb is not None and touched_groups:
+        old_frags = _blocks_as_fragments(
+            old_blocks.filter(~F.col("group").isin(touched_groups))
+        ).unionByName(
+            old_blocks.filter(F.col("group").isin(touched_groups)).mapInPandas(
+                _make_drop_kernel(tomb), schema=FRAGMENTS_SCHEMA
+            )
+        )
+    else:
+        old_frags = _blocks_as_fragments(old_blocks)
     write_blocks(
         delta_frags.unionByName(old_frags), paths, shuffle_partitions, block_size
     )
@@ -519,4 +704,132 @@ def extend_index(
         },
         tokenize_metrics=None,
     )
+    return paths
+
+
+# -------------------------------------------------------------- updates
+
+
+def shadows_path(root: str) -> str:
+    """Shadow sidecar location inside a segment root (parquet dir:
+    conv_id string, turn_idx long, n_prev long, dl_prev long)."""
+    return os.path.join(root, "shadows")
+
+
+def read_shadow_keys(spark: SparkSession, root: str) -> list[tuple[str, int]]:
+    """(conv_id, turn_idx) keys this segment SUPERSEDES in earlier
+    segments, or [] when the segment has no sidecar.  Shadow lists are
+    update-batch-sized, so a driver-side collect is the right scale."""
+    p = shadows_path(root)
+    if not os.path.exists(p):
+        return []
+    return [
+        (r.conv_id, int(r.turn_idx))
+        for r in spark.read.parquet(p).select("conv_id", "turn_idx").collect()
+    ]
+
+
+def ingest_update_segment(
+    spark: SparkSession,
+    existing_roots: list[str],
+    delta: DataFrame,
+    out_dir: str,
+    config: BuildConfig | None = None,
+) -> IndexPaths:
+    """Build ``delta`` as a NEW LSM segment that may UPDATE docs already
+    indexed in ``existing_roots`` (chronological order, oldest first).
+
+    The O(delta) leg of the update story (``extend_index(updates=True)``
+    is the O(index bytes) fold): the delta becomes its own segment via a
+    plain ``build_index``, plus a SHADOW sidecar listing every delta
+    (conv_id, turn_idx) that a LIVE earlier occurrence must yield to —
+    ``MultiIndex`` excludes shadowed docs at candidate time and corrects
+    the global statistics exactly:
+
+    * the sidecar row's ``n_prev``/``dl_prev`` count only occurrences
+      not already shadowed by an intermediate segment's sidecar, so
+      Σ n_prev over all sidecars == the number of excluded docs and
+      Σ dl_prev == their total length (N and avgdl corrections are a
+      metadata sum, no corpus scan);
+    * per-term df corrections are counted at query time from the
+      shadowed docs' own posting blocks (see MultiIndex.idf_map) —
+      exact, pruned to the queried terms and affected groups.
+
+    Results through ``MultiIndex([old..., this])`` therefore equal a
+    fresh build of the updated corpus byte-for-byte (pinned by tests);
+    ``compact_segments`` folds the supersession physically.
+
+    The reference analog is the re-index flow (``ReindexController.
+    java:40-104`` driving ``IndexerService.java:57-68`` upserts).
+    """
+    if not existing_roots:
+        raise ValueError("ingest_update_segment needs at least one existing root")
+    meta0 = load_meta(existing_roots[0])
+    if int(meta0.get("format_version", 0)) < 5:
+        raise ValueError("ingest_update_segment: existing segments must be format v5")
+    if meta0.get("docid_scheme", "dense") != "conv_rank":
+        raise ValueError(
+            "ingest_update_segment: existing segments must be conv_rank batch builds"
+        )
+    cfg = config or BuildConfig()
+    cfg = BuildConfig(
+        num_groups=int(meta0["num_groups"]),
+        block_size=int(meta0["block_size"]),
+        shuffle_partitions=cfg.shuffle_partitions,
+    )
+    paths = build_index(spark, delta, out_dir, cfg)
+
+    # -- shadow computation: which delta keys have a LIVE occurrence in
+    # an earlier segment?  "Live" honors existing shadow chains: an
+    # occurrence already superseded by a later existing segment is not
+    # counted again (Σ n_prev across sidecars must equal the number of
+    # excluded docs exactly).
+    delta_keys = delta.select("conv_id", F.col("turn_idx").cast("long")).distinct()
+    later_keys: set[tuple[str, int]] = set()
+    per_root_live = []
+    for i, root in enumerate(existing_roots):
+        shadowed_here = set()
+        for later in existing_roots[i + 1 :]:
+            shadowed_here.update(read_shadow_keys(spark, later))
+        per_root_live.append(shadowed_here)
+    hits = None
+    for root, dead in zip(existing_roots, per_root_live):
+        p = IndexPaths(root)
+        convs = spark.read.parquet(p.convs)
+        known = (
+            delta_keys.select("conv_id")
+            .distinct()
+            .join(convs, "conv_id")
+            .select("conv_id", "conv_rank", "group")
+        )
+        if not known.limit(1).count():
+            continue
+        groups = [int(r.group) for r in known.select("group").distinct().collect()]
+        seg_turns = (
+            spark.read.parquet(p.doclen)
+            .filter(F.col("group").isin(groups))
+            .select("doc_blob", "dl_blob")
+            .mapInPandas(_doclen_turns_dl_kernel, schema=_TURNS_DL_SCHEMA)
+            .join(F.broadcast(known.select("conv_id", "conv_rank")), "conv_rank")
+            .join(F.broadcast(delta_keys), ["conv_id", "turn_idx"])
+            .select("conv_id", "turn_idx", "dl")
+        )
+        if dead:
+            dead_df = spark.createDataFrame(
+                list(dead), "conv_id string, turn_idx long"
+            )
+            seg_turns = seg_turns.join(
+                F.broadcast(dead_df), ["conv_id", "turn_idx"], "left_anti"
+            )
+        hits = seg_turns if hits is None else hits.unionByName(seg_turns)
+
+    if hits is not None:
+        shadow = hits.groupBy("conv_id", "turn_idx").agg(
+            F.count("*").alias("n_prev"), F.sum("dl").alias("dl_prev")
+        )
+        shadow.coalesce(1).write.mode("overwrite").parquet(shadows_path(out_dir))
+    else:
+        spark.createDataFrame(
+            [], "conv_id string, turn_idx long, n_prev long, dl_prev long"
+        ).coalesce(1).write.mode("overwrite").parquet(shadows_path(out_dir))
     return paths
