@@ -971,6 +971,44 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.ann_index_topk(spark, idx, emb, qv, k=10)
 
 
+_ANN_SEGMENTS: dict[str, list[str]] = {}
+
+
+def _ann_segments(spark, sf_dir):
+    """Segmented ANN index per (process, sf_dir): base built over 80% of
+    the vectors, the rest absorbed as an O(delta) segment via
+    ``extend_ann_index`` — the ANN analog of the text index's LSM
+    ingest (same daily-arrival story, see similarity.py 'ANN
+    freshness')."""
+    if sf_dir not in _ANN_SEGMENTS:
+        d = _tmpdir("sgs_annseg_")
+        emb = load(spark, sf_dir, "embeddings")
+        base, seg = os.path.join(d, "base"), os.path.join(d, "seg")
+        similarity.write_ann_index(
+            emb.filter(F.col("vec_id") % 5 < 4), base,
+            _ANN_DIM, _ANN_BITS, _ANN_TABLES, _ANN_SEED,
+        )
+        similarity.extend_ann_index(
+            spark, base, emb.filter(F.col("vec_id") % 5 == 4), seg
+        )
+        _ANN_SEGMENTS[sf_dir] = [base, seg]
+    return _ANN_SEGMENTS[sf_dir]
+
+
+@q("ann_lsh_topk_segmented", _ann_lsh_sql())
+def ann_lsh_topk_segmented(spark, sf_dir):
+    """ANN LSM freshness parity: base index + delta segment probed as
+    one index (union of partition-pruned probe cells, exact rerank over
+    the current embedding table) must equal the full-corpus probe — the
+    oracle is the same literal-hyperplane DuckDB replay as
+    ``ann_lsh_topk``."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [r["x"] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode(F.col("embedding")).alias("x")).collect()]
+    roots = _ann_segments(spark, sf_dir)
+    return similarity.ann_multi_topk(spark, roots, emb, qv, k=10)
+
+
 @q(
     "knn_join",
     """

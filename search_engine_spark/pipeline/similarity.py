@@ -292,6 +292,120 @@ def lsh_cosine_topk(
     return cosine_topk(cand, query_vec, k)
 
 
+# ------------------------------------------------------- ANN freshness
+#
+# The text index's LSM triad (build / extend / MultiIndex / compact,
+# index/extend.py + index/multi.py) mirrored for the ANN index: a 100 TB
+# embedding corpus has daily arrivals and re-embeddings just like the
+# text corpus, and a rebuild-only index cannot absorb them.
+#
+# An ids-only LSH index makes the update story simpler than text:
+# signatures carry no statistics, and every probe ends in an EXACT
+# cosine rerank against the CURRENT embedding table.  So a re-embedded
+# vector's stale signature in an old segment is harmless — at worst it
+# adds a spurious candidate that the rerank scores with the fresh
+# vector — while the delta segment's fresh signature restores recall
+# for the new bucket.  Deletions DO need exclusion (a deleted id would
+# otherwise resurface), handled like text tombstones: filtered from
+# candidates at probe time, removed physically at compaction.
+
+
+def _read_ann_segments(spark, paths: list[str]):
+    """Union of per-segment signatures tagged with their segment index,
+    plus the shared meta — fails loud if segments disagree on any LSH
+    parameter (mixed-parameter probes silently lose recall)."""
+    if not paths:
+        raise ValueError("need at least one ANN index segment")
+    segs, metas = zip(*[read_ann_index(spark, p) for p in paths])
+    for p, m in zip(paths, metas):
+        if m != metas[0]:
+            raise ValueError(
+                f"ANN segment {p} was built with {m}, expected {metas[0]} "
+                "— segments must share (dim, bits, tables, seed)"
+            )
+    out = None
+    for i, s in enumerate(segs):
+        s = s.withColumn("seg", F.lit(i))
+        out = s if out is None else out.unionByName(s)
+    return out, metas[0]
+
+
+def extend_ann_index(spark, base_path: str, new_embeddings: DataFrame, out_path: str) -> None:
+    """Delta ANN segment: signatures of ONLY the new (or re-embedded)
+    vectors, written in the base's layout with the base's LSH
+    parameters (read from its ``_meta``, so a drifting caller cannot
+    produce a mixed-parameter index).  O(delta) work — the base is
+    never rescanned."""
+    _, meta = read_ann_index(spark, base_path)
+    write_ann_index(
+        new_embeddings, out_path, meta["dim"], meta["bits"], meta["tables"], meta["seed"]
+    )
+
+
+def ann_multi_topk(
+    spark,
+    index_paths: list[str],
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    tombstones: list[int] | None = None,
+) -> DataFrame:
+    """ANN probe across base + delta segments as ONE index.
+
+    Each segment contributes its partition-pruned probe cells; candidate
+    ids union (stale signatures of re-embedded vectors are harmless —
+    see module note), ``tombstones`` (deleted vec_ids) are excluded at
+    candidate time, and the exact cosine rerank joins vectors from the
+    CURRENT embedding table.  Equals a probe against a rebuilt
+    single-segment index (pinned by tests)."""
+    sigs, meta = _read_ann_segments(spark, index_paths)
+    if meta["dim"] != len(query_vec):
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {meta['dim']}"
+        )
+    cand_ids = (
+        sigs.filter(
+            _probe_predicate(
+                query_buckets(query_vec, meta["bits"], meta["tables"], meta["seed"])
+            )
+        )
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    if tombstones:
+        cand_ids = cand_ids.filter(~F.col("vec_id").isin([int(t) for t in tombstones]))
+    cand = embeddings.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    return cosine_topk(cand, query_vec, k)
+
+
+def compact_ann_index(
+    spark,
+    index_paths: list[str],
+    out_path: str,
+    tombstones: list[int] | None = None,
+) -> None:
+    """Fold ANN segments into one index root: per vec_id only the LATEST
+    segment's signatures survive (a re-embedded vector's stale buckets
+    drop out), ``tombstones`` are removed PHYSICALLY, and the result is
+    rewritten (table, bucket)-partitioned with the shared ``_meta``.
+    One shuffle on vec_id over ids-only rows — index bytes, never
+    embedding bytes."""
+    import os
+
+    sigs, meta = _read_ann_segments(spark, index_paths)
+    if tombstones:
+        sigs = sigs.filter(~F.col("vec_id").isin([int(t) for t in tombstones]))
+    latest = sigs.groupBy("vec_id").agg(F.max("seg").alias("seg"))
+    kept = sigs.join(latest, ["vec_id", "seg"]).select("vec_id", "table", "bucket")
+    kept.repartition("table", "bucket").write.mode("overwrite").partitionBy(
+        "table", "bucket"
+    ).parquet(out_path)
+    spark.createDataFrame(
+        [(meta["dim"], meta["bits"], meta["tables"], meta["seed"])],
+        "dim int, bits int, tables int, seed int",
+    ).coalesce(1).write.mode("overwrite").json(out_path + "/_meta")
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,
