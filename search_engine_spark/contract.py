@@ -1161,31 +1161,51 @@ def dedup_clusters(spark, sf_dir):
 
 
 _IVF_NPROBE = 4
+_IVF_K = 8
 
-_CENTROID_CTES = """
-cel AS (
-  SELECT label, avg(x) AS cx, i
-  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
-               generate_subscripts(embedding, 1) AS i FROM embeddings)
-  GROUP BY label, i
+# the k-means quantizer's deterministic init (kmeans._seed_centroids:
+# the K vectors with the smallest md5(vec_id)) and its assignment rule
+# (argmax of round(cos + 1e-9, 5), ties to the lowest cell), both
+# replayed in DuckDB — training init + assignment are exactly
+# SQL-checkable; the trained Lloyd rounds are float-summation-order
+# sensitive, so their gates live in tests/test_kmeans_ivf.py
+# (determinism, shrinking inertia, recall@10 vs brute force)
+_IVF_SEED_CTES = f"""
+seeds AS (
+  SELECT cv, row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell
+  FROM (SELECT embedding::DOUBLE[] AS cv, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+        FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT {_IVF_K})
 ),
-cent AS (SELECT label, array_agg(cx ORDER BY i) AS cv FROM cel GROUP BY label)
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.embedding::DOUBLE[], s.cv)
+                      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(s.cv, s.cv))) + 1e-9, 5) DESC,
+                      s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s)
+  WHERE rn = 1
+)
 """
 
 
 def _ivf_ann_sql(k=10, nprobe=_IVF_NPROBE) -> str:
     return f"""
-WITH {_CENTROID_CTES.strip()},
+WITH {_IVF_SEED_CTES.strip()},
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 cells AS (
-  SELECT cent.label
-  FROM cent CROSS JOIN q
-  ORDER BY list_dot_product(cent.cv, q.qv)
-           / (sqrt(list_dot_product(cent.cv, cent.cv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
-           cent.label ASC
+  SELECT s.cell
+  FROM seeds s CROSS JOIN q
+  ORDER BY round(list_dot_product(s.cv, q.qv)
+           / (sqrt(list_dot_product(s.cv, s.cv)) * sqrt(list_dot_product(q.qv, q.qv)))
+           + 1e-9, 5) DESC,
+           s.cell ASC
   LIMIT {nprobe}
 ),
-m AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN cells USING (label)),
+m AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN asg USING (vec_id) JOIN cells USING (cell)),
 s AS (
   SELECT m.vec_id,
          list_dot_product(m.embedding::DOUBLE[], q.qv)
@@ -1198,14 +1218,59 @@ ORDER BY round(c + 1e-9, 5) DESC, vec_id ASC LIMIT {k}
 """
 
 
+_IVF_INDEX: dict[str, str] = {}
+
+
+def _ivf_index(spark, sf_dir, iterations=0):
+    """Persisted IVF index per (process, sf_dir): ids-only rows
+    partitioned by cell + a _centroids sidecar.  iterations=0 pins the
+    quantizer at its deterministic md5-seeded init so the DuckDB oracle
+    can re-derive the cells; trained (iterations>0) indexes are gated in
+    pytest, where float-sum order doesn't have to replay in SQL."""
+    from .pipeline import kmeans
+
+    key = (sf_dir, iterations)
+    if key not in _IVF_INDEX:
+        path = os.path.join(_tmpdir("sgs_ivf_"), "ivf")
+        kmeans.write_ivf_index(
+            spark, load(spark, sf_dir, "embeddings"), path, _ANN_DIM, _IVF_K,
+            iterations=iterations,
+        )
+        _IVF_INDEX[key] = path
+    return _IVF_INDEX[key]
+
+
+@q(
+    "ivf_assign_cells",
+    f"WITH {_IVF_SEED_CTES.strip()} SELECT vec_id, cell FROM asg",
+)
+def ivf_assign_cells(spark, sf_dir):
+    """IVF coarse-quantizer assignment parity: every vector's cell under
+    the distributed k-means assignment rule (Arrow argmax kernel) must
+    equal the DuckDB replay over the same md5-seeded centroids."""
+    from .pipeline import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _ivf_index(spark, sf_dir)
+    return spark.read.parquet(path).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
 @q("ivf_ann_topk", _ivf_ann_sql())
 def ivf_ann_topk(spark, sf_dir):
-    """IVF ANN: probe the nprobe nearest coarse cells (label centroids),
-    exact-rerank only their members."""
+    """IVF ANN against the PERSISTED quantizer index (pipeline/kmeans.py):
+    cells ranked from the _centroids sidecar on the driver, nprobe cell
+    partitions read pruned, members' vectors joined back by id, exact
+    cosine rerank — the DuckDB oracle replays init, assignment, probe
+    and rerank end-to-end."""
+    from .pipeline import kmeans
+
     emb = load(spark, sf_dir, "embeddings")
     qv = [r["x"] for r in emb.filter(F.col("vec_id") == 0).select(
         F.explode(F.col("embedding")).alias("x")).collect()]
-    return similarity.ivf_cosine_topk(emb, qv, k=10, nprobe=_IVF_NPROBE)
+    path = _ivf_index(spark, sf_dir)
+    return kmeans.ivf_index_topk(spark, path, emb, qv, k=10, nprobe=_IVF_NPROBE)
 
 
 def _knn_lsh_sql(k=3, bits=_ANN_BITS, tables=_KNN_LSH_TABLES, dim=_ANN_DIM, seed=_ANN_SEED) -> str:

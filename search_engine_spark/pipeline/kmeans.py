@@ -1,0 +1,211 @@
+"""Distributed k-means coarse quantizer for IVF ANN.
+
+``similarity.ivf_cosine_topk`` documents its cell assignment as a
+stand-in (the corpus ``label`` column).  This module supplies the real
+thing: Lloyd's algorithm as a handful of Spark rounds, each ONE Arrow
+assignment kernel emitting per-cell partial sums plus ONE tiny
+(cells × dim)-row aggregation — the classic distributed k-means shape
+(the same map-side-combine pattern as the index build's fragment
+kernel; MLlib's KMeans is the library precedent, re-derived here so the
+assignment rule stays oracle-replayable in SQL).
+
+Scale notes (100 TB):
+* each round shuffles only k·dim partial-sum cells per input batch —
+  never vectors; the corpus is scanned once per round, map-side only;
+* centroids live on the driver between rounds (k ≤ a few thousand ×
+  dim doubles — kilobytes to MB) and broadcast into the kernel;
+* init is deterministic: the k vectors with the smallest
+  ``md5(vec_id)`` — a seeded pseudo-random sample that is replayable
+  (and SQL-expressible) without a corpus shuffle, unlike k-means++
+  whose sequential dependence costs k passes;
+* assignment rule = argmax of ROUND(cos + 1e-9, 5), ties to the lowest
+  cell — the epsilon-nudged rounding (the contract convention) pins the
+  float boundary so numpy and DuckDB replay the same assignment.
+
+Reference parity: the reference has no vector search; this extends the
+engine the way SURVEY.md §2's training-data-pipeline section requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import cosine_topk
+
+_ASSIGN_ROUND = 5
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return mat / n
+
+
+def _seed_centroids(embeddings: DataFrame, k: int) -> np.ndarray:
+    """Deterministic init: vectors of the k smallest md5(vec_id)."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    return np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+
+def _partials_kernel(cent_norm: np.ndarray, dim: int):
+    """embeddings batch → (cell, j, s, n) partial sums for the update
+    step.  Assignment = argmax cosine (unrounded inside training; the
+    exported :func:`assign_cells` applies the rounded contract rule)."""
+
+    def kern(batches):
+        k = cent_norm.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            cells = np.argmax(_normalize(mat) @ cent_norm.T, axis=1)
+            sums = np.zeros((k, dim))
+            np.add.at(sums, cells, mat)
+            counts = np.bincount(cells, minlength=k)
+            live = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(live, dim).astype(np.int32),
+                    "j": np.tile(np.arange(dim, dtype=np.int32), live.size),
+                    "s": sums[live].reshape(-1),
+                    "n": np.repeat(counts[live], dim).astype(np.int64),
+                }
+            )
+
+    return kern
+
+
+def kmeans_train(
+    embeddings: DataFrame, dim: int, k: int, iterations: int = 5
+) -> np.ndarray:
+    """Lloyd's k-means over (vec_id, embedding) → (k, dim) centroids.
+
+    Each round: one corpus scan through the Arrow partials kernel, one
+    (cell, j) aggregation of k·dim rows, centroids collected to the
+    driver.  Empty cells keep their previous centroid (standard Lloyd
+    fallback, deterministic)."""
+    cent = _seed_centroids(embeddings, k)
+    for _ in range(iterations):
+        # ONE corpus scan: sum(s) per (cell, j) is the coordinate sum;
+        # sum(n) over the j==0 rows is the member count (each batch
+        # repeats its batch-local count once per coordinate)
+        rows = (
+            embeddings.select("embedding")
+            .mapInPandas(
+                _partials_kernel(_normalize(cent), dim),
+                schema="cell int, j int, s double, n long",
+            )
+            .groupBy("cell", "j")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r.cell, r.j] += r.s
+            if r.j == 0:
+                counts[r.cell] = r.n
+        live = counts > 0
+        cent[live] = sums[live] / counts[live, None]
+    return cent
+
+
+def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cell) under the contract rule: argmax of ROUND(cos, 5),
+    ties to the lowest cell — replayable in SQL with literal centroids."""
+    cent_norm = _normalize(centroids)
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            sims = np.round(_normalize(mat) @ cent_norm.T + 1e-9, _ASSIGN_ROUND)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": np.argmax(sims, axis=1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kern, schema="vec_id long, cell int"
+    )
+
+
+def write_ivf_index(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    k: int,
+    iterations: int = 5,
+) -> np.ndarray:
+    """Train the coarse quantizer and persist the IVF index: ids-only
+    (vec_id) rows partitioned by cell, plus a ``_centroids`` sidecar
+    (cell, centroid) — same layout discipline as ``write_ann_index``
+    (probe = partition-pruned read of nprobe cells; vectors join back
+    by id).  Returns the trained centroids."""
+    cent = kmeans_train(embeddings, dim, k, iterations)
+    assign_cells(embeddings, cent).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    spark.createDataFrame(
+        [(int(c), [float(v) for v in cent[c]]) for c in range(k)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").json(path + "/_centroids")
+    return cent
+
+
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.json(path + "/_centroids").collect()
+    k = max(int(r.cell) for r in rows) + 1
+    cent = np.zeros((k, len(rows[0].centroid)))
+    for r in rows:
+        cent[int(r.cell)] = np.asarray(r.centroid, dtype=np.float64)
+    return cent
+
+
+def probe_cells(centroids: np.ndarray, query_vec: list[float], nprobe: int) -> list[int]:
+    """The nprobe cells whose centroids are nearest the query — driver
+    side scalars (k is small), same rounded rule as assignment, ties to
+    the lowest cell."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    sims = np.round(_normalize(centroids) @ qn + 1e-9, _ASSIGN_ROUND)
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return [int(c) for c in order[:nprobe]]
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN probe against the persisted index: rank cells on the
+    driver from the ``_centroids`` sidecar, partition-pruned read of the
+    nprobe cells' ids, vectors equi-joined back, exact cosine rerank of
+    the members only."""
+    cent = read_ivf_centroids(spark, index_path)
+    cells = probe_cells(cent, query_vec, nprobe)
+    cand_ids = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells))
+        .select("vec_id")
+    )
+    members = embeddings.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    return cosine_topk(members, query_vec, k)

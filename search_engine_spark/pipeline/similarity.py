@@ -498,13 +498,13 @@ def ivf_cosine_topk(
     """IVF ANN: probe the ``nprobe`` coarse cells nearest the query,
     exact-rerank only their members.
 
-    The inverted-file layout is the partition-by-cell analog of the LSH
-    index: at scale the embedding table is written partitioned by cell
-    and the probe is a partition-pruned read of nprobe cells.  Here the
-    cell assignment is the ``label`` column (a deterministic stand-in
-    for trained k-means cells); centroids are one aggregate, the
-    centroid ranking happens on the |cells|-row side, and the member
-    filter is a broadcast semi-join.
+    This variant groups by an EXISTING cell column (``label``) — IVF
+    over externally supplied cells.  The trained coarse quantizer lives
+    in ``pipeline/kmeans.py`` (distributed Lloyd rounds, persisted
+    partition-by-cell index via ``write_ivf_index``, probe via
+    ``ivf_index_topk``); use that for the real ANN path.  Centroids
+    here are one aggregate, the centroid ranking happens on the
+    |cells|-row side, and the member filter is a broadcast semi-join.
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cent = label_centroids(embeddings, len(query_vec), label_col)
