@@ -168,32 +168,92 @@ class SegmentStreamIndexer:
     are skipped by the commit marker, so at-least-once delivery is
     safe).  New turns of an already-segmented conversation are fine —
     segments hold disjoint documents, not disjoint conversations.
+
+    ``max_segments`` wires compaction into the ingest loop: once the
+    live segment count reaches it, every live segment folds into one
+    ``seg=<lo>-<hi>`` root (BASELINE.md "Segmented-read amplification"
+    measured the read tax flat to 4 segments and +42% at 8 — 4-8 is the
+    right band).  Liveness is governed by an atomically swapped
+    ``segments.json`` manifest (the Lucene segments_N pattern), so a
+    crash anywhere leaves either the old set or the new set visible,
+    never both; superseded directories are deleted best-effort after
+    the manifest commits and are invisible regardless.  Folding all
+    live segments per trigger is quadratic-ish write amplification in
+    the long run — at 100 TB run a tiered schedule by calling
+    :meth:`compact` from a maintenance job instead and leave
+    ``max_segments=None``.
     """
 
-    def __init__(self, spark: SparkSession, out_dir: str, config: BuildConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        config: BuildConfig | None = None,
+        max_segments: int | None = None,
+    ):
         self.spark = spark
         self.out_dir = out_dir
         self.config = config or BuildConfig()
+        self.max_segments = max_segments
         self.segments_dir = os.path.join(out_dir, "segments")
         os.makedirs(self.segments_dir, exist_ok=True)
+        self._manifest = os.path.join(out_dir, "segments.json")
 
     def _seg_dir(self, batch_id: int) -> str:
         return os.path.join(self.segments_dir, f"seg={batch_id}")
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch sink: build the batch into its own segment.
+    @staticmethod
+    def _bounds(name: str) -> tuple[int, int]:
+        span = name.split("=", 1)[1]
+        lo, _, hi = span.partition("-")
+        return int(lo), int(hi or lo)
 
-        Idempotent: a committed segment (meta.json present — the build's
-        last write) is never rebuilt; a crashed attempt leaves only a
-        ``.tmp`` directory that the retry replaces.  The rename commit
-        is atomic on one filesystem."""
+    def _live_names(self) -> list[str]:
+        """Live segment dir names, oldest first — from the manifest when
+        one exists, else derived from committed directories (legacy
+        layouts / first run)."""
+        import json
+        import re
+
+        if os.path.exists(self._manifest):
+            with open(self._manifest) as f:
+                names = json.load(f)["live"]
+        else:
+            names = [
+                n
+                for n in os.listdir(self.segments_dir)
+                if re.fullmatch(r"seg=\d+(-\d+)?", n)
+                and os.path.exists(os.path.join(self.segments_dir, n, "meta.json"))
+            ]
+        return sorted(names, key=self._bounds)
+
+    def _write_manifest(self, names: list[str]) -> None:
+        import json
+
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"live": sorted(names, key=self._bounds)}, f)
+        os.replace(tmp, self._manifest)  # atomic swap
+
+    def _covered(self, batch_id: int) -> bool:
+        return any(lo <= batch_id <= hi for lo, hi in map(self._bounds, self._live_names()))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: build the batch into its own segment, then
+        auto-compact if the live count reached ``max_segments``.
+
+        Idempotent: a batch whose id is covered by a live segment (its
+        own ``seg=<id>`` or a folded ``seg=<lo>-<hi>`` range) is never
+        rebuilt; a crashed attempt leaves only a ``.tmp`` directory that
+        the retry replaces.  The rename commit is atomic on one
+        filesystem."""
         import shutil as _sh
 
         from ..index.build import build_index
 
+        if self._covered(batch_id):
+            return  # replayed micro-batch (direct or folded)
         seg = self._seg_dir(batch_id)
-        if os.path.exists(os.path.join(seg, "meta.json")):
-            return  # replayed micro-batch
         if batch_df.limit(1).count() == 0:
             return
         tmp = seg + ".tmp"
@@ -206,6 +266,40 @@ class SegmentStreamIndexer:
             self.config,
         )
         os.rename(tmp, seg)
+        if os.path.exists(self._manifest):
+            self._write_manifest(self._live_names() + [f"seg={batch_id}"])
+        else:
+            # first manifest: derived names already include the new dir
+            self._write_manifest(self._live_names())
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        import shutil as _sh
+
+        from ..index.extend import compact_segments
+
+        if not self.max_segments:
+            return
+        names = self._live_names()
+        if len(names) < self.max_segments:
+            return
+        lo = min(b[0] for b in map(self._bounds, names))
+        hi = max(b[1] for b in map(self._bounds, names))
+        out_name = f"seg={lo}-{hi}"
+        tmp = os.path.join(self.segments_dir, out_name + ".tmp")
+        _sh.rmtree(tmp, ignore_errors=True)
+        compact_segments(
+            self.spark,
+            [os.path.join(self.segments_dir, n) for n in names],
+            tmp,
+            self.config,
+        )
+        final = os.path.join(self.segments_dir, out_name)
+        _sh.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        self._write_manifest([out_name])  # the visibility switch
+        for n in names:  # superseded dirs: best-effort cleanup
+            _sh.rmtree(os.path.join(self.segments_dir, n), ignore_errors=True)
 
     def start(
         self,
@@ -226,17 +320,11 @@ class SegmentStreamIndexer:
         return writer.start()
 
     def segment_roots(self) -> list[str]:
-        """Committed segments, oldest batch first.
-
-        Only ``seg=<id>`` directories count — in-flight ``.tmp`` builds
-        and crashed leftovers are invisible to readers."""
-        import re
-
+        """Live committed segments, oldest batch first — manifest-
+        governed, so in-flight ``.tmp`` builds, crashed leftovers, and
+        directories superseded by a fold are invisible to readers."""
         out = []
-        for name in sorted(
-            (n for n in os.listdir(self.segments_dir) if re.fullmatch(r"seg=\d+", n)),
-            key=lambda s: int(s.split("=", 1)[1]),
-        ):
+        for name in self._live_names():
             d = os.path.join(self.segments_dir, name)
             if os.path.exists(os.path.join(d, "meta.json")):
                 out.append(d)

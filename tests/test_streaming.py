@@ -406,3 +406,73 @@ def test_segment_roots_ignores_tmp_and_junk(spark, tmp_path_factory):
     with open(os.path.join(ing.segments_dir, "stray.txt"), "w") as f:
         f.write("x")
     assert ing.segment_roots() == []
+
+
+def test_segment_stream_auto_compaction(spark, tmp_path_factory, xs_corpus):
+    """max_segments crosses mid-stream: the fold must happen inside the
+    ingest loop, the manifest must expose exactly one live segment
+    covering every folded batch id, replaying a FOLDED batch must be a
+    no-op, and answers must be identical before/after the fold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.streaming.ingest import SegmentStreamIndexer
+
+    base = tmp_path_factory.mktemp("segauto")
+    inp = base / "incoming"
+    inp.mkdir()
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    quarter = len(xs_corpus) // 4
+    for i in range(4):
+        part = xs_corpus.iloc[i * quarter : (i + 1) * quarter if i < 3 else len(xs_corpus)]
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+            str(inp / f"part{i}.parquet"),
+        )
+
+    ing = SegmentStreamIndexer(
+        spark, str(base / "out"), BuildConfig(num_groups=2), max_segments=3
+    )
+    q = ing.start(str(inp), trigger_available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    # 4 batches with max_segments=3: fold fired at batch 2 (3 live),
+    # then batch 3 landed beside the folded root
+    roots = ing.segment_roots()
+    assert len(roots) == 2
+    assert os.path.basename(roots[0]) == "seg=0-2"
+    assert ing._covered(1)  # folded id is covered
+    # superseded dirs are gone (best-effort cleanup ran)
+    assert not os.path.exists(os.path.join(ing.segments_dir, "seg=1"))
+
+    oracle = build_oracle_index(xs_corpus)
+    idx = ing.open()
+    assert idx.n_docs == len(xs_corpus)
+    for qtext, mode in [("term0000", "disjunctive"), ('"phrase alpha beta"', "phrase")]:
+        golden = oracle_topk(oracle, qtext, mode, 10)
+        got = idx.topk(qtext, mode, 10).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == [k for k, _s in golden]
+        for row, (_k, s) in zip(got, golden):
+            assert row["score"] == pytest.approx(s, abs=1e-9)
+
+    # replaying a batch that was folded away must not rebuild it
+    before = sorted(os.listdir(ing.segments_dir))
+    batch1 = spark.read.parquet(str(inp / "part1.parquet"))
+    ing.process_batch(batch1, 1)
+    assert sorted(os.listdir(ing.segments_dir)) == before
+
+    # one more fold on demand: everything into a single root
+    from search_engine_spark.index.reader import CompressedIndex
+
+    final = ing.compact()
+    cidx = CompressedIndex(spark, final)
+    assert cidx.n_docs == len(xs_corpus)
