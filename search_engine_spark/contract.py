@@ -35,32 +35,73 @@ ORACLES: dict[str, str] = {}
 #: entries new this round go to the front; long-green veterans absorb
 #: any truncation at the tail.
 PRIORITY = [
-    "transcripts_phrase",  # red in r1, unsampled in r2
-    "transcripts_bm25_batch",  # unsampled in r2
-    "transcripts_bm25_incremental",  # new in r3: extend_index parity
-    "transcripts_bm25_multi",  # new in r3: LSM segment-read parity
-    "transcripts_bm25_compacted",  # new in r3: blob-level compaction parity
-    "transcripts_match_count",  # new in r3: totalResults pagination parity
-    "mmr_rerank",  # new in r3
-    "phrase_doc_score",  # new in r3
-    "rank_blend",  # r3: now reads the persisted PageRank artifact
-    "ann_lsh_topk",  # r3: ids-only persisted index
-    "dedup_embedding_cosine",  # r3: ids-only persisted index
-    "dedup_clusters",  # r3: ids-only persisted index
+    # -- new or semantics-changed in r4 (need their first fresh row)
+    "transcripts_bm25_updated",  # r4: turn-level UPDATE via shadow segments
+    "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
+    "ivf_assign_cells",  # r4: k-means assignment parity
+    "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
+    # -- r4 rotation: the 8 entries whose last driver row is r2 (they
+    # were green there and judge-rerun in r3, but deserve a fresh row)
+    "boost_ladder",
+    "frame_sample",
+    "importance_weighted_topk",
+    "multimodal_features",
+    "multimodal_meta",
+    "pagerank_terms",
+    "tf_by_source",
+    "transcripts_bm25_wand",
+    # -- compressed-index entries: the r4 kernel change (block-max
+    # default) must re-verify under the driver, not just pytest
+    "transcripts_phrase",
+    "transcripts_bm25_batch",
+    "transcripts_bm25_incremental",
+    "transcripts_bm25_multi",
+    "transcripts_bm25_compacted",
+    "transcripts_match_count",
+    # -- r3 newcomers with a single green row
+    "mmr_rerank",
+    "phrase_doc_score",
+    "rank_blend",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+]
+
+#: Long-green veterans pushed past the driver's 50-entry sample window
+#: (each has identical green rows in r1/r2/r3 and its operator did not
+#: change this round).
+DEPRIORITIZED = [
+    "tf_postings",
+    "doc_lengths",
+    "term_stats",
+    "corpus_stats",
+    "term_totals",
+    "boolean_and",
+    "boolean_or",
+    "boolean_not",
+    "phrase_contains",
+    "pricing_summary",
+    "top_customers_by_revenue",
+    "embedding_norms",
+    "dataset_split",
 ]
 
 
 def ordered_queries() -> dict:
     qs = dict(QUERIES)
     out = {n: qs.pop(n) for n in PRIORITY if n in qs}
+    tail = {n: qs.pop(n) for n in DEPRIORITIZED if n in qs}
     out.update(qs)
+    out.update(tail)
     return out
 
 
 def ordered_oracles() -> dict[str, str]:
     os_ = dict(ORACLES)
     out = {n: os_.pop(n) for n in PRIORITY if n in os_}
+    tail = {n: os_.pop(n) for n in DEPRIORITIZED if n in os_}
     out.update(os_)
+    out.update(tail)
     return out
 
 
