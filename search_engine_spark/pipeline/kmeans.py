@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import cosine_topk
+from .similarity import cosine_topk, read_json_sidecar, write_json_sidecar
 
 _ASSIGN_ROUND = 5
 
@@ -161,19 +161,19 @@ def write_ivf_index(
     assign_cells(embeddings, cent).repartition("cell").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
-    spark.createDataFrame(
-        [(int(c), [float(v) for v in cent[c]]) for c in range(k)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").json(path + "/_centroids")
+    write_json_sidecar(
+        path + "/_centroids",
+        [{"cell": int(c), "centroid": [float(v) for v in cent[c]]} for c in range(k)],
+    )
     return cent
 
 
 def read_ivf_centroids(spark, path: str) -> np.ndarray:
-    rows = spark.read.json(path + "/_centroids").collect()
-    k = max(int(r.cell) for r in rows) + 1
-    cent = np.zeros((k, len(rows[0].centroid)))
+    rows = read_json_sidecar(path + "/_centroids")
+    k = max(int(r["cell"]) for r in rows) + 1
+    cent = np.zeros((k, len(rows[0]["centroid"])))
     for r in rows:
-        cent[int(r.cell)] = np.asarray(r.centroid, dtype=np.float64)
+        cent[int(r["cell"])] = np.asarray(r["centroid"], dtype=np.float64)
     return cent
 
 

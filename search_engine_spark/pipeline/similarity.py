@@ -100,6 +100,42 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
 
 
+def write_json_sidecar(path: str, rows: list[dict]) -> None:
+    """Tiny metadata sidecar as newline-delimited JSON, written DRIVER-
+    side.  Round 3 wrote these through ``spark.write.json`` — measured
+    3.7-7.3 s of job overhead for ONE row (the whole ann_index_build
+    5.3→9.3 s bench regression, see BASELINE.md "ann_index_build
+    attribution").  The layout matches what Spark would have written
+    (one JSON object per line in a ``part-*.json`` file), so existing
+    indexes keep reading.  On an object store, route this single small
+    PUT through its client; never a Spark job."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "part-00000.json.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(tmp, os.path.join(path, "part-00000.json"))
+
+
+def read_json_sidecar(path: str) -> list[dict]:
+    """Driver-side read of a sidecar dir (this module's writes and the
+    round-3 Spark-written ``part-*.json`` files alike)."""
+    import glob
+    import json
+    import os
+
+    rows = []
+    for fn in sorted(glob.glob(os.path.join(path, "*.json"))):
+        with open(fn) as f:
+            rows.extend(json.loads(line) for line in f if line.strip())
+    if not rows:
+        raise FileNotFoundError(f"no JSON sidecar rows under {path}")
+    return rows
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
@@ -205,11 +241,10 @@ def write_ann_index(
     sigs.repartition("table", "bucket").write.mode("overwrite").partitionBy(
         "table", "bucket"
     ).parquet(path)
-    meta = embeddings.sparkSession.createDataFrame(
-        [(int(dim), int(bits), int(tables), int(seed))],
-        "dim int, bits int, tables int, seed int",
+    write_json_sidecar(
+        path + "/_meta",
+        [{"dim": int(dim), "bits": int(bits), "tables": int(tables), "seed": int(seed)}],
     )
-    meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
 
 
 def read_ann_index(
@@ -225,7 +260,7 @@ def read_ann_index(
     Any expected parameter passed is validated against the ``_meta``
     sidecar — probing an index built with different LSH parameters is a
     silent-recall-loss bug, so it fails loud here."""
-    row = spark.read.json(path + "/_meta").collect()[0]
+    row = read_json_sidecar(path + "/_meta")[0]
     meta = {k: int(row[k]) for k in ("dim", "bits", "tables", "seed")}
     for name, expected in (("dim", dim), ("bits", bits), ("tables", tables), ("seed", seed)):
         if expected is not None and meta[name] != expected:
@@ -390,8 +425,6 @@ def compact_ann_index(
     rewritten (table, bucket)-partitioned with the shared ``_meta``.
     One shuffle on vec_id over ids-only rows — index bytes, never
     embedding bytes."""
-    import os
-
     sigs, meta = _read_ann_segments(spark, index_paths)
     if tombstones:
         sigs = sigs.filter(~F.col("vec_id").isin([int(t) for t in tombstones]))
@@ -400,10 +433,7 @@ def compact_ann_index(
     kept.repartition("table", "bucket").write.mode("overwrite").partitionBy(
         "table", "bucket"
     ).parquet(out_path)
-    spark.createDataFrame(
-        [(meta["dim"], meta["bits"], meta["tables"], meta["seed"])],
-        "dim int, bits int, tables int, seed int",
-    ).coalesce(1).write.mode("overwrite").json(out_path + "/_meta")
+    write_json_sidecar(out_path + "/_meta", [meta])
 
 
 def cosine_near_dup_pairs(
