@@ -67,6 +67,10 @@ CONTRACT_QUERIES = [
     "mmr_rerank",
     "phrase_doc_score",
     "pagerank_terms",
+    # round 4
+    "ann_lsh_topk_segmented",
+    "ivf_assign_cells",
+    "transcripts_bm25_updated",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
@@ -164,6 +168,18 @@ def main() -> None:
     t0 = time.time()
     contract._pagerank_table(spark, SF_DIR)
     results["pagerank_build"] = round(time.time() - t0, 3)
+    # round-4 build artifacts, reported like ann_index_build: the ANN
+    # delta segment (LSM freshness), the IVF quantizer index, and the
+    # update ingest (base xs build + shadow-sidecar delta segment)
+    t0 = time.time()
+    contract._ann_segments(spark, SF_DIR)
+    results["ann_segments_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    contract._ivf_index(spark, SF_DIR)
+    results["ivf_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    contract._xs_updated_multi(spark)
+    results["update_ingest_build"] = round(time.time() - t0, 3)
 
     qs = contract.QUERIES
     for name in CONTRACT_QUERIES:

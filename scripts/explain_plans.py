@@ -161,11 +161,35 @@ def main() -> None:
     )
     sections.append(
         (
-            "IVF ANN probe (coarse cells)",
-            "Expected: centroid aggregate on the |cells|-row side, broadcast "
-            "left-semi join selecting only the nprobe probed cells' members, "
-            "TakeOrderedAndProject for the exact rerank.",
+            "IVF ANN probe against the persisted quantizer index",
+            "Expected: parquet scan of the cell-partitioned ids-only index "
+            "with PartitionFilters on `cell` (only the nprobe probed cells "
+            "are read — cell ranking happened driver-side from the "
+            "_centroids sidecar); broadcast left-semi join pulls the "
+            "members' vectors by id; TakeOrderedAndProject for the exact "
+            "rerank.",
             cap(contract.QUERIES["ivf_ann_topk"](spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "Segmented ANN probe (base + delta LSM segments)",
+            "Expected: a UNION of per-segment (table, bucket)-pruned index "
+            "scans (PartitionFilters in BOTH branches), candidate-id dedup, "
+            "broadcast left-semi join back to the embedding table, exact "
+            "rerank — stale signatures are harmless because the rerank "
+            "scores CURRENT vectors.",
+            cap(contract.QUERIES["ann_lsh_topk_segmented"](spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "Turn-level UPDATE read path (MultiIndex with shadow exclusion)",
+            "Expected: the same union-pruned segmented plan as the LSM read — "
+            "shadow exclusion lives INSIDE the grouped kernel (resolved doc "
+            "ids broadcast via the kernel closure), so updates add ZERO plan "
+            "nodes: no extra join, no extra exchange.",
+            cap(contract.QUERIES["transcripts_bm25_updated"](spark, SF)),
         )
     )
     sections.append(

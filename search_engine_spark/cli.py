@@ -55,6 +55,32 @@ def cmd_build(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_update_segment(args: argparse.Namespace) -> None:
+    from .index.build import load_meta
+    from .index.extend import ingest_update_segment, read_shadow_keys
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    t0 = time.time()
+    roots = [r for r in args.segments.split(",") if r]
+    ingest_update_segment(
+        spark, roots, load_transcripts(spark, args.input), args.output
+    )
+    meta = load_meta(args.output)
+    print(
+        json.dumps(
+            {
+                "segment": args.output,
+                "updates_base": roots,
+                "n_docs": meta["n_docs"],
+                "shadowed_turns": len(read_shadow_keys(spark, args.output)),
+                "query_with": ",".join(roots + [args.output]),
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_extend(args: argparse.Namespace) -> None:
     from .index.build import load_meta
     from .index.extend import extend_index
@@ -62,7 +88,13 @@ def cmd_extend(args: argparse.Namespace) -> None:
 
     spark = _spark(args.cores)
     t0 = time.time()
-    extend_index(spark, args.index, load_transcripts(spark, args.input), args.output)
+    extend_index(
+        spark,
+        args.index,
+        load_transcripts(spark, args.input),
+        args.output,
+        updates=getattr(args, "updates", False),
+    )
     meta = load_meta(args.output)
     print(
         json.dumps(
@@ -325,7 +357,27 @@ def main(argv: list[str] | None = None) -> None:
     ex.add_argument("--index", required=True, help="existing index root (stays live)")
     ex.add_argument("--input", required=True, help="delta transcripts (parquet/table:)")
     ex.add_argument("--output", required=True, help="new index root")
+    ex.add_argument(
+        "--updates",
+        action="store_true",
+        help="delta turns that are already indexed REPLACE the old version "
+        "(the reference's ON CONFLICT DO UPDATE); without this flag a "
+        "collision fails loudly",
+    )
     ex.set_defaults(fn=cmd_extend)
+
+    us = sub.add_parser(
+        "update-segment",
+        help="ingest an update delta as an O(delta) LSM segment with a "
+        "shadow sidecar (query via --index base,segment)",
+    )
+    us.add_argument(
+        "--segments", required=True,
+        help="comma-separated EXISTING segment roots, oldest first",
+    )
+    us.add_argument("--input", required=True, help="update delta (parquet/table:)")
+    us.add_argument("--output", required=True, help="new segment root")
+    us.set_defaults(fn=cmd_update_segment)
 
     cp = sub.add_parser(
         "compact", help="fold disjoint index segments into one root (no raw text)"
