@@ -418,6 +418,15 @@ def compact_segments(
                     f"({r}: {m[k]} vs {roots[0]}: {metas[0][k]}) — "
                     "rebuild or extend instead"
                 )
+        # the remap kernels shift by the module constant (see module
+        # docstring); an index written with different turn_bits must not
+        # be silently re-encoded wrong
+        if int(m["turn_bits"]) != TURN_BITS:
+            raise ValueError(
+                f"compact_segments: segment {r} records turn_bits="
+                f"{m['turn_bits']} but this engine build encodes with "
+                f"TURN_BITS={TURN_BITS}"
+            )
     num_groups = int(metas[0]["num_groups"])
     block_size = int(metas[0]["block_size"])
     shuffle_partitions = (config or BuildConfig()).shuffle_partitions
@@ -604,6 +613,11 @@ def extend_index(
             f"{meta.get('docid_scheme')!r}; extend requires a conv_rank "
             "batch build (dense streaming indexes carry no conv table)"
         )
+    if int(meta["turn_bits"]) != TURN_BITS:
+        raise ValueError(
+            f"extend_index: index records turn_bits={meta['turn_bits']} "
+            f"but this engine build encodes with TURN_BITS={TURN_BITS}"
+        )
     num_groups = int(meta["num_groups"])
     block_size = int(meta["block_size"])
     shuffle_partitions = (config or BuildConfig()).shuffle_partitions
@@ -770,6 +784,12 @@ def ingest_update_segment(
     if meta0.get("docid_scheme", "dense") != "conv_rank":
         raise ValueError(
             "ingest_update_segment: existing segments must be conv_rank batch builds"
+        )
+    if int(meta0["turn_bits"]) != TURN_BITS:
+        raise ValueError(
+            f"ingest_update_segment: segments record turn_bits="
+            f"{meta0['turn_bits']} but this engine build encodes with "
+            f"TURN_BITS={TURN_BITS}"
         )
     cfg = config or BuildConfig()
     cfg = BuildConfig(

@@ -250,6 +250,18 @@ class CompressedIndex:
         )
         if self.scheme == "conv_rank":
             self.turn_bits = int(self.meta["turn_bits"])
+            # every writer stamps build.TURN_BITS; tombstone ENCODING
+            # (resolve_tombstones) and extend/compact kernels use the
+            # module constant while masks use self.turn_bits — fail loud
+            # at load if an index ever diverges, instead of silently
+            # masking the wrong conv ranks
+            if self.turn_bits != TURN_BITS:
+                raise ValueError(
+                    f"index {root} records turn_bits={self.turn_bits} but "
+                    f"this build of the engine encodes doc ids with "
+                    f"TURN_BITS={TURN_BITS}; rebuild the index or match "
+                    f"the engine version that wrote it"
+                )
             self._convs = spark.read.parquet(self.paths.convs).cache()
         else:
             # streaming/dense builds carry an explicit per-doc map

@@ -170,3 +170,30 @@ def test_topk_batch_row_identical_to_per_query(built):
         ]
         got = sorted(rows.get(qid, []), key=lambda t: (-t[2], t[0], t[1]))
         assert got == want, f"query {qid} ({q[0]!r}) batch != per-query"
+
+
+def test_divergent_turn_bits_fails_loud(spark, built, tmp_path_factory):
+    """An index whose meta records a different turn_bits than this
+    engine build's TURN_BITS must refuse to load: tombstone encoding
+    (reader.resolve_tombstones) and the extend/compact remap kernels
+    shift by the module constant, so a silent mismatch would mask the
+    wrong conv ranks (round-4 ADVICE, reader.py)."""
+    import json
+    import shutil
+
+    from search_engine_spark.index.extend import extend_index
+
+    clone = str(tmp_path_factory.mktemp("turnbits") / "idx")
+    shutil.copytree(built.paths.root, clone)
+    mp = f"{clone}/meta.json"
+    meta = json.loads(open(mp).read())
+    meta["turn_bits"] = meta["turn_bits"] - 1
+    open(mp, "w").write(json.dumps(meta))
+    with pytest.raises(ValueError, match="turn_bits"):
+        CompressedIndex(spark, clone)
+    with pytest.raises(ValueError, match="turn_bits"):
+        extend_index(spark, clone, spark.range(0).selectExpr(
+            "cast(null as string) conv_id", "cast(null as int) turn_idx",
+            "cast(null as string) role", "cast(null as string) text",
+            "cast(null as string) tool", "cast(null as timestamp) ts",
+        ), str(tmp_path_factory.mktemp("turnbits") / "out"))
