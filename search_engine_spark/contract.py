@@ -2060,6 +2060,52 @@ def frame_sample(spark, sf_dir):
     return multimodal.frame_sample_plan(blobs, every_n=10)
 
 
+@q(
+    "media_decode_stats",
+    f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         doc_id % 251 AS g, 2 + doc_id % 3 AS h,
+         8 + doc_id % 5 AS n, doc_id % 100 - 50 AS c,
+         sha256(text) AS hh
+  FROM documents
+), dims AS (SELECT unnest(range(0, {multimodal.FEATURE_DIM})) AS dim)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'opaque' END AS kind,
+       dim::INT AS dim,
+       CASE
+         WHEN m = 0 THEN round((CASE dim WHEN 0 THEN h WHEN 1 THEN 4 WHEN 2 THEN 1
+                                WHEN 3 THEN g WHEN 4 THEN 0 WHEN 5 THEN g
+                                WHEN 6 THEN g ELSE 255 END)::DOUBLE + 1e-9, 6)
+         WHEN m = 1 THEN round((CASE dim WHEN 0 THEN n WHEN 1 THEN 1 WHEN 2 THEN 8000
+                                WHEN 3 THEN c WHEN 4 THEN 0 WHEN 5 THEN c
+                                WHEN 6 THEN c ELSE n / 8000.0 END)::DOUBLE + 1e-9, 6)
+         ELSE {_FEAT_VALUE}
+       END AS value
+FROM base, dims
+""",
+)
+def media_decode_stats(spark, sf_dir):
+    """REAL image/audio decode in the distributed path, SQL-checkable.
+
+    `synthetic_media_table` writes actual PGM / PCM-WAV / opaque bytes as
+    analytic functions of doc_id; `extract_media_features` sniffs and
+    DECODES them (netpbm + wave codecs, pure stdlib+numpy) — so the
+    oracle match certifies the full encode→decode→statistics round trip,
+    not a hash of the bytes."""
+    docs = load(spark, sf_dir, "documents")
+    blobs = multimodal.synthetic_media_table(docs)
+    feats = multimodal.extract_media_features(blobs)
+    return feats.select(
+        "doc_id", "kind", F.posexplode("features").alias("dim", "value")
+    ).select(
+        "doc_id",
+        "kind",
+        F.col("dim").cast("int").alias("dim"),
+        rnd(F.col("value"), 6).alias("value"),
+    )
+
+
 # =====================================================================
 # Transcript engine (reference-parity path — non-SQL, pytest-gated)
 # =====================================================================

@@ -343,7 +343,9 @@ def test_multimodal_features_deterministic(docs):
     assert all(len(f) == 8 and all(0.0 <= x <= 1.0 for x in f) for _h, f in a.values())
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_library_formats_raise():
+    # netpbm/BMP/WAV decode for real (test_media_codecs.py); formats that
+    # need an external codec library still fail loud at the boundary
     from search_engine_spark.pipeline.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
