@@ -1211,11 +1211,16 @@ _IVF_K = 8
 # SQL-checkable; the trained Lloyd rounds are float-summation-order
 # sensitive, so their gates live in tests/test_kmeans_ivf.py
 # (determinism, shrinking inertia, recall@10 vs brute force)
-_IVF_SEED_CTES = f"""
+def _ivf_seed_ctes(seed_where: str = "") -> str:
+    """seeds/asg CTEs; ``seed_where`` restricts the corpus the quantizer
+    seeds from (the segmented entry trains on the BASE subset only, the
+    way a real delta segment reuses the base's quantizer) — assignment
+    always covers the full table."""
+    return f"""
 seeds AS (
   SELECT cv, row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell
   FROM (SELECT embedding::DOUBLE[] AS cv, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
-        FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT {_IVF_K})
+        FROM embeddings {seed_where} ORDER BY h ASC, vec_id ASC LIMIT {_IVF_K})
 ),
 asg AS (
   SELECT vec_id, cell FROM (
@@ -1232,9 +1237,12 @@ asg AS (
 """
 
 
-def _ivf_ann_sql(k=10, nprobe=_IVF_NPROBE) -> str:
+_IVF_SEED_CTES = _ivf_seed_ctes()
+
+
+def _ivf_ann_sql(k=10, nprobe=_IVF_NPROBE, seed_where="") -> str:
     return f"""
-WITH {_IVF_SEED_CTES.strip()},
+WITH {_ivf_seed_ctes(seed_where).strip()},
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 cells AS (
   SELECT s.cell
@@ -1312,6 +1320,44 @@ def ivf_ann_topk(spark, sf_dir):
         F.explode(F.col("embedding")).alias("x")).collect()]
     path = _ivf_index(spark, sf_dir)
     return kmeans.ivf_index_topk(spark, path, emb, qv, k=10, nprobe=_IVF_NPROBE)
+
+
+_IVF_SEGMENTS: dict[str, list[str]] = {}
+
+
+def _ivf_segments(spark, sf_dir):
+    """Base IVF index (quantizer seeded on the base subset, iterations=0
+    so DuckDB can re-derive it) + delta segment assigned under the
+    base's centroids — the IVF LSM freshness path."""
+    from .pipeline import kmeans
+
+    if sf_dir not in _IVF_SEGMENTS:
+        d = _tmpdir("sgs_ivfseg_")
+        base, seg = os.path.join(d, "base"), os.path.join(d, "seg")
+        emb = load(spark, sf_dir, "embeddings")
+        kmeans.write_ivf_index(
+            spark, emb.filter(F.col("vec_id") % 5 != 4), base, _ANN_DIM, _IVF_K,
+            iterations=0,
+        )
+        kmeans.extend_ivf_index(spark, base, emb.filter(F.col("vec_id") % 5 == 4), seg)
+        _IVF_SEGMENTS[sf_dir] = [base, seg]
+    return _IVF_SEGMENTS[sf_dir]
+
+
+@q("ivf_ann_topk_segmented", _ivf_ann_sql(seed_where="WHERE vec_id % 5 <> 4"))
+def ivf_ann_topk_segmented(spark, sf_dir):
+    """IVF LSM freshness parity: base index + delta segment (new vectors
+    assigned under the base's quantizer, O(delta) work) probed as one
+    index must equal the DuckDB replay that seeds centroids on the base
+    subset and assigns the full corpus — the real arrival workflow:
+    quantizer trained once, deltas assigned under it."""
+    from .pipeline import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [r["x"] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode(F.col("embedding")).alias("x")).collect()]
+    roots = _ivf_segments(spark, sf_dir)
+    return kmeans.ivf_multi_topk(spark, roots, emb, qv, k=10, nprobe=_IVF_NPROBE)
 
 
 def _knn_lsh_sql(k=3, bits=_ANN_BITS, tables=_KNN_LSH_TABLES, dim=_ANN_DIM, seed=_ANN_SEED) -> str:

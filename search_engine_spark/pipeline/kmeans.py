@@ -144,6 +144,28 @@ def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     )
 
 
+def write_ivf_assignments(
+    spark, embeddings: DataFrame, path: str, centroids: np.ndarray
+) -> None:
+    """Persist cell assignments under a FIXED quantizer: ids-only
+    (vec_id) rows partitioned by cell + the ``_centroids`` sidecar.
+
+    The layout half of :func:`write_ivf_index`, exposed so delta
+    segments (:func:`extend_ivf_index`) can reuse the base's trained
+    centroids — the quantizer must be shared across segments for probes
+    to mean the same thing."""
+    assign_cells(embeddings, centroids).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    write_json_sidecar(
+        path + "/_centroids",
+        [
+            {"cell": int(c), "centroid": [float(v) for v in centroids[c]]}
+            for c in range(centroids.shape[0])
+        ],
+    )
+
+
 def write_ivf_index(
     spark,
     embeddings: DataFrame,
@@ -158,13 +180,7 @@ def write_ivf_index(
     (probe = partition-pruned read of nprobe cells; vectors join back
     by id).  Returns the trained centroids."""
     cent = kmeans_train(embeddings, dim, k, iterations)
-    assign_cells(embeddings, cent).repartition("cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
-    write_json_sidecar(
-        path + "/_centroids",
-        [{"cell": int(c), "centroid": [float(v) for v in cent[c]]} for c in range(k)],
-    )
+    write_ivf_assignments(spark, embeddings, path, cent)
     return cent
 
 
@@ -209,3 +225,118 @@ def ivf_index_topk(
     )
     members = embeddings.join(F.broadcast(cand_ids), "vec_id", "left_semi")
     return cosine_topk(members, query_vec, k)
+
+
+# ------------------------------------------------------- IVF freshness
+#
+# The same LSM triad the text index (index/extend.py, index/multi.py)
+# and the LSH ANN index (similarity.extend_ann_index / ann_multi_topk /
+# compact_ann_index) already have, for the IVF index: daily arrivals
+# are assigned under the BASE segment's trained quantizer and written
+# as O(delta) segments; probes union the nprobe cell partitions of
+# every segment; compaction folds keep-latest and removes tombstones
+# physically.  The correctness argument matches the LSH index's: every
+# probe exact-reranks candidates against the CURRENT embedding table,
+# so a re-embedded vector's stale cell membership is at worst a
+# spurious candidate, while its delta-segment assignment restores
+# recall near the new location.  Quantizer drift is the one genuinely
+# new concern — deltas assigned under old centroids lose recall as the
+# distribution shifts — so compaction is the retrain point: rebuild
+# with ``write_ivf_index`` (fresh Lloyd rounds) instead of folding once
+# the corpus has drifted; `_read_ivf_segments` fails loud if segments
+# ever disagree on centroids.
+
+
+def _read_ivf_segments(spark, paths: list[str]):
+    """Union of per-segment (vec_id, cell) rows tagged with segment
+    index, plus the shared centroids — fails loud if any segment was
+    assigned under a different quantizer (mixed-quantizer probes are a
+    silent-recall-loss bug)."""
+    if not paths:
+        raise ValueError("need at least one IVF index segment")
+    cents = [read_ivf_centroids(spark, p) for p in paths]
+    for p, c in zip(paths, cents):
+        if c.shape != cents[0].shape or not np.array_equal(c, cents[0]):
+            raise ValueError(
+                f"IVF segment {p} was assigned under different centroids — "
+                "segments must share the quantizer (retrain = rebuild via "
+                "write_ivf_index, not extend)"
+            )
+    out = None
+    for i, p in enumerate(paths):
+        s = spark.read.parquet(p).withColumn("seg", F.lit(i))
+        out = s if out is None else out.unionByName(s)
+    return out, cents[0]
+
+
+def extend_ivf_index(
+    spark, base_path: str, new_embeddings: DataFrame, out_path: str
+) -> None:
+    """Delta IVF segment: assign ONLY the new (or re-embedded) vectors
+    under the base's trained centroids (read from its ``_centroids``
+    sidecar) and write them in the base's layout.  O(delta) work — the
+    base is never rescanned, the quantizer is never retrained here."""
+    cent = read_ivf_centroids(spark, base_path)
+    write_ivf_assignments(spark, new_embeddings, out_path, cent)
+
+
+def ivf_multi_topk(
+    spark,
+    index_paths: list[str],
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    tombstones: list[int] | None = None,
+) -> DataFrame:
+    """IVF ANN probe across base + delta segments as ONE index.
+
+    Cells are ranked once from the shared centroids; each segment
+    contributes its partition-pruned nprobe cell reads; candidate ids
+    union (stale assignments of re-embedded vectors are harmless — the
+    rerank scores the CURRENT vector), ``tombstones`` are excluded at
+    candidate time, and the exact cosine rerank joins vectors from the
+    current embedding table.  Equals a probe against a single index
+    assigned under the same centroids (pinned by tests)."""
+    segs, cent = _read_ivf_segments(spark, index_paths)
+    cells = probe_cells(cent, query_vec, nprobe)
+    cand_ids = (
+        segs.filter(F.col("cell").isin(cells))
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    if tombstones:
+        cand_ids = cand_ids.filter(
+            ~F.col("vec_id").isin([int(t) for t in tombstones])
+        )
+    members = embeddings.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    return cosine_topk(members, query_vec, k)
+
+
+def compact_ivf_index(
+    spark,
+    index_paths: list[str],
+    out_path: str,
+    tombstones: list[int] | None = None,
+) -> None:
+    """Fold IVF segments into one index root: per vec_id only the LATEST
+    segment's cell survives (a re-embedded vector's stale assignment
+    drops out), ``tombstones`` are removed PHYSICALLY, and the result is
+    rewritten cell-partitioned with the shared ``_centroids`` sidecar.
+    One shuffle on vec_id over ids-only rows — index bytes, never
+    embedding bytes."""
+    segs, cent = _read_ivf_segments(spark, index_paths)
+    if tombstones:
+        segs = segs.filter(~F.col("vec_id").isin([int(t) for t in tombstones]))
+    latest = segs.groupBy("vec_id").agg(F.max("seg").alias("seg"))
+    kept = segs.join(latest, ["vec_id", "seg"]).select("vec_id", "cell")
+    kept.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        out_path
+    )
+    write_json_sidecar(
+        out_path + "/_centroids",
+        [
+            {"cell": int(c), "centroid": [float(v) for v in cent[c]]}
+            for c in range(cent.shape[0])
+        ],
+    )
