@@ -71,6 +71,8 @@ CONTRACT_QUERIES = [
     "ann_lsh_topk_segmented",
     "ivf_assign_cells",
     "transcripts_bm25_updated",
+    "ivf_ann_topk_segmented",
+    "media_decode_stats",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
@@ -177,6 +179,9 @@ def main() -> None:
     t0 = time.time()
     contract._ivf_index(spark, SF_DIR)
     results["ivf_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    contract._ivf_segments(spark, SF_DIR)
+    results["ivf_segments_build"] = round(time.time() - t0, 3)
     t0 = time.time()
     contract._xs_updated_multi(spark)
     results["update_ingest_build"] = round(time.time() - t0, 3)
