@@ -184,6 +184,17 @@ def main() -> None:
     )
     sections.append(
         (
+            "Segmented IVF probe (base + delta LSM segments)",
+            "Expected: a UNION of per-segment cell-partitioned index scans, "
+            "each with PartitionFilters on `cell` (the nprobe cells ranked "
+            "driver-side from the shared _centroids sidecar), candidate-id "
+            "dedup, broadcast left-semi join back to the embedding table, "
+            "exact rerank — the same LSM shape as the segmented ANN probe.",
+            cap(contract.QUERIES["ivf_ann_topk_segmented"](spark, SF)),
+        )
+    )
+    sections.append(
+        (
             "Turn-level UPDATE read path (MultiIndex with shadow exclusion)",
             "Expected: the same union-pruned segmented plan as the LSM read — "
             "shadow exclusion lives INSIDE the grouped kernel (resolved doc "

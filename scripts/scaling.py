@@ -6,6 +6,15 @@ Sandbox stand-in for the north rule's N vs 4N *executors* criterion
 BENCH_SCALING.json and prints a markdown row for BASELINE.md.
 
 Usage: python scripts/scaling.py [--scale lg] [--low 8] [--high 32]
+                                 [--repeats 1]
+
+``--repeats N`` interleaves the legs (H,L,H,L,…) and reports the
+MIN-of-N per leg: the host is shared and its external load fluctuates
+by >4 cores within minutes, so a single pair can land one leg in a
+quiet window and the other in a storm; per-leg minima approximate the
+contention-free cost of each leg (standard shared-host de-noising),
+and the 1-minute load average before each leg is recorded alongside so
+the noise is visible, not hidden.
 """
 
 from __future__ import annotations
@@ -41,6 +50,7 @@ def main() -> None:
     ap.add_argument("--scale", default="lg")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
 
     import tempfile
@@ -57,8 +67,19 @@ def main() -> None:
     base = tempfile.mkdtemp(prefix="sgs_scaling_")
     # high first: any OS page-cache warm-up then favors the LOW run,
     # which makes the reported efficiency conservative
-    t_high = run_build(args.high, pq, os.path.join(base, f"idx{args.high}"), n_turns)
-    t_low = run_build(args.low, pq, os.path.join(base, f"idx{args.low}"), n_turns)
+    highs: list[float] = []
+    lows: list[float] = []
+    loads: list[list[float]] = []
+    for rep in range(args.repeats):
+        loads.append([round(os.getloadavg()[0], 2)])
+        highs.append(
+            run_build(args.high, pq, os.path.join(base, f"idxh{rep}"), n_turns)
+        )
+        loads[-1].append(round(os.getloadavg()[0], 2))
+        lows.append(
+            run_build(args.low, pq, os.path.join(base, f"idxl{rep}"), n_turns)
+        )
+    t_high, t_low = min(highs), min(lows)
 
     ratio = args.high / args.low
     speedup = t_low / t_high
@@ -75,6 +96,11 @@ def main() -> None:
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
     }
+    if args.repeats > 1:
+        out["method"] = f"min of {args.repeats} interleaved leg pairs"
+        out["seconds_high_runs"] = [round(t, 1) for t in highs]
+        out["seconds_low_runs"] = [round(t, 1) for t in lows]
+        out["load1_before_leg"] = loads
     # write the raw run to a side file; BENCH_SCALING.json is the curated
     # multi-run record and must not be clobbered by ad-hoc runs
     with open(
