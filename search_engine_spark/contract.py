@@ -2110,32 +2110,44 @@ def frame_sample(spark, sf_dir):
     "media_decode_stats",
     f"""
 WITH base AS (
-  SELECT doc_id, doc_id % 3 AS m,
-         doc_id % 251 AS g, 2 + doc_id % 3 AS h,
+  SELECT doc_id, doc_id % 3 AS m, 2 + doc_id % 3 AS h,
          8 + doc_id % 5 AS n, doc_id % 100 - 50 AS c,
          sha256(text) AS hh
   FROM documents
-), dims AS (SELECT unnest(range(0, {multimodal.FEATURE_DIM})) AS dim)
-SELECT doc_id,
+),
+img AS (
+  SELECT b.doc_id,
+         avg((b.doc_id + px.i) % 256) AS imean,
+         stddev_pop((b.doc_id + px.i) % 256) AS istd,
+         min((b.doc_id + px.i) % 256) AS imin,
+         max((b.doc_id + px.i) % 256) AS imax
+  FROM base b, (SELECT unnest(range(0, 20)) AS i) px
+  WHERE b.m = 0 AND px.i < b.h * 4
+  GROUP BY b.doc_id
+),
+dims AS (SELECT unnest(range(0, {multimodal.FEATURE_DIM})) AS dim)
+SELECT base.doc_id,
        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'opaque' END AS kind,
        dim::INT AS dim,
        CASE
          WHEN m = 0 THEN round((CASE dim WHEN 0 THEN h WHEN 1 THEN 4 WHEN 2 THEN 1
-                                WHEN 3 THEN g WHEN 4 THEN 0 WHEN 5 THEN g
-                                WHEN 6 THEN g ELSE 255 END)::DOUBLE + 1e-9, 6)
+                                WHEN 3 THEN imean WHEN 4 THEN istd WHEN 5 THEN imin
+                                WHEN 6 THEN imax ELSE 255 END)::DOUBLE + 1e-9, 6)
          WHEN m = 1 THEN round((CASE dim WHEN 0 THEN n WHEN 1 THEN 1 WHEN 2 THEN 8000
                                 WHEN 3 THEN c WHEN 4 THEN 0 WHEN 5 THEN c
                                 WHEN 6 THEN c ELSE n / 8000.0 END)::DOUBLE + 1e-9, 6)
          ELSE {_FEAT_VALUE}
        END AS value
-FROM base, dims
+FROM base LEFT JOIN img ON base.doc_id = img.doc_id, dims
 """,
 )
 def media_decode_stats(spark, sf_dir):
     """REAL image/audio decode in the distributed path, SQL-checkable.
 
     `synthetic_media_table` writes actual PGM / PCM-WAV / opaque bytes as
-    analytic functions of doc_id; `extract_media_features` sniffs and
+    analytic functions of doc_id (image pixels are a per-doc GRADIENT,
+    so a decoder that got sample order or offsets wrong would fail the
+    mean/std/min/max replay); `extract_media_features` sniffs and
     DECODES them (netpbm + wave codecs, pure stdlib+numpy) — so the
     oracle match certifies the full encode→decode→statistics round trip,
     not a hash of the bytes."""

@@ -338,8 +338,9 @@ def synthetic_media_table(docs: DataFrame) -> DataFrame:
     function of ``doc_id`` so decoded statistics are exactly computable
     in SQL (the `media_decode_stats` oracle):
 
-    * 0 → constant-gray binary PGM, level ``doc_id % 251``, shape
-      ``(2 + doc_id % 3, 4)``;
+    * 0 → binary PGM of shape ``(2 + doc_id % 3, 4)`` whose flat pixel
+      ``i`` is ``(doc_id + i) % 256`` — a GRADIENT, so the oracle match
+      certifies per-pixel decode and sample order, not just the header;
     * 1 → mono 16-bit PCM WAV @8 kHz, ``8 + doc_id % 5`` samples all
       equal to ``doc_id % 100 - 50``;
     * 2 → opaque utf-8 text bytes (sha256-stub feature path).
@@ -351,10 +352,10 @@ def synthetic_media_table(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 m = int(doc_id) % 3
                 if m == 0:
-                    g = int(doc_id) % 251
                     h = 2 + int(doc_id) % 3
+                    flat = (int(doc_id) + np.arange(h * 4)) % 256
                     payloads.append(
-                        encode_netpbm(np.full((h, 4), g, dtype=np.uint8))
+                        encode_netpbm(flat.astype(np.uint8).reshape(h, 4))
                     )
                 elif m == 1:
                     n = 8 + int(doc_id) % 5
