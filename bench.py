@@ -73,6 +73,7 @@ CONTRACT_QUERIES = [
     "transcripts_bm25_updated",
     "ivf_ann_topk_segmented",
     "media_decode_stats",
+    "ivf_drift_stats",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

@@ -1344,6 +1344,35 @@ def _ivf_segments(spark, sf_dir):
     return _IVF_SEGMENTS[sf_dir]
 
 
+@q(
+    "ivf_drift_stats",
+    f"""
+WITH {_ivf_seed_ctes("WHERE vec_id % 5 <> 4").strip()},
+v AS (
+  SELECT CAST(CASE WHEN e.vec_id % 5 = 4 THEN 1 ELSE 0 END AS INT) AS seg,
+         round(list_dot_product(e.embedding::DOUBLE[], s.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(s.cv, s.cv))) + 1e-9, 5) AS cos
+  FROM embeddings e JOIN asg USING (vec_id) JOIN seeds s USING (cell)
+)
+SELECT seg, count(*) AS n,
+       round(avg(cos) + 1e-9, 5) AS mean_cos,
+       round(min(cos) + 1e-9, 5) AS min_cos
+FROM v GROUP BY seg
+""",
+)
+def ivf_drift_stats(spark, sf_dir):
+    """Quantizer-drift observability: per-segment rounded cosine of each
+    vector to its assigned centroid (mean/min) — the retrain signal for
+    the IVF LSM stack, replayed end-to-end in DuckDB over the same
+    base-subset-seeded quantizer as the segmented probe."""
+    from .pipeline import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    roots = _ivf_segments(spark, sf_dir)
+    return kmeans.ivf_drift_stats(spark, roots, emb)
+
+
 @q("ivf_ann_topk_segmented", _ivf_ann_sql(seed_where="WHERE vec_id % 5 <> 4"))
 def ivf_ann_topk_segmented(spark, sf_dir):
     """IVF LSM freshness parity: base index + delta segment (new vectors

@@ -313,6 +313,50 @@ def ivf_multi_topk(
     return cosine_topk(members, query_vec, k)
 
 
+def ivf_drift_stats(
+    spark, index_paths: list[str], embeddings: DataFrame
+) -> DataFrame:
+    """Per-segment quantizer fit — the "when to retrain" observable.
+
+    Returns (seg, n, mean_cos, min_cos): the rounded cosine of every
+    vector to its ASSIGNED centroid, aggregated per segment.  Deltas are
+    assigned under the base's quantizer (``extend_ivf_index``), so as
+    the arrival distribution drifts away from the training corpus the
+    new segments' mean_cos sinks below the base segment's — the signal
+    that compaction should be a ``write_ivf_index`` retrain instead of
+    a fold.  One ids→vectors join + one Arrow kernel + one tiny (seg)
+    aggregate; index bytes drive the shuffle, embedding bytes are
+    scanned once and never shuffled wider than the join."""
+    segs, cent = _read_ivf_segments(spark, index_paths)
+    cent_norm = _normalize(cent)
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            sims = np.round(
+                (_normalize(mat) * cent_norm[cells]).sum(axis=1) + 1e-9,
+                _ASSIGN_ROUND,
+            )
+            yield pd.DataFrame({"seg": pdf["seg"], "cos": sims})
+
+    rows = (
+        segs.join(embeddings, "vec_id")
+        .select("seg", "cell", "embedding")
+        .mapInPandas(kern, schema="seg int, cos double")
+    )
+    nudge = F.lit(1e-9)
+    return rows.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("cos") + nudge, _ASSIGN_ROUND).alias("mean_cos"),
+        F.round(F.min("cos") + nudge, _ASSIGN_ROUND).alias("min_cos"),
+    )
+
+
 def compact_ivf_index(
     spark,
     index_paths: list[str],

@@ -148,6 +148,44 @@ def test_reembedded_vector_latest_assignment_wins(spark, setup, tmp_path):
     assert int(rows[0].cell) == int(want.cell)
 
 
+def test_drift_stats_flag_shifted_arrivals(spark, setup, tmp_path):
+    """Arrivals the quantizer cannot represent must show a lower mean
+    cosine-to-assigned-centroid than the base segment — the documented
+    retrain signal.  Cosine drift means DIRECTIONAL novelty (low max-cos
+    against every centroid), so the test drifts into the centroid null
+    space: k=6 centroids span at most 6 of the 16 dims, and SVD gives a
+    direction exactly orthogonal to all of them."""
+    from search_engine_spark.pipeline.kmeans import ivf_drift_stats
+
+    emb, pdf, base, delta, *_ = setup
+    cent = read_ivf_centroids(spark, base)
+    null_dir = np.linalg.svd(cent)[2][-1]  # ⊥ to every centroid row
+    assert np.max(np.abs(cent @ null_dir)) < 1e-8
+    rng = np.random.default_rng(7)
+    drift_pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(1000, 1080, dtype=np.int64),
+            "embedding": [
+                (null_dir + rng.standard_normal(DIM) * 0.02)
+                .astype(np.float32)
+                .tolist()
+                for _ in range(80)
+            ],
+        }
+    )
+    drifted = spark.createDataFrame(drift_pdf)
+    seg2 = str(tmp_path / "drift")
+    extend_ivf_index(spark, base, drifted, seg2)
+    both = emb.unionByName(drifted)
+    stats = {
+        r.seg: r for r in ivf_drift_stats(spark, [base, delta, seg2], both).collect()
+    }
+    assert stats[0].n == 300 and stats[1].n == 100 and stats[2].n == 80
+    # in-distribution delta tracks the base; null-space arrivals crater
+    assert abs(stats[1].mean_cos - stats[0].mean_cos) < 0.1
+    assert stats[2].mean_cos < 0.15 < stats[0].mean_cos
+
+
 def test_mixed_quantizers_fail_loud(spark, setup, tmp_path):
     emb, pdf, base, *_ = setup
     other = str(tmp_path / "other")
