@@ -40,6 +40,9 @@ PRIORITY = [
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
+    "ivf_ann_topk_segmented",  # r4: IVF LSM freshness
+    "ivf_drift_stats",  # r4: quantizer-drift retrain signal
+    "media_decode_stats",  # r4: REAL netpbm/WAV decode round trip
     # -- r4 rotation: the 8 entries whose last driver row is r2 (they
     # were green there and judge-rerun in r3, but deserve a fresh row)
     "boost_ladder",
