@@ -125,6 +125,10 @@ def main() -> None:
 
     results: dict[str, float] = {}
     t_all = time.time()
+    # the shared host's external load swings 2-13 within minutes and moves
+    # every number in this file by up to ~1.5x (BASELINE.md "End-to-end
+    # bench"); record the weather so cross-round comparisons can see it
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
 
@@ -214,6 +218,10 @@ def main() -> None:
             "n_queries": len(lat),
             "p50_ms": round(p50 * 1000, 1),
             "p95_ms": round(p95 * 1000, 1),
+        },
+        "host_load_1_5_15": {
+            "start": load_start,
+            "end": [round(x, 2) for x in os.getloadavg()],
         },
     }
     spark.stop()
