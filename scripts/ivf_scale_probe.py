@@ -9,7 +9,7 @@ toy scale, mirroring scale_probe.py's near-dup probe:
   * assignment + cell-partitioned ids-only index write, with the cell
     population distribution (max / p99) — the probe cost bound is
     ``nprobe × max_cell`` candidates;
-  * ``ivf_index_topk`` probe latency at nprobe ∈ {8, 16} and recall@10
+  * ``ivf_index_topk`` probe latency at nprobe ∈ {8, 16, 32} and recall@10
     vs the exact brute-force scan for sampled queries;
   * LSM freshness off-toy: ``extend_ivf_index`` of a 10k delta (must be
     O(delta)), ``ivf_multi_topk`` over base+delta, ``ivf_drift_stats``.
@@ -76,7 +76,7 @@ def main() -> None:
     # -- assign + write the cell-partitioned index ------------------------
     idx = os.path.join(base, "ivf")
     t0 = time.time()
-    kmeans.write_ivf_assignments(spark, emb, idx, cent)
+    kmeans.write_ivf_assignments(emb, idx, cent)
     out["index_write_seconds"] = round(time.time() - t0, 1)
     sizes = (
         spark.read.parquet(idx).groupBy("cell").count()
@@ -124,9 +124,14 @@ def main() -> None:
         out[f"recall_at_10_nprobe{nprobe}"] = round(hits / (10 * len(qids)), 3)
 
     # -- LSM freshness off-toy --------------------------------------------
-    delta = gen_embeddings(spark, args.rows + 10_000, args.cores).filter(
+    # materialize the delta FIRST: gen_embeddings is lazy and the filter
+    # sits above the generator, so timing the un-materialized plan would
+    # charge a full O(rows) regeneration to every "O(delta)" number below
+    delta_path = os.path.join(base, "delta")
+    gen_embeddings(spark, args.rows + 10_000, args.cores).filter(
         F.col("vec_id") >= args.rows
-    )
+    ).coalesce(4).write.parquet(delta_path)
+    delta = spark.read.parquet(delta_path)
     seg = os.path.join(base, "seg")
     t0 = time.time()
     kmeans.extend_ivf_index(spark, idx, delta, seg)

@@ -2142,7 +2142,7 @@ def frame_sample(spark, sf_dir):
     "media_decode_stats",
     f"""
 WITH base AS (
-  SELECT doc_id, doc_id % 3 AS m, 2 + doc_id % 3 AS h,
+  SELECT doc_id, doc_id % 3 AS m, 2 + (doc_id // 3) % 3 AS h,
          8 + doc_id % 5 AS n, doc_id % 100 - 50 AS c,
          sha256(text) AS hh
   FROM documents

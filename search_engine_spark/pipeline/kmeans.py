@@ -144,8 +144,25 @@ def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     )
 
 
+def _write_cells(rows: DataFrame, path: str, centroids: np.ndarray) -> None:
+    """ONE source of truth for the index layout: (vec_id, cell) rows
+    repartitioned on the partition column (one file per cell, not
+    tasks×cells small files), written cell-partitioned, plus the
+    ``_centroids`` sidecar."""
+    rows.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        path
+    )
+    write_json_sidecar(
+        path + "/_centroids",
+        [
+            {"cell": int(c), "centroid": [float(v) for v in centroids[c]]}
+            for c in range(centroids.shape[0])
+        ],
+    )
+
+
 def write_ivf_assignments(
-    spark, embeddings: DataFrame, path: str, centroids: np.ndarray
+    embeddings: DataFrame, path: str, centroids: np.ndarray
 ) -> None:
     """Persist cell assignments under a FIXED quantizer: ids-only
     (vec_id) rows partitioned by cell + the ``_centroids`` sidecar.
@@ -154,16 +171,7 @@ def write_ivf_assignments(
     segments (:func:`extend_ivf_index`) can reuse the base's trained
     centroids — the quantizer must be shared across segments for probes
     to mean the same thing."""
-    assign_cells(embeddings, centroids).repartition("cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
-    write_json_sidecar(
-        path + "/_centroids",
-        [
-            {"cell": int(c), "centroid": [float(v) for v in centroids[c]]}
-            for c in range(centroids.shape[0])
-        ],
-    )
+    _write_cells(assign_cells(embeddings, centroids), path, centroids)
 
 
 def write_ivf_index(
@@ -180,7 +188,7 @@ def write_ivf_index(
     (probe = partition-pruned read of nprobe cells; vectors join back
     by id).  Returns the trained centroids."""
     cent = kmeans_train(embeddings, dim, k, iterations)
-    write_ivf_assignments(spark, embeddings, path, cent)
+    write_ivf_assignments(embeddings, path, cent)
     return cent
 
 
@@ -204,6 +212,18 @@ def probe_cells(centroids: np.ndarray, query_vec: list[float], nprobe: int) -> l
     return [int(c) for c in order[:nprobe]]
 
 
+def _cell_candidates(
+    rows: DataFrame, centroids: np.ndarray, query_vec: list[float], nprobe: int
+) -> DataFrame:
+    """Probe core shared by the single- and multi-segment paths: rank
+    cells driver-side (:func:`probe_cells` — the rounding/tie rules live
+    in exactly one place), keep the nprobe cells' vec_ids.  Over a
+    cell-partitioned parquet scan the ``isin`` lands as
+    PartitionFilters (PLANS.md)."""
+    cells = probe_cells(centroids, query_vec, nprobe)
+    return rows.filter(F.col("cell").isin(cells)).select("vec_id")
+
+
 def ivf_index_topk(
     spark,
     index_path: str,
@@ -217,11 +237,8 @@ def ivf_index_topk(
     nprobe cells' ids, vectors equi-joined back, exact cosine rerank of
     the members only."""
     cent = read_ivf_centroids(spark, index_path)
-    cells = probe_cells(cent, query_vec, nprobe)
-    cand_ids = (
-        spark.read.parquet(index_path)
-        .filter(F.col("cell").isin(cells))
-        .select("vec_id")
+    cand_ids = _cell_candidates(
+        spark.read.parquet(index_path), cent, query_vec, nprobe
     )
     members = embeddings.join(F.broadcast(cand_ids), "vec_id", "left_semi")
     return cosine_topk(members, query_vec, k)
@@ -277,7 +294,7 @@ def extend_ivf_index(
     sidecar) and write them in the base's layout.  O(delta) work — the
     base is never rescanned, the quantizer is never retrained here."""
     cent = read_ivf_centroids(spark, base_path)
-    write_ivf_assignments(spark, new_embeddings, out_path, cent)
+    write_ivf_assignments(new_embeddings, out_path, cent)
 
 
 def ivf_multi_topk(
@@ -299,11 +316,8 @@ def ivf_multi_topk(
     current embedding table.  Equals a probe against a single index
     assigned under the same centroids (pinned by tests)."""
     segs, cent = _read_ivf_segments(spark, index_paths)
-    cells = probe_cells(cent, query_vec, nprobe)
-    cand_ids = (
-        segs.filter(F.col("cell").isin(cells))
-        .select("vec_id")
-        .dropDuplicates(["vec_id"])
+    cand_ids = _cell_candidates(segs, cent, query_vec, nprobe).dropDuplicates(
+        ["vec_id"]
     )
     if tombstones:
         cand_ids = cand_ids.filter(
@@ -374,13 +388,4 @@ def compact_ivf_index(
         segs = segs.filter(~F.col("vec_id").isin([int(t) for t in tombstones]))
     latest = segs.groupBy("vec_id").agg(F.max("seg").alias("seg"))
     kept = segs.join(latest, ["vec_id", "seg"]).select("vec_id", "cell")
-    kept.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        out_path
-    )
-    write_json_sidecar(
-        out_path + "/_centroids",
-        [
-            {"cell": int(c), "centroid": [float(v) for v in cent[c]]}
-            for c in range(cent.shape[0])
-        ],
-    )
+    _write_cells(kept, out_path, cent)

@@ -136,7 +136,12 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         pal = np.frombuffer(
             payload, dtype=np.uint8, count=ncolors * 4, offset=14 + hdr_size
         ).reshape(ncolors, 4)[:, [2, 1, 0]]  # BGRX entries → RGB
-        px = pal[rows[:, :w]]
+        idx = rows[:, :w]
+        if idx.size and int(idx.max()) >= ncolors:
+            raise ValueError(
+                f"bmp: pixel index {int(idx.max())} >= palette size {ncolors}"
+            )
+        px = pal[idx]
     else:
         raise NotImplementedError(f"bmp: {bpp}-bit pixels unsupported")
     return np.ascontiguousarray(px if top_down else px[::-1])
@@ -178,11 +183,15 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             nch = wf.getnchannels()
             rate = wf.getframerate()
             frames = wf.readframes(wf.getnframes())
-    except wave.Error as exc:
+    except (wave.Error, EOFError) as exc:
+        # the stdlib chunk parser raises bare EOFError on payloads shorter
+        # than a RIFF header — same "not a WAV" meaning as wave.Error
         raise NotImplementedError(f"audio: not a PCM WAV stream ({exc})") from exc
     dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(width)
     if dtype is None:
         raise NotImplementedError(f"audio: {width * 8}-bit samples unsupported")
+    if nch <= 0 or len(frames) % (width * nch):
+        raise NotImplementedError("audio: truncated PCM data")
     samples = np.frombuffer(frames, dtype=dtype)
     return samples.reshape(-1, nch), rate
 
@@ -268,26 +277,39 @@ def extract_features(blobs: DataFrame) -> DataFrame:
 MEDIA_SCHEMA = "doc_id long, kind string, n_bytes int, features array<double>"
 
 
+_DECODE_ERRORS = (
+    NotImplementedError,  # format needs a library this container lacks
+    ValueError,           # corrupt header / truncated body / bad palette
+    EOFError,             # stdlib chunk parser on sub-header payloads
+    IndexError,           # malformed offsets
+    struct.error,         # short fixed-width header reads
+)
+
+
 def media_features(payload: bytes) -> tuple[str, np.ndarray]:
     """(kind, 8-dim feature vector) for one payload — REAL decode first.
 
     * decodable image → ("image", [h, w, channels, mean, std, min, max,
-      maxval]) over the decoded pixel array;
+      capacity]) over the decoded pixel array (capacity = the decoded
+      dtype's sample ceiling, 255 or 65535 — netpbm's declared maxval is
+      normalized away by the decoder);
     * PCM WAV → ("audio", [frames, channels, rate, mean, std, min, max,
       seconds]) over the decoded samples;
-    * anything else → ("opaque", sha256 stub features) — the same
-      deterministic fallback the contract entries pin.
+    * anything else — unknown format OR a corrupt/truncated payload in a
+      known format — → ("opaque", sha256 stub features), so one bad blob
+      can never fail a whole Spark task (pinned by malformed-payload
+      tests).
     """
     try:
         img = decode_image(payload)
         px = img.astype(np.float64)
-        maxval = 65535.0 if img.dtype == np.uint16 else 255.0
+        capacity = 65535.0 if img.dtype == np.uint16 else 255.0
         ch = 1 if img.ndim == 2 else img.shape[2]
         return "image", np.array(
             [img.shape[0], img.shape[1], ch,
-             px.mean(), px.std(), px.min(), px.max(), maxval]
+             px.mean(), px.std(), px.min(), px.max(), capacity]
         )
-    except (NotImplementedError, ValueError):
+    except _DECODE_ERRORS:
         pass
     try:
         samples, rate = decode_audio(payload)
@@ -296,7 +318,7 @@ def media_features(payload: bytes) -> tuple[str, np.ndarray]:
             [samples.shape[0], samples.shape[1], rate,
              s.mean(), s.std(), s.min(), s.max(), samples.shape[0] / rate]
         )
-    except NotImplementedError:
+    except _DECODE_ERRORS:
         pass
     return "opaque", _fake_features(bytes(payload))
 
@@ -338,9 +360,11 @@ def synthetic_media_table(docs: DataFrame) -> DataFrame:
     function of ``doc_id`` so decoded statistics are exactly computable
     in SQL (the `media_decode_stats` oracle):
 
-    * 0 → binary PGM of shape ``(2 + doc_id % 3, 4)`` whose flat pixel
-      ``i`` is ``(doc_id + i) % 256`` — a GRADIENT, so the oracle match
-      certifies per-pixel decode and sample order, not just the header;
+    * 0 → binary PGM of shape ``(2 + (doc_id // 3) % 3, 4)`` (heights 2,
+      3 and 4 all occur — image docs have ``doc_id % 3 == 0``, so the
+      height term must not reuse ``doc_id % 3``) whose flat pixel ``i``
+      is ``(doc_id + i) % 256`` — a GRADIENT, so the oracle match
+      certifies per-pixel decode, sample order, and dimensions;
     * 1 → mono 16-bit PCM WAV @8 kHz, ``8 + doc_id % 5`` samples all
       equal to ``doc_id % 100 - 50``;
     * 2 → opaque utf-8 text bytes (sha256-stub feature path).
@@ -352,7 +376,7 @@ def synthetic_media_table(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 m = int(doc_id) % 3
                 if m == 0:
-                    h = 2 + int(doc_id) % 3
+                    h = 2 + (int(doc_id) // 3) % 3
                     flat = (int(doc_id) + np.arange(h * 4)) % 256
                     payloads.append(
                         encode_netpbm(flat.astype(np.uint8).reshape(h, 4))

@@ -57,7 +57,7 @@ def setup(spark, tmp_path_factory):
         spark, spark.createDataFrame(base_pdf), base, DIM, K, iterations=2
     )
     extend_ivf_index(spark, base, spark.createDataFrame(delta_pdf), delta)
-    write_ivf_assignments(spark, emb, full, cent)
+    write_ivf_assignments(emb, full, cent)
     queries = [pdf.embedding.iloc[i] for i in (0, 120, 350)]
     return emb, pdf, base, delta, full, queries
 
@@ -91,7 +91,7 @@ def test_tombstones_excluded_at_probe(spark, setup, tmp_path):
     # equals assignments over the remaining corpus under the same quantizer
     live = emb.filter(~F.col("vec_id").isin(dead))
     rebuilt = str(tmp_path / "rb")
-    write_ivf_assignments(spark, live, rebuilt, read_ivf_centroids(spark, base))
+    write_ivf_assignments(live, rebuilt, read_ivf_centroids(spark, base))
     assert after == _rows(ivf_index_topk(spark, rebuilt, live, qv, k=10, nprobe=NPROBE))
 
 
@@ -139,7 +139,6 @@ def test_reembedded_vector_latest_assignment_wins(spark, setup, tmp_path):
     assert len(rows) == 1
     fresh = str(tmp_path / "fresh")
     write_ivf_assignments(
-        spark,
         spark.createDataFrame(upd_pdf[upd_pdf.vec_id == 42]),
         fresh,
         read_ivf_centroids(spark, base),

@@ -154,6 +154,36 @@ def test_media_features_kinds_and_values():
     np.testing.assert_array_equal(vec, _fake_features(opaque))
 
 
+def test_malformed_payloads_fall_back_to_opaque():
+    """One corrupt blob must NEVER fail a batch: every malformed payload
+    routes to the opaque sha256 path (the extract_media_features
+    contract), whatever exception the codec layer raises internally."""
+    import struct
+
+    bad_bmp = bytearray(encode_bmp24(np.zeros((1, 1, 3), dtype=np.uint8)))
+    struct.pack_into("<H", bad_bmp, 28, 8)  # claim 8-bit but no palette -> idx >= ncolors
+    cases = {
+        "sub-header": b"hi",  # stdlib chunk parser raises bare EOFError
+        "riff-junk": b"RIFF\x04\x00\x00\x00WAVE",
+        "odd-pcm": encode_wav(np.zeros(4, dtype=np.int16))[:-1],  # truncated sample
+        "netpbm-trunc": b"P5\n3",
+        "bmp-bad-palette": bytes(bad_bmp),
+        "bmp-trunc": b"BM" + b"\x00" * 10,
+    }
+    for name, payload in cases.items():
+        kind, vec = media_features(payload)
+        assert kind == "opaque", name
+        np.testing.assert_array_equal(vec, _fake_features(payload))
+
+
+def test_decode_audio_rejects_truncated_pcm():
+    blob = encode_wav(np.zeros(4, dtype=np.int16))
+    with pytest.raises(NotImplementedError):
+        decode_audio(blob[:-1])
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"hi")
+
+
 def test_extract_media_features_kernel(spark):
     from search_engine_spark.pipeline.multimodal import extract_media_features
 
