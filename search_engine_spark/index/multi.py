@@ -70,6 +70,18 @@ def _with_seg(inner, n_cols_before: int = 0):
     return kernel
 
 
+def _with_seg_scoped(inner):
+    """Cogroup counterpart of :func:`_with_seg` for scoped kernels —
+    (key, postings, allow) with the (seg, group) composite key."""
+
+    def kernel(key: tuple, pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = inner(key[1:], pdf, allow_pdf)
+        out.insert(0, "seg", np.full(len(out), key[0], dtype="int32"))
+        return out
+
+    return kernel
+
+
 class MultiIndex:
     """Read-only view over several index segments, later segments win.
 
@@ -364,6 +376,23 @@ class MultiIndex:
 
     # -- query -------------------------------------------------------
 
+    def scope_docs(self, turns: DataFrame) -> DataFrame:
+        """Resolve a metadata predicate's matching turns against EVERY
+        segment → (seg, group, doc_id): doc ids are segment-local, so
+        each segment resolves against its own convs table (one thin join
+        per segment; compaction bounds the segment count).  A turn
+        indexed in several segments (update shadows) resolves in each —
+        the shadow exclusion already removes the superseded copy at
+        kernel time, so scoped results stay update-consistent."""
+        keys = turns.select("conv_id", "turn_idx")
+        return reduce(
+            DataFrame.unionByName,
+            [
+                seg.scope_docs(keys).withColumn("seg", F.lit(i))
+                for i, seg in enumerate(self.segments)
+            ],
+        )
+
     def topk(
         self,
         query_text: str,
@@ -371,9 +400,17 @@ class MultiIndex:
         k: int = 10,
         algo: str = "auto",
         tombstones: list | None = None,
+        scope: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k across all segments → DataFrame(conv_id, turn_idx,
-        score); identical to a single index built over the union."""
+        score); identical to a single index built over the union.
+        ``scope`` restricts results to the given turns (metadata filter,
+        global-stats scoring) — same contract as the single reader."""
+        if scope is not None and algo == "wand":
+            raise ValueError(
+                "algo='wand' cannot honor scope (its bounded heap has no "
+                "candidate-exclusion hook); use algo='auto' or 'exact'"
+            )
         spec = parse_query(query_text, mode)
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
@@ -387,12 +424,21 @@ class MultiIndex:
         kernel = _make_group_kernel(
             spec, idf, self.avgdl, k, algo, with_ties=True,
             exclude=self._effective_exclude(tombstones), turn_bits=self.turn_bits,
+            scoped=scope is not None,
         )
-        cand = (
-            self._postings(fetch_terms)
-            .groupBy("seg", "group")
-            .applyInPandas(_with_seg(kernel), schema="seg int, " + RESULT_SCHEMA)
-        )
+        post = self._postings(fetch_terms)
+        if scope is not None:
+            cand = (
+                post.groupBy("seg", "group")
+                .cogroup(self.scope_docs(scope).groupBy("seg", "group"))
+                .applyInPandas(
+                    _with_seg_scoped(kernel), schema="seg int, " + RESULT_SCHEMA
+                )
+            )
+        else:
+            cand = post.groupBy("seg", "group").applyInPandas(
+                _with_seg(kernel), schema="seg int, " + RESULT_SCHEMA
+            )
         return (
             self._label(cand)
             .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
@@ -404,6 +450,7 @@ class MultiIndex:
         query_text: str,
         mode: str = "disjunctive",
         tombstones: list | None = None,
+        scope: DataFrame | None = None,
     ) -> int:
         """Total matching documents across all segments (totalResults
         analog) — per-(seg, group) counts sum because segments and
@@ -419,16 +466,82 @@ class MultiIndex:
         idf = self.idf_map(spec.score_terms)
         kernel = _make_count_kernel(
             spec, idf, self.avgdl, exclude=self._effective_exclude(tombstones),
-            turn_bits=self.turn_bits,
+            turn_bits=self.turn_bits, scoped=scope is not None,
         )
-        row = (
-            self._postings(fetch_terms)
-            .groupBy("seg", "group")
-            .applyInPandas(_with_seg(kernel), schema="seg int, n long")
-            .agg(F.sum("n"))
-            .collect()[0]
-        )
+        post = self._postings(fetch_terms)
+        if scope is not None:
+            counted = (
+                post.groupBy("seg", "group")
+                .cogroup(self.scope_docs(scope).groupBy("seg", "group"))
+                .applyInPandas(_with_seg_scoped(kernel), schema="seg int, n long")
+            )
+        else:
+            counted = post.groupBy("seg", "group").applyInPandas(
+                _with_seg(kernel), schema="seg int, n long"
+            )
+        row = counted.agg(F.sum("n")).collect()[0]
         return int(row[0] or 0)
+
+    def matches(
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+        scope: DataFrame | None = None,
+    ) -> DataFrame:
+        """ALL matching documents across segments → DataFrame(conv_id,
+        turn_idx) — the candidate set :meth:`match_count` sizes,
+        materialized for faceting and metadata joins."""
+        from .reader import MATCHES_SCHEMA, _make_matches_kernel
+
+        spec = parse_query(query_text, mode)
+        empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
+        if spec is None:
+            return empty
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        kernel = _make_matches_kernel(
+            spec, idf, self.avgdl, exclude=self._effective_exclude(tombstones),
+            turn_bits=self.turn_bits, scoped=scope is not None,
+        )
+        post = self._postings(fetch_terms)
+        if scope is not None:
+            cand = (
+                post.groupBy("seg", "group")
+                .cogroup(self.scope_docs(scope).groupBy("seg", "group"))
+                .applyInPandas(
+                    _with_seg_scoped(kernel), schema="seg int, " + MATCHES_SCHEMA
+                )
+            )
+        else:
+            cand = post.groupBy("seg", "group").applyInPandas(
+                _with_seg(kernel), schema="seg int, " + MATCHES_SCHEMA
+            )
+        return self._label(cand.withColumn("score", F.lit(0.0))).drop("score")
+
+    def facet_counts(
+        self,
+        query_text: str,
+        meta: DataFrame,
+        facet_col: str,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+        scope: DataFrame | None = None,
+    ) -> DataFrame:
+        """Matching-doc counts grouped by a metadata column → DataFrame
+        (facet_col, n), across all segments — same contract as
+        :meth:`CompressedIndex.facet_counts`."""
+        cand = self.matches(query_text, mode, tombstones=tombstones, scope=scope)
+        return (
+            cand.join(
+                meta.select("conv_id", "turn_idx", facet_col),
+                ["conv_id", "turn_idx"],
+            )
+            .groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
 
     def topk_batch(
         self,
@@ -436,10 +549,17 @@ class MultiIndex:
         k: int = 10,
         algo: str = "auto",
         tombstones: list | None = None,
+        scope: DataFrame | None = None,
     ) -> DataFrame:
         """Batched top-k across all segments in ONE job →
         DataFrame(query_id, conv_id, turn_idx, score); row-identical to
-        per-query :meth:`topk` (pinned by tests)."""
+        per-query :meth:`topk` (pinned by tests).  ``scope`` applies one
+        shared metadata filter to every query of the batch."""
+        if scope is not None and algo == "wand":
+            raise ValueError(
+                "algo='wand' cannot honor scope (its bounded heap has no "
+                "candidate-exclusion hook); use algo='auto' or 'exact'"
+            )
         specs = _parse_batch(queries, k)
         empty = self.spark.createDataFrame(
             [], "query_id int, conv_id string, turn_idx int, score double"
@@ -459,10 +579,20 @@ class MultiIndex:
             with_ties=True,
             exclude=self._effective_exclude(tombstones),
             turn_bits=self.turn_bits,
+            scoped=scope is not None,
         )
-        cand = (
-            self._postings(sorted(fetch_terms))
-            .groupBy("seg", "group")
-            .applyInPandas(_with_seg(kernel), schema="seg int, " + BATCH_RESULT_SCHEMA)
-        )
+        post = self._postings(sorted(fetch_terms))
+        if scope is not None:
+            cand = (
+                post.groupBy("seg", "group")
+                .cogroup(self.scope_docs(scope).groupBy("seg", "group"))
+                .applyInPandas(
+                    _with_seg_scoped(kernel),
+                    schema="seg int, " + BATCH_RESULT_SCHEMA,
+                )
+            )
+        else:
+            cand = post.groupBy("seg", "group").applyInPandas(
+                _with_seg(kernel), schema="seg int, " + BATCH_RESULT_SCHEMA
+            )
         return _rank_per_query(self._label(cand, extra=("query_id",)), specs)

@@ -376,6 +376,30 @@ class CompressedIndex:
             self._tomb_memo[key] = hit
         return hit
 
+    def scope_docs(self, turns: DataFrame) -> DataFrame:
+        """Resolve a metadata predicate's matching turns to kernel
+        coordinates: DataFrame(conv_id, turn_idx, …) → (group, doc_id).
+
+        This is the distributed half of scoped search — the caller
+        filters the corpus METADATA (column-pruned, predicate pushed to
+        its parquet scan, never the text column) and hands the matching
+        keys here; the join against the thin convs/docmap table and the
+        group-keyed shuffle carry only the docs that PASS the predicate,
+        so cost tracks filter selectivity, not corpus size.  No driver
+        collect anywhere (contrast :func:`resolve_tombstones`, which is
+        sized for small deletion lists)."""
+        keys = turns.select("conv_id", "turn_idx")
+        if self.scheme == "conv_rank":
+            return keys.join(self._convs, "conv_id").select(
+                "group",
+                (F.shiftleft(F.col("conv_rank"), self.turn_bits) + F.col("turn_idx"))
+                .cast("long")
+                .alias("doc_id"),
+            )
+        return keys.join(self._docmap, ["conv_id", "turn_idx"]).select(
+            "group", "doc_id"
+        )
+
     def topk(
         self,
         query_text: str,
@@ -383,17 +407,24 @@ class CompressedIndex:
         k: int = 10,
         algo: str = "auto",
         tombstones: list | None = None,
+        scope: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k → DataFrame(conv_id, turn_idx, score), oracle-identical.
 
         ``tombstones`` (bare conv_id strings and/or (conv_id, turn_idx)
         pairs) excludes deleted docs at candidate time; remaining scores
         keep the as-built global stats until a compaction removes the
-        docs physically (see :class:`Tombstones`)."""
-        if tombstones and algo == "wand":
+        docs physically (see :class:`Tombstones`).
+
+        ``scope`` (a DataFrame with conv_id/turn_idx columns — typically
+        the corpus metadata filtered by a structured predicate: role,
+        tool, a ts range) restricts RESULTS to those turns.  Scores keep
+        the corpus-global stats — Lucene/Elasticsearch filter-context
+        semantics, where filters never affect ranking."""
+        if (tombstones or scope is not None) and algo == "wand":
             raise ValueError(
-                "algo='wand' cannot honor tombstones (its bounded heap has "
-                "no candidate-exclusion hook); use algo='auto' or 'exact'"
+                "algo='wand' cannot honor tombstones/scope (its bounded heap "
+                "has no candidate-exclusion hook); use algo='auto' or 'exact'"
             )
         spec = parse_query(query_text, mode)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int, score double")
@@ -414,12 +445,23 @@ class CompressedIndex:
             spec, idf, avgdl, k, algo, with_ties=self.tie_safe,
             exclude=self._resolve_tomb(tombstones),
             turn_bits=getattr(self, "turn_bits", TURN_BITS),
+            scoped=scope is not None,
         )
         post = self.postings_df(fetch_terms)
         # v5: single-sided grouped kernel — the only exchange carries the
         # bucket-pruned postings; doclens are inline in the blocks (the
         # pre-v5 shape cogrouped the CORPUS-wIDE doclen blobs per query)
-        cand = post.groupBy("group").applyInPandas(kernel, schema=RESULT_SCHEMA)
+        if scope is not None:
+            # scoped: cogroup the pruned postings with the predicate's
+            # doc ids on the SAME group key — the allow side shuffles
+            # once, partitioned like the postings, never via the driver
+            cand = (
+                post.groupBy("group")
+                .cogroup(self.scope_docs(scope).groupBy("group"))
+                .applyInPandas(kernel, schema=RESULT_SCHEMA)
+            )
+        else:
+            cand = post.groupBy("group").applyInPandas(kernel, schema=RESULT_SCHEMA)
         return (
             self._label(cand)
             .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
@@ -431,6 +473,7 @@ class CompressedIndex:
         query_text: str,
         mode: str = "disjunctive",
         tombstones: list | None = None,
+        scope: DataFrame | None = None,
     ) -> int:
         """Total matching documents (the reference's totalResults field,
         served by every /api/search response for pagination): size of
@@ -446,15 +489,82 @@ class CompressedIndex:
         kernel = _make_count_kernel(
             spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones),
             turn_bits=getattr(self, "turn_bits", TURN_BITS),
+            scoped=scope is not None,
         )
         post = self.postings_df(fetch_terms)
+        if scope is not None:
+            grouped = post.groupBy("group").cogroup(
+                self.scope_docs(scope).groupBy("group")
+            )
+        else:
+            grouped = post.groupBy("group")
         row = (
-            post.groupBy("group")
-            .applyInPandas(kernel, schema="n long")
+            grouped.applyInPandas(kernel, schema="n long")
             .agg(F.sum("n"))
             .collect()[0]
         )
         return int(row[0] or 0)
+
+    def matches(
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+        scope: DataFrame | None = None,
+    ) -> DataFrame:
+        """ALL matching documents → DataFrame(conv_id, turn_idx) — the
+        candidate set :meth:`match_count` sizes, materialized for
+        faceting and metadata joins.  Output is O(matches)."""
+        spec = parse_query(query_text, mode)
+        empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
+        if spec is None:
+            return empty
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        kernel = _make_matches_kernel(
+            spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones),
+            turn_bits=getattr(self, "turn_bits", TURN_BITS),
+            scoped=scope is not None,
+        )
+        post = self.postings_df(fetch_terms)
+        if scope is not None:
+            grouped = post.groupBy("group").cogroup(
+                self.scope_docs(scope).groupBy("group")
+            )
+        else:
+            grouped = post.groupBy("group")
+        cand = grouped.applyInPandas(kernel, schema=MATCHES_SCHEMA)
+        return self._label(cand.withColumn("score", F.lit(0.0))).drop("score")
+
+    def facet_counts(
+        self,
+        query_text: str,
+        meta: DataFrame,
+        facet_col: str,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+        scope: DataFrame | None = None,
+    ) -> DataFrame:
+        """Matching-doc counts grouped by a metadata column → DataFrame
+        (facet_col, n) — the search-facet panel (count per role, tool,
+        day, …) for one query.
+
+        ``meta`` carries (conv_id, turn_idx, facet_col); pass the corpus
+        with a derived column for computed facets (e.g. ``date_trunc``
+        of ts).  The join input is the MATCH set, not the corpus, so
+        Catalyst/AQE broadcasts it when small; the metadata scan is
+        column-pruned to the three needed columns."""
+        cand = self.matches(query_text, mode, tombstones=tombstones, scope=scope)
+        return (
+            cand.join(
+                meta.select("conv_id", "turn_idx", facet_col),
+                ["conv_id", "turn_idx"],
+            )
+            .groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
 
     def topk_batch(
         self,
@@ -462,6 +572,7 @@ class CompressedIndex:
         k: int = 10,
         algo: str = "auto",
         tombstones: list | None = None,
+        scope: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k for MANY queries in ONE job →
         DataFrame(query_id, conv_id, turn_idx, score).
@@ -474,11 +585,12 @@ class CompressedIndex:
         posting blocks once, scores every query against them in the same
         cogroup kernel pass, and takes per-query top-k via
         :func:`_rank_per_query`.  Results are row-identical to calling
-        :meth:`topk` per query (pinned by tests)."""
-        if tombstones and algo == "wand":
+        :meth:`topk` per query (pinned by tests).  ``scope`` applies one
+        shared metadata filter to every query of the batch."""
+        if (tombstones or scope is not None) and algo == "wand":
             raise ValueError(
-                "algo='wand' cannot honor tombstones (its bounded heap has "
-                "no candidate-exclusion hook); use algo='auto' or 'exact'"
+                "algo='wand' cannot honor tombstones/scope (its bounded heap "
+                "has no candidate-exclusion hook); use algo='auto' or 'exact'"
             )
         specs = _parse_batch(queries, k)
         empty = self.spark.createDataFrame(
@@ -499,9 +611,17 @@ class CompressedIndex:
             with_ties=self.tie_safe,
             exclude=self._resolve_tomb(tombstones),
             turn_bits=getattr(self, "turn_bits", TURN_BITS),
+            scoped=scope is not None,
         )
         post = self.postings_df(sorted(fetch_terms))
-        cand = post.groupBy("group").applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
+        if scope is not None:
+            cand = (
+                post.groupBy("group")
+                .cogroup(self.scope_docs(scope).groupBy("group"))
+                .applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
+            )
+        else:
+            cand = post.groupBy("group").applyInPandas(kernel, schema=BATCH_RESULT_SCHEMA)
         return _rank_per_query(self._label(cand, extra=("query_id",)), specs)
 
 
@@ -515,24 +635,32 @@ def _score_spec(
     with_ties: bool,
     tomb: "Tombstones | None" = None,
     turn_bits: int = TURN_BITS,
+    allow: np.ndarray | None = None,
 ):
     """Score ONE parsed query against a group's posting lists →
     (docs, scores) arrays.  Shared by the single-query and batch
     kernels so both paths run the identical tested dispatch.
     Doclens come inline from the posting blocks (format v5).
     ``tomb`` removes deleted docs from the candidate set BEFORE the
-    top-k cut (scores keep the as-built global stats until compaction)."""
+    top-k cut (scores keep the as-built global stats until compaction).
+    ``allow`` (sorted unique doc ids) keeps ONLY those docs — the
+    kernel half of scoped search; like tombstones it restricts the
+    candidate set, never the scoring stats (filter-context semantics)."""
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
-        if tomb is not None:
-            # tombstoned disjunctive queries always run candidates+exact
-            # (topk() rejects an explicit algo='wand' with tombstones up
-            # front): exclusion happens on the materialized candidate
-            # set, before the top-k cut
+        if tomb is not None or allow is not None:
+            # tombstoned/scoped disjunctive queries always run
+            # candidates+exact (topk() rejects an explicit algo='wand'
+            # with either up front): exclusion happens on the
+            # materialized candidate set, before the top-k cut
             arrs = [p.doc_ids for p in score_lists.values()]
             if not arrs:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-            cand = tomb.mask(np.unique(np.concatenate(arrs)), turn_bits)
+            cand = np.unique(np.concatenate(arrs))
+            if allow is not None:
+                cand = np.intersect1d(cand, allow, assume_unique=True)
+            if tomb is not None:
+                cand = tomb.mask(cand, turn_bits)
             return exact_topk(
                 score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
             )
@@ -563,6 +691,8 @@ def _score_spec(
             cand = np.union1d(la, rb)
         else:
             cand = np.setdiff1d(la, rb, assume_unique=True)
+    if allow is not None:
+        cand = np.intersect1d(cand, allow, assume_unique=True)
     if tomb is not None:
         cand = tomb.mask(cand, turn_bits)
     return exact_topk(
@@ -570,25 +700,27 @@ def _score_spec(
     )
 
 
-def _count_spec(
+def _candidates_spec(
     spec: QuerySpec,
     idf: dict[str, float],
     plists: dict,
     tomb: "Tombstones | None" = None,
     turn_bits: int = TURN_BITS,
-) -> int:
-    """Matching-doc count for one group — the candidate set top-k draws
-    from (totalResults analog); groups hold disjoint docs, so counts sum."""
+    allow: np.ndarray | None = None,
+) -> np.ndarray:
+    """The matching-doc set of one group for one query (sorted unique
+    doc ids) — what top-k ranks and totalResults counts.  Shared by the
+    count and matches kernels so both size the identical set."""
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
         arrs = [p.doc_ids for p in score_lists.values()]
         if not arrs:
-            return 0
+            return np.empty(0, dtype=np.int64)
         cand = np.unique(np.concatenate(arrs))
     elif spec.mode == "conjunctive":
         need = {t: plists[t] for t in spec.score_terms if t in plists}
         if len(need) < len(spec.score_terms):
-            return 0
+            return np.empty(0, dtype=np.int64)
         cand = conjunctive_candidates(need)
     elif spec.mode == "phrase":
         cand = phrase_candidates(spec.phrase_a or [], plists)
@@ -601,9 +733,26 @@ def _count_spec(
             cand = np.union1d(la, rb)
         else:
             cand = np.setdiff1d(la, rb, assume_unique=True)
+    if allow is not None:
+        cand = np.intersect1d(cand, allow, assume_unique=True)
     if tomb is not None:
         cand = tomb.mask(cand, turn_bits)
-    return int(cand.size)
+    return cand
+
+
+def _count_spec(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    plists: dict,
+    tomb: "Tombstones | None" = None,
+    turn_bits: int = TURN_BITS,
+    allow: np.ndarray | None = None,
+) -> int:
+    """Matching-doc count for one group — the candidate set top-k draws
+    from (totalResults analog); groups hold disjoint docs, so counts sum."""
+    return int(
+        _candidates_spec(spec, idf, plists, tomb, turn_bits, allow).size
+    )
 
 
 def _make_count_kernel(
@@ -612,17 +761,60 @@ def _make_count_kernel(
     avgdl: float,
     exclude=None,
     turn_bits: int = TURN_BITS,
+    scoped: bool = False,
 ):
-    def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(post_pdf) == 0:
+    def count(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
+        if len(post_pdf) == 0 or (allow is not None and allow.size == 0):
             return pd.DataFrame({"n": pd.array([0], dtype="int64")})
         plists = _build_plists(post_pdf, idf, avgdl)
         tomb = _tomb_for(exclude, post_pdf)
         return pd.DataFrame(
             {"n": pd.array(
-                [_count_spec(spec, idf, plists, tomb, turn_bits)], dtype="int64"
+                [_count_spec(spec, idf, plists, tomb, turn_bits, allow)],
+                dtype="int64",
             )}
         )
+
+    if scoped:
+        def kernel(key: tuple, post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame):
+            return count(post_pdf, _allow_arr(allow_pdf))
+    else:
+        def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return count(post_pdf, None)
+
+    return kernel
+
+
+MATCHES_SCHEMA = "doc_id long"
+
+
+def _make_matches_kernel(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    avgdl: float,
+    exclude=None,
+    turn_bits: int = TURN_BITS,
+    scoped: bool = False,
+):
+    """Kernel EMITTING the matching doc ids of each group (the set
+    :func:`_count_spec` sizes) — the distributed input to faceting and
+    metadata joins.  Output is O(matches), which is the inherent size
+    of any facet computation."""
+
+    def emit(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
+        if len(post_pdf) == 0 or (allow is not None and allow.size == 0):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64")})
+        plists = _build_plists(post_pdf, idf, avgdl)
+        tomb = _tomb_for(exclude, post_pdf)
+        cand = _candidates_spec(spec, idf, plists, tomb, turn_bits, allow)
+        return pd.DataFrame({"doc_id": cand})
+
+    if scoped:
+        def kernel(key: tuple, post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame):
+            return emit(post_pdf, _allow_arr(allow_pdf))
+    else:
+        def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return emit(post_pdf, None)
 
     return kernel
 
@@ -634,6 +826,15 @@ def _build_plists(post_pdf: pd.DataFrame, idf: dict[str, float], avgdl: float) -
     return plists
 
 
+def _allow_arr(allow_pdf: pd.DataFrame) -> np.ndarray:
+    """Cogrouped allow side → sorted unique doc-id array.  An EMPTY
+    frame means no doc of this group passes the scope predicate — the
+    kernels must distinguish it from ``None`` (no scope at all)."""
+    if len(allow_pdf) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(allow_pdf["doc_id"].to_numpy(dtype=np.int64))
+
+
 def _make_group_kernel(
     spec: QuerySpec,
     idf: dict[str, float],
@@ -643,19 +844,32 @@ def _make_group_kernel(
     with_ties: bool = False,
     exclude=None,
     turn_bits: int = TURN_BITS,
+    scoped: bool = False,
 ):
-    """Build the per-group grouped kernel for one parsed query."""
+    """Build the per-group grouped kernel for one parsed query.
 
-    def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(post_pdf) == 0:
+    ``scoped=True`` returns the COGROUP form ``(key, postings, allow)``
+    — the allow side is the scope predicate's matching doc ids of the
+    same group, delivered by Spark's cogroup (never a driver collect)."""
+
+    def score(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
+        if len(post_pdf) == 0 or (allow is not None and allow.size == 0):
             return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                  "score": pd.array([], dtype="float64")})
         plists = _build_plists(post_pdf, idf, avgdl)
         docs, scores = _score_spec(
             spec, idf, plists, avgdl, k, algo, with_ties,
             tomb=_tomb_for(exclude, post_pdf), turn_bits=turn_bits,
+            allow=allow,
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    if scoped:
+        def kernel(key: tuple, post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame):
+            return score(post_pdf, _allow_arr(allow_pdf))
+    else:
+        def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return score(post_pdf, None)
 
     return kernel
 
@@ -673,14 +887,17 @@ def _make_batch_kernel(
     with_ties: bool = False,
     exclude=None,
     turn_bits: int = TURN_BITS,
+    scoped: bool = False,
 ):
     """One grouped kernel scoring EVERY query of a batch against the
     group's postings: term posting lists are decoded once per group and
     shared across queries (idf is a corpus property, identical for any
     query naming the term), so N queries cost one postings scan + one
-    decode instead of N jobs."""
+    decode instead of N jobs.  ``scoped=True`` applies ONE shared scope
+    to every query of the batch (cogroup form, like
+    :func:`_make_group_kernel`)."""
 
-    def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "query_id": pd.array([], dtype="int32"),
@@ -688,7 +905,7 @@ def _make_batch_kernel(
                 "score": pd.array([], dtype="float64"),
             }
         )
-        if len(post_pdf) == 0:
+        if len(post_pdf) == 0 or (allow is not None and allow.size == 0):
             return empty
         plists = _build_plists(post_pdf, merged_idf, avgdl)
         tomb = _tomb_for(exclude, post_pdf)
@@ -696,7 +913,7 @@ def _make_batch_kernel(
         for qid, (spec, idf, k) in enumerate(zip(specs, idfs, ks)):
             docs, scores = _score_spec(
                 spec, idf, plists, avgdl, k, algo, with_ties,
-                tomb=tomb, turn_bits=turn_bits,
+                tomb=tomb, turn_bits=turn_bits, allow=allow,
             )
             if docs.size:
                 frames.append(
@@ -709,5 +926,12 @@ def _make_batch_kernel(
                     )
                 )
         return pd.concat(frames, ignore_index=True) if frames else empty
+
+    if scoped:
+        def kernel(key: tuple, post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame):
+            return score(post_pdf, _allow_arr(allow_pdf))
+    else:
+        def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return score(post_pdf, None)
 
     return kernel

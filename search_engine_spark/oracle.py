@@ -134,16 +134,26 @@ def _phrase_match_docs(index: OracleIndex, phrase_terms: list[str]) -> set[DocKe
 
 
 def oracle_topk(
-    index: OracleIndex, query_text: str, mode: str = "disjunctive", k: int = 10
+    index: OracleIndex,
+    query_text: str,
+    mode: str = "disjunctive",
+    k: int = 10,
+    scope: set[DocKey] | None = None,
 ) -> list[tuple[DocKey, float]]:
-    """Golden top-k for one query: list of ((conv_id, turn_idx), score)."""
+    """Golden top-k for one query: list of ((conv_id, turn_idx), score).
+
+    ``scope`` restricts the RESULT set to the given doc keys (a metadata
+    filter); scores keep the corpus-global stats — the filter-context
+    semantics of the engine's scoped search."""
     if mode == "boolean":
-        return _boolean_topk(index, query_text, k)
+        return _boolean_topk(index, query_text, k, scope)
     if mode == "phrase":
         phrase = PHRASE_PATTERN.search(query_text)
         text = phrase.group(1) if phrase else query_text
         terms = analyze_text(text)
         docs = _phrase_match_docs(index, terms)
+        if scope is not None:
+            docs &= scope
         return _topk(_score_candidates(index, terms, docs), k)
 
     terms = analyze_query(query_text)
@@ -155,13 +165,20 @@ def oracle_topk(
         for t in set(terms):
             sets.append({key for key, _f, _p in index.postings.get(t, [])})
         candidates = set.intersection(*sets) if sets else set()
+        if scope is not None:
+            candidates &= scope
         if not candidates:
             return []
         return _topk(_score_candidates(index, terms, candidates), k)
-    return _topk(_score_candidates(index, terms, None), k)
+    return _topk(_score_candidates(index, terms, scope), k)
 
 
-def _boolean_topk(index: OracleIndex, query_text: str, k: int) -> list[tuple[DocKey, float]]:
+def _boolean_topk(
+    index: OracleIndex,
+    query_text: str,
+    k: int,
+    scope: set[DocKey] | None = None,
+) -> list[tuple[DocKey, float]]:
     """Both operands quoted, exactly one AND/OR/NOT (QueryService.java:80-104)."""
     op_match = OPERATOR_PATTERN.search(query_text)
     phrases = PHRASE_PATTERN.findall(query_text)
@@ -178,15 +195,19 @@ def _boolean_topk(index: OracleIndex, query_text: str, k: int) -> list[tuple[Doc
         docs, terms = ldocs | rdocs, lterms + rterms
     else:  # NOT
         docs, terms = ldocs - rdocs, lterms
+    if scope is not None:
+        docs &= scope
     return _topk(_score_candidates(index, terms, docs), k)
 
 
-def oracle_match_count(
-    index: OracleIndex, query_text: str, mode: str = "disjunctive"
-) -> int:
-    """Total matching documents for one query — the candidate set the
-    ranked page is drawn from (the reference's totalResults /
-    totalPages field, QueryService.java pagination)."""
+def oracle_matches(
+    index: OracleIndex,
+    query_text: str,
+    mode: str = "disjunctive",
+    scope: set[DocKey] | None = None,
+) -> set[DocKey]:
+    """The full matching-document set for one query — the candidate set
+    the ranked page is drawn from — optionally restricted to ``scope``."""
     if mode == "boolean":
         op_match = OPERATOR_PATTERN.search(query_text)
         phrases = PHRASE_PATTERN.findall(query_text)
@@ -195,22 +216,55 @@ def oracle_match_count(
         op = op_match.group(1)
         ldocs = _phrase_match_docs(index, analyze_text(phrases[0]))
         rdocs = _phrase_match_docs(index, analyze_text(phrases[1]))
-        return len(
-            ldocs & rdocs if op == "AND" else ldocs | rdocs if op == "OR" else ldocs - rdocs
-        )
-    if mode == "phrase":
+        docs = ldocs & rdocs if op == "AND" else ldocs | rdocs if op == "OR" else ldocs - rdocs
+    elif mode == "phrase":
         phrase = PHRASE_PATTERN.search(query_text)
         text = phrase.group(1) if phrase else query_text
-        return len(_phrase_match_docs(index, analyze_text(text)))
-    terms = analyze_query(query_text)
-    if not terms:
-        return 0
-    if mode == "conjunctive":
-        sets = [
-            {key for key, _f, _p in index.postings.get(t, [])} for t in set(terms)
-        ]
-        return len(set.intersection(*sets)) if sets else 0
-    return len(_score_candidates(index, terms, None))
+        docs = _phrase_match_docs(index, analyze_text(text))
+    else:
+        terms = analyze_query(query_text)
+        if not terms:
+            return set()
+        if mode == "conjunctive":
+            sets = [
+                {key for key, _f, _p in index.postings.get(t, [])} for t in set(terms)
+            ]
+            docs = set.intersection(*sets) if sets else set()
+        else:
+            docs = set(_score_candidates(index, terms, None))
+    if scope is not None:
+        docs &= scope
+    return docs
+
+
+def oracle_match_count(
+    index: OracleIndex,
+    query_text: str,
+    mode: str = "disjunctive",
+    scope: set[DocKey] | None = None,
+) -> int:
+    """Total matching documents for one query — the candidate set the
+    ranked page is drawn from (the reference's totalResults /
+    totalPages field, QueryService.java pagination)."""
+    return len(oracle_matches(index, query_text, mode, scope))
+
+
+def oracle_facet_counts(
+    index: OracleIndex,
+    query_text: str,
+    mode: str,
+    facet: dict[DocKey, object],
+    scope: set[DocKey] | None = None,
+) -> dict:
+    """Matching-doc counts grouped by a per-doc facet value (role, tool,
+    day, …).  Docs absent from ``facet`` are dropped — the engine-side
+    analog is an inner join to the metadata table."""
+    out: dict = {}
+    for key in oracle_matches(index, query_text, mode, scope):
+        if key in facet:
+            v = facet[key]
+            out[v] = out.get(v, 0) + 1
+    return out
 
 
 def golden_stats(index: OracleIndex) -> dict:
