@@ -179,6 +179,7 @@ def cmd_search(args: argparse.Namespace) -> None:
     page = search(
         idx, tr, args.query, args.mode, args.k, page=args.page,
         tombstones=_load_tombstones(args.tombstones),
+        where=args.where, facet_col=args.facet,
     )
     page["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(page))
@@ -187,10 +188,17 @@ def cmd_search(args: argparse.Namespace) -> None:
 def cmd_query(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     idx = _open_index(spark, args.index)
+    scope = None
+    if args.where:
+        if not args.input:
+            raise SystemExit("--where needs --input (the transcripts table to filter)")
+        from .sources import load_transcripts
+
+        scope = load_transcripts(spark, args.input).filter(args.where)
     t0 = time.time()
     rows = idx.topk(
         args.query, args.mode, args.k, algo=args.algo,
-        tombstones=_load_tombstones(args.tombstones),
+        tombstones=_load_tombstones(args.tombstones), scope=scope,
     ).collect()
     print(
         json.dumps(
@@ -409,6 +417,15 @@ def main(argv: list[str] | None = None) -> None:
         "--tombstones",
         help="JSONL of {conv_id[, turn_idx]} rows to exclude (deleted docs)",
     )
+    se.add_argument(
+        "--where",
+        help="SQL predicate over the transcripts columns scoping results "
+        "(e.g. \"role = 'user' AND ts >= timestamp'2026-01-02'\")",
+    )
+    se.add_argument(
+        "--facet",
+        help="transcripts column to facet the match set by (adds counts)",
+    )
     se.set_defaults(fn=cmd_search)
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
@@ -424,6 +441,14 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument(
         "--tombstones",
         help="JSONL of {conv_id[, turn_idx]} rows to exclude (deleted docs)",
+    )
+    q.add_argument(
+        "--input",
+        help="transcripts (parquet/table:) — required by --where",
+    )
+    q.add_argument(
+        "--where",
+        help="SQL predicate over the transcripts columns scoping results",
     )
     q.set_defaults(fn=cmd_query)
 

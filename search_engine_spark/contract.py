@@ -36,6 +36,8 @@ ORACLES: dict[str, str] = {}
 #: any truncation at the tail.
 PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
+    "transcripts_bm25_scoped",  # r4: metadata-filtered retrieval
+    "transcripts_facets",  # r4: per-role facet counts
     "transcripts_bm25_updated",  # r4: turn-level UPDATE via shadow segments
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
@@ -2536,6 +2538,85 @@ def transcripts_match_count(spark, sf_dir):
     idx = _xs_index(spark)
     rows = [(i, idx.match_count(qt, m)) for i, (qt, m) in enumerate(_COUNT_QUERIES)]
     return spark.createDataFrame(rows, "query_id int, total long")
+
+
+def _xs_scope_keys(role: str) -> set:
+    from .corpus import generate_transcripts
+
+    pdf = generate_transcripts("xs")
+    sub = pdf[pdf.role == role]
+    return set(zip(sub.conv_id, sub.turn_idx))
+
+
+def _scoped_oracle_sql(query_text: str, mode: str, role: str, k: int = 10) -> str:
+    """VALUES oracle for scoped search: the pure-Python scorer with the
+    role predicate applied as a doc-key scope (filter-context
+    semantics — global stats, filtered results)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_topk(idx, query_text, mode, k, scope=_xs_scope_keys(role))
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q(
+    "transcripts_bm25_scoped",
+    _scoped_oracle_sql("term0001 term0002", "disjunctive", "assistant", 10),
+)
+def transcripts_bm25_scoped(spark, sf_dir):
+    """Scoped search: BM25 top-k restricted to assistant turns — the
+    metadata predicate runs on the corpus scan (pushed down, column-
+    pruned to keys+role) and reaches the kernels as a cogrouped allow
+    set; scores keep corpus-global stats.  No reference analog (its
+    corpus is untyped web pages); semantics follow Lucene filter
+    contexts, verified against the pure-Python oracle."""
+    from .corpus import generate_transcripts
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return idx.topk(
+        "term0001 term0002", "disjunctive", 10,
+        scope=corpus.filter("role = 'assistant'"),
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _facets_oracle_sql(query_text: str, mode: str) -> str:
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_facet_counts
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    facet = dict(zip(zip(pdf.conv_id, pdf.turn_idx), pdf.role))
+    counts = oracle_facet_counts(idx, query_text, mode, facet)
+    values = ",\n  ".join(f"('{r}', {n})" for r, n in sorted(counts.items()))
+    return f"SELECT role, n FROM (VALUES\n  {values}\n) t(role, n)"
+
+
+@q("transcripts_facets", _facets_oracle_sql("term0001 term0002", "disjunctive"))
+def transcripts_facets(spark, sf_dir):
+    """Facet counts: matching docs per role for one query — the engine
+    emits the full candidate set from the grouped kernels (O(matches))
+    and joins it to the column-pruned metadata table; counts equal the
+    pure-Python oracle's grouped match set."""
+    from .corpus import generate_transcripts
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return idx.facet_counts("term0001 term0002", corpus, "role").select(
+        "role", F.col("n").cast("long").alias("n")
+    )
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -61,6 +61,8 @@ def search(
     width: int = WIDTH,
     include_total: bool = True,
     tombstones: list | None = None,
+    where: str | None = None,
+    facet_col: str | None = None,
 ) -> dict:
     """One enriched result page.
 
@@ -68,17 +70,35 @@ def search(
     score, snippet}], "suggested_queries": [...]}`` — the DataFrame work
     is two jobs (top-k, then the pruned text join); everything after the
     ≤ ``page*k``-row collect is driver-side, like the reference's
-    response assembly."""
+    response assembly.
+
+    ``where`` (a SQL predicate over the transcripts columns, e.g.
+    ``"role = 'user' AND ts >= timestamp'2026-01-02'"``) scopes results
+    to matching turns — pushed to the metadata scan, cogrouped with the
+    postings (see ``CompressedIndex.topk``); total_results counts the
+    scoped candidate set.  ``facet_col`` adds ``{"facets": {value:
+    count}}`` for that transcripts column over the (scoped) match set."""
     if page < 1:
         raise ValueError("page is 1-based")
-    deep = index.topk(query_text, mode, page * k, tombstones=tombstones)
+    scope = transcripts.filter(where) if where else None
+    deep = index.topk(query_text, mode, page * k, tombstones=tombstones, scope=scope)
     rows = deep.collect()[(page - 1) * k : page * k]
     totals = {}
     if include_total:
         # totalResults/totalPages, served on every reference response
         # (QueryService pagination) — one grouped count pass
-        total = index.match_count(query_text, mode, tombstones=tombstones)
+        total = index.match_count(
+            query_text, mode, tombstones=tombstones, scope=scope
+        )
         totals = {"total_results": total, "total_pages": -(-total // k)}
+    if facet_col:
+        totals["facets"] = {
+            r[facet_col]: r["n"]
+            for r in index.facet_counts(
+                query_text, transcripts, facet_col, mode,
+                tombstones=tombstones, scope=scope,
+            ).collect()
+        }
     if not rows:
         return {
             "query": query_text,

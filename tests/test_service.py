@@ -145,3 +145,45 @@ def test_search_with_tombstones(spark, xs_setup):
     keys = [(r["conv_id"], r["turn_idx"]) for r in page["results"]]
     assert (dead["conv_id"], dead["turn_idx"]) not in keys
     assert page["total_results"] == base["total_results"] - 1
+
+
+@pytest.fixture(scope="module")
+def xs_full_setup(spark, tmp_path_factory):
+    """Full-shape corpus (role/tool/ts) — what --where predicates filter."""
+    pdf = generate_transcripts("xs")
+    out = str(tmp_path_factory.mktemp("svcf") / "idx")
+    tr = spark.createDataFrame(pdf)
+    build_index(spark, tr, out, BuildConfig(num_groups=2))
+    return CompressedIndex(spark, out), tr
+
+
+def test_search_where_scopes_results_and_totals(spark, xs_full_setup):
+    idx, tr = xs_full_setup
+    where = "role = 'assistant'"
+    page = search(idx, tr, "term0001 term0002", k=5, where=where)
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in page["results"]]
+    scope = tr.filter(where)
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9))
+        for r in idx.topk("term0001 term0002", "disjunctive", 5, scope=scope).collect()
+    ]
+    assert got == want and len(got) == 5
+    assert page["total_results"] == idx.match_count(
+        "term0001 term0002", scope=scope
+    )
+
+
+def test_search_facets(spark, xs_full_setup):
+    idx, tr = xs_full_setup
+    page = search(idx, tr, "term0001 term0002", k=5, facet_col="role")
+    want = {
+        r["role"]: r["n"]
+        for r in idx.facet_counts("term0001 term0002", tr, "role").collect()
+    }
+    assert page["facets"] == want
+    assert sum(page["facets"].values()) == page["total_results"]
+    scoped = search(
+        idx, tr, "term0001 term0002", k=5, where="role = 'user'", facet_col="role"
+    )
+    assert set(scoped["facets"]) == {"user"}
+    assert scoped["facets"]["user"] == scoped["total_results"]
