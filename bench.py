@@ -74,6 +74,8 @@ CONTRACT_QUERIES = [
     "ivf_ann_topk_segmented",
     "media_decode_stats",
     "ivf_drift_stats",
+    "transcripts_bm25_scoped",
+    "transcripts_facets",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
@@ -159,6 +161,20 @@ def main() -> None:
         [(q["query_text"], q["mode"], q["k"]) for q in REFERENCE_QUERIES]
     ).collect()
     results["bm25_query_set_batch"] = round(time.time() - t0, 3)
+    # scoped query + facets at the bench corpus scale: the metadata
+    # predicate is pushed to the corpus scan (keys+role only, no text)
+    # and cogrouped with the pruned postings (reader.scope_docs)
+    tr_meta = spark.read.parquet(pq)
+    q0 = REFERENCE_QUERIES[0]
+    t0 = time.time()
+    index.topk(
+        q0["query_text"], q0["mode"], q0["k"],
+        scope=tr_meta.filter("role = 'user'"),
+    ).collect()
+    results["bm25_scoped_query"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    index.facet_counts(q0["query_text"], tr_meta, "role", q0["mode"]).collect()
+    results["bm25_facets"] = round(time.time() - t0, 3)
     lat.sort()
     p50 = statistics.median(lat)
     p95 = lat[max(0, int(len(lat) * 0.95) - 1)]

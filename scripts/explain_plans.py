@@ -82,6 +82,40 @@ def main() -> None:
 
     sections.append(
         (
+            "Scoped BM25 top-k (metadata-filtered retrieval)",
+            "Expected: the postings branch keeps its bucket PartitionFilters "
+            "+ pushed term filter; the scope branch scans the corpus parquet "
+            "with the role predicate PUSHED and ReadSchema pruned to "
+            "(conv_id, turn_idx, role) — never the text column; broadcast of "
+            "the thin convs table onto the scope side; ONE "
+            "FlatMapCoGroupsInPandas joining both sides on `group`; "
+            "TakeOrderedAndProject.",
+            cap(
+                idx.topk(
+                    "term0001 term0002",
+                    "disjunctive",
+                    10,
+                    scope=spark.read.parquet(pq).filter("role = 'assistant'"),
+                )
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Facet counts over the match set",
+            "Expected: the matches kernel emits candidate doc ids (grouped "
+            "FlatMapGroupsInPandas over the pruned postings), decode + convs "
+            "join, then a join to the column-pruned metadata scan and ONE "
+            "partial+final hash aggregate on the facet column.",
+            cap(
+                idx.facet_counts(
+                    "term0001 term0002", spark.read.parquet(pq), "role"
+                )
+            ),
+        )
+    )
+    sections.append(
+        (
             "Docs-engine BM25 top-k (pure JVM path)",
             "Expected: WholeStageCodegen end-to-end, broadcast of the tiny "
             "idf/stats sides, hash partial aggregates, TakeOrderedAndProject; "
