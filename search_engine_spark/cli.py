@@ -195,15 +195,23 @@ def cmd_query(args: argparse.Namespace) -> None:
         from .sources import load_transcripts
 
         scope = load_transcripts(spark, args.input).filter(args.where)
+    query_text = args.query
+    if args.mode in ("disjunctive", "conjunctive") and "*" in query_text:
+        query_text = idx.expand_prefixes(query_text)
     t0 = time.time()
     rows = idx.topk(
-        args.query, args.mode, args.k, algo=args.algo,
+        query_text, args.mode, args.k, algo=args.algo,
         tombstones=_load_tombstones(args.tombstones), scope=scope,
     ).collect()
     print(
         json.dumps(
             {
                 "query": args.query,
+                **(
+                    {"expanded_query": query_text}
+                    if query_text != args.query
+                    else {}
+                ),
                 "mode": args.mode,
                 "seconds": round(time.time() - t0, 3),
                 "results": [

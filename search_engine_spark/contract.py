@@ -38,6 +38,7 @@ PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
     "transcripts_bm25_scoped",  # r4: metadata-filtered retrieval
     "transcripts_facets",  # r4: per-role facet counts
+    "transcripts_prefix",  # r4: wildcard/prefix expansion
     "transcripts_bm25_updated",  # r4: turn-level UPDATE via shadow segments
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
@@ -2590,6 +2591,40 @@ def transcripts_bm25_scoped(spark, sf_dir):
         "term0001 term0002", "disjunctive", 10,
         scope=corpus.filter("role = 'assistant'"),
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _prefix_oracle_sql(query_text: str, k: int = 10) -> str:
+    """VALUES oracle for prefix queries: the pure-Python expander
+    (df-desc capped rewrite over the stemmed vocabulary) feeds the
+    pure-Python scorer."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_expand_prefixes, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_topk(
+        idx, oracle_expand_prefixes(idx, query_text), "disjunctive", k
+    )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_prefix", _prefix_oracle_sql("term000* merg*", 10))
+def transcripts_prefix(spark, sf_dir):
+    """Prefix (trailing-*) queries, Lucene multi-term semantics: each
+    wildcard rewrites to its top-df index terms (PREFIX_CAP bound; ONE
+    pushed-StartsWith scan of the one-row-per-term idf table — the
+    postings scan stays bucket-pruned on the expanded terms), then the
+    ordinary disjunctive path scores the rewrite.  No reference analog;
+    contract == the pure-Python expander + scorer."""
+    idx = _xs_index(spark)
+    return idx.topk(idx.expand_prefixes("term000* merg*"), "disjunctive", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
 
 
 def _facets_oracle_sql(query_text: str, mode: str) -> str:

@@ -362,6 +362,41 @@ class MultiIndex:
             ],
         )
 
+    def expand_prefixes(self, query_text: str, limit: int | None = None) -> str:
+        """Prefix (trailing-``*``) rewrite over the UNION vocabulary:
+        per-term df summed across segments orders the expansion (raw
+        sums — shadow-superseded copies may inflate a tie-break, which
+        only affects the cap boundary ordering, never scoring; scoring
+        idf stays exact via :meth:`idf_map`)."""
+        from .reader import PREFIX_CAP, rewrite_with_expansions, split_prefix_tokens
+
+        if limit is None:
+            limit = PREFIX_CAP
+        toks, prefixes = split_prefix_tokens(query_text)
+        if not prefixes:
+            return query_text
+        cond = F.col("term").startswith(prefixes[0])
+        for p in prefixes[1:]:
+            cond = cond | F.col("term").startswith(p)
+        rows = (
+            reduce(
+                DataFrame.unionByName,
+                [seg._idf.filter(cond).select("term", "df") for seg in self.segments],
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        expansions: dict[str, list[str]] = {}
+        for p in prefixes:
+            hits = sorted(
+                ((int(r["df"]), r["term"]) for r in rows if r["term"].startswith(p)),
+                key=lambda x: (-x[0], x[1]),
+            )
+            if hits:
+                expansions[p] = [t for _df, t in hits[:limit]]
+        return rewrite_with_expansions(toks, expansions)
+
     def _label(self, cand: DataFrame, extra: tuple = ()) -> DataFrame:
         cols = [*extra, "conv_id", "turn_idx", "score"]
         return (

@@ -27,7 +27,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..oracle import OPERATOR_PATTERN, PHRASE_PATTERN
+from ..oracle import (
+    OPERATOR_PATTERN,
+    PHRASE_PATTERN,
+    PREFIX_CAP,
+    rewrite_with_expansions,
+    split_prefix_tokens,
+)
 from ..textproc import analyze_query, analyze_text
 from .build import TURN_BITS, IndexPaths
 from .kernels import (
@@ -42,6 +48,7 @@ from .xxhash import term_bucket
 
 RESULT_SCHEMA = "doc_id long, score double"
 RESULT_CACHE_SIZE = 500  # SearchController.java:35
+
 
 
 @dataclass
@@ -349,6 +356,37 @@ class CompressedIndex:
         return self._postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
+
+    def expand_prefixes(self, query_text: str, limit: int = PREFIX_CAP) -> str:
+        """Rewrite trailing-``*`` tokens into their matching index terms
+        (``kuber* pod`` → ``kubernetes kuberctl pod``) — the Lucene
+        multi-term-query contract: the wildcard matches the POST-STEM
+        index vocabulary (wildcard terms skip analysis), expansion is
+        capped at ``limit`` terms per prefix (highest df first, term asc
+        ties — the most selective rewrite), and unmatched prefixes drop
+        out.  The rewritten string feeds the ordinary query paths, so
+        expansion composes with scope/tombstones/batch for free.
+
+        Physically one scan of the one-row-per-term idf table with the
+        ``StartsWith`` filters pushed to parquet (the term-hash bucket
+        layout cannot prune a prefix — the vocabulary table is the
+        right side to pay that scan on, postings stay bucket-pruned)."""
+        toks, prefixes = split_prefix_tokens(query_text)
+        if not prefixes:
+            return query_text
+        cond = F.col("term").startswith(prefixes[0])
+        for p in prefixes[1:]:
+            cond = cond | F.col("term").startswith(p)
+        rows = self._idf.filter(cond).select("term", "df").collect()
+        expansions: dict[str, list[str]] = {}
+        for p in prefixes:
+            hits = sorted(
+                ((int(r["df"]), r["term"]) for r in rows if r["term"].startswith(p)),
+                key=lambda x: (-x[0], x[1]),
+            )
+            if hits:
+                expansions[p] = [t for _df, t in hits[:limit]]
+        return rewrite_with_expansions(toks, expansions)
 
     # -- query -------------------------------------------------------
 

@@ -44,6 +44,46 @@ DocKey = tuple[str, int]
 PHRASE_PATTERN = re.compile(r'"([^"]*)"')
 OPERATOR_PATTERN = re.compile(r"\s+(AND|OR|NOT)\s+")
 
+#: Lucene-style bound on multi-term (prefix) expansion — a wildcard may
+#: never blow a query up into the whole vocabulary.
+PREFIX_CAP = 32
+_PREFIX_TOKEN = re.compile(r"^([0-9A-Za-z]+)\*$")
+
+
+def split_prefix_tokens(query_text: str) -> tuple[list[str], list[str]]:
+    """query text → (tokens in order, prefixes lowercased+star-marked,
+    the distinct prefixes).  A token expands iff it is word chars plus
+    ONE trailing ``*``; anything else passes through to the analyzer
+    untouched (which strips stray ``*``).  Shared by the engine reader
+    and the oracle so both rewrite queries identically."""
+    toks: list[str] = []
+    prefixes: list[str] = []
+    for tok in query_text.split():
+        m = _PREFIX_TOKEN.match(tok)
+        if m:
+            p = m.group(1).lower()
+            toks.append(p + "*")
+            if p not in prefixes:
+                prefixes.append(p)
+        else:
+            toks.append(tok)
+    return toks, prefixes
+
+
+def rewrite_with_expansions(
+    toks: list[str], expansions: dict[str, list[str]]
+) -> str:
+    """Splice each prefix's expansion terms back into token order; an
+    unmatched prefix drops out (it can match nothing)."""
+    out: list[str] = []
+    for tok in toks:
+        m = _PREFIX_TOKEN.match(tok)
+        if m:
+            out.extend(expansions.get(m.group(1), []))
+        else:
+            out.append(tok)
+    return " ".join(out)
+
 
 @dataclass
 class OracleIndex:
@@ -247,6 +287,28 @@ def oracle_match_count(
     ranked page is drawn from (the reference's totalResults /
     totalPages field, QueryService.java pagination)."""
     return len(oracle_matches(index, query_text, mode, scope))
+
+
+def oracle_expand_prefixes(
+    index: OracleIndex, query_text: str, limit: int = PREFIX_CAP
+) -> str:
+    """Reference rewrite for prefix (trailing-``*``) queries: each
+    prefix expands to at most ``limit`` index-vocabulary terms, highest
+    df first (term asc ties) — the contract the engine's
+    ``expand_prefixes`` must reproduce."""
+    toks, prefixes = split_prefix_tokens(query_text)
+    if not prefixes:
+        return query_text
+    expansions: dict[str, list[str]] = {}
+    for p in prefixes:
+        hits = sorted(
+            ((len(plist), t) for t, plist in index.postings.items()
+             if t.startswith(p)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        if hits:
+            expansions[p] = [t for _df, t in hits[:limit]]
+    return rewrite_with_expansions(toks, expansions)
 
 
 def oracle_facet_counts(

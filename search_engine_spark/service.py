@@ -80,6 +80,11 @@ def search(
     count}}`` for that transcripts column over the (scoped) match set."""
     if page < 1:
         raise ValueError("page is 1-based")
+    user_query = query_text
+    if mode in ("disjunctive", "conjunctive") and "*" in query_text:
+        # Lucene-style prefix expansion: trailing-* tokens rewrite to
+        # their top-df index terms; no-op (and no job) without them
+        query_text = index.expand_prefixes(query_text)
     scope = transcripts.filter(where) if where else None
     deep = index.topk(query_text, mode, page * k, tombstones=tombstones, scope=scope)
     rows = deep.collect()[(page - 1) * k : page * k]
@@ -101,7 +106,8 @@ def search(
         }
     if not rows:
         return {
-            "query": query_text,
+            "query": user_query,
+            **({"expanded_query": query_text} if query_text != user_query else {}),
             "mode": mode,
             "page": page,
             "results": [],
@@ -145,7 +151,8 @@ def search(
             words = words[1:]
         titles.append(" ".join(words[:_TITLE_WORDS]))
     return {
-        "query": query_text,
+        "query": user_query,
+        **({"expanded_query": query_text} if query_text != user_query else {}),
         "mode": mode,
         "page": page,
         "results": results,
