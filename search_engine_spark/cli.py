@@ -167,6 +167,22 @@ def cmd_compact(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_fuzzy_build(args: argparse.Namespace) -> None:
+    """Materialize the delete-1 fuzzy sidecar (index/fuzzy.py) so
+    ``term~`` queries prune to the query variants' buckets instead of
+    scanning the vocabulary."""
+    from .index.fuzzy import build_fuzzy_sidecar
+
+    spark = _spark(args.cores)
+    t0 = time.time()
+    out = build_fuzzy_sidecar(spark, args.index)
+    print(
+        json.dumps(
+            {"fuzzy_sidecar": out, "seconds": round(time.time() - t0, 2)}
+        )
+    )
+
+
 def cmd_search(args: argparse.Namespace) -> None:
     """Enriched result page (snippets + suggestions) — /api/search analog."""
     from .service import search
@@ -196,8 +212,11 @@ def cmd_query(args: argparse.Namespace) -> None:
 
         scope = load_transcripts(spark, args.input).filter(args.where)
     query_text = args.query
-    if args.mode in ("disjunctive", "conjunctive") and "*" in query_text:
-        query_text = idx.expand_prefixes(query_text)
+    if args.mode in ("disjunctive", "conjunctive"):
+        if "*" in query_text:
+            query_text = idx.expand_prefixes(query_text)
+        if "~" in query_text:
+            query_text = idx.expand_fuzzy(query_text)
     t0 = time.time()
     rows = idx.topk(
         query_text, args.mode, args.k, algo=args.algo,
@@ -474,6 +493,13 @@ def main(argv: list[str] | None = None) -> None:
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)
+
+    fb = sub.add_parser(
+        "fuzzy-build",
+        help="materialize the delete-1 variant sidecar for term~ queries",
+    )
+    fb.add_argument("--index", required=True, help="index root")
+    fb.set_defaults(fn=cmd_fuzzy_build)
 
     st = sub.add_parser("stats", help="index status / statistics")
     st.add_argument("--index", required=True)

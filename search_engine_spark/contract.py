@@ -39,6 +39,7 @@ PRIORITY = [
     "transcripts_bm25_scoped",  # r4: metadata-filtered retrieval
     "transcripts_facets",  # r4: per-role facet counts
     "transcripts_prefix",  # r4: wildcard/prefix expansion
+    "transcripts_fuzzy",  # r4: edit-distance-1 fuzzy matching
     "transcripts_bm25_updated",  # r4: turn-level UPDATE via shadow segments
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
@@ -2623,6 +2624,45 @@ def transcripts_prefix(spark, sf_dir):
     contract == the pure-Python expander + scorer."""
     idx = _xs_index(spark)
     return idx.topk(idx.expand_prefixes("term000* merg*"), "disjunctive", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+def _fuzzy_oracle_sql(query_text: str, k: int = 10) -> str:
+    """VALUES oracle for fuzzy queries: the pure-Python delete-1
+    expander (exact-first/df-desc capped rewrite) feeds the scorer."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_expand_fuzzy, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_topk(
+        idx, oracle_expand_fuzzy(idx, query_text), "disjunctive", k
+    )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_fuzzy", _fuzzy_oracle_sql("term001~ merg~", 10))
+def transcripts_fuzzy(spark, sf_dir):
+    """Fuzzy (trailing-~, edit-distance-1) queries, Lucene semantics via
+    the SymSpell delete-1 scheme (index/fuzzy.py): candidates from
+    variant collisions against a PERSISTED bucket-pruned sidecar (built
+    here to exercise the scale path), exact within_edit1 verification,
+    exact-term-first/df-desc capped rewrite scored by the ordinary
+    disjunctive path.  No reference analog; contract == the pure-Python
+    expander + scorer."""
+    from .index.fuzzy import build_fuzzy_sidecar
+
+    idx = _xs_index(spark)
+    if "fuzzy_sidecar" not in _XS_INDEX:
+        build_fuzzy_sidecar(spark, idx.paths.root)
+        _XS_INDEX["fuzzy_sidecar"] = "ok"
+    return idx.topk(idx.expand_fuzzy("term001~ merg~"), "disjunctive", 10).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 

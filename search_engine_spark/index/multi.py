@@ -397,6 +397,36 @@ class MultiIndex:
                 expansions[p] = [t for _df, t in hits[:limit]]
         return rewrite_with_expansions(toks, expansions)
 
+    def expand_fuzzy(self, query_text: str, limit: int | None = None) -> str:
+        """Fuzzy (trailing-``~``) rewrite over the UNION vocabulary:
+        per-segment delete-1 collision candidates merged with df summed
+        (raw sums, like :meth:`expand_prefixes`), then the shared
+        verify+rank contract."""
+        from ..oracle import (
+            FUZZY_CAP,
+            rank_fuzzy_candidates,
+            rewrite_fuzzy,
+            split_fuzzy_tokens,
+        )
+
+        if limit is None:
+            limit = FUZZY_CAP
+        toks, terms = split_fuzzy_tokens(query_text)
+        if not terms:
+            return query_text
+        merged: dict[str, dict[str, int]] = {t: {} for t in terms}
+        for seg in self.segments:
+            for t, lst in seg._fuzzy_rows(terms).items():
+                acc = merged[t]
+                for w, dfv in lst:
+                    acc[w] = acc.get(w, 0) + dfv
+        expansions: dict[str, list[str]] = {}
+        for t in terms:
+            exp = rank_fuzzy_candidates(t, list(merged[t].items()), limit)
+            if exp:
+                expansions[t] = exp
+        return rewrite_fuzzy(toks, expansions)
+
     def _label(self, cand: DataFrame, extra: tuple = ()) -> DataFrame:
         cols = [*extra, "conv_id", "turn_idx", "score"]
         return (

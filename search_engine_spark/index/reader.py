@@ -21,6 +21,7 @@ only Python, Arrow-batched.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -28,10 +29,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..oracle import (
+    FUZZY_CAP,
     OPERATOR_PATTERN,
     PHRASE_PATTERN,
     PREFIX_CAP,
+    deletions1,
+    rank_fuzzy_candidates,
+    rewrite_fuzzy,
     rewrite_with_expansions,
+    split_fuzzy_tokens,
     split_prefix_tokens,
 )
 from ..textproc import analyze_query, analyze_text
@@ -387,6 +393,66 @@ class CompressedIndex:
             if hits:
                 expansions[p] = [t for _df, t in hits[:limit]]
         return rewrite_with_expansions(toks, expansions)
+
+    def _fuzzy_rows(self, terms: list[str]) -> dict[str, list[tuple[str, int]]]:
+        """Delete-1 collision candidates per fuzzy query term →
+        {term: [(vocab_term, df), ...]} (UNVERIFIED — the caller runs
+        the exact ed≤1 check).  One bucket-pruned scan of the persisted
+        sidecar when present (``index/fuzzy.py``); otherwise variants
+        derive from the idf table per query — a full vocabulary scan,
+        documented as the small-index fallback only."""
+        per_term = {t: set(deletions1(t)) | {t} for t in terms}
+        all_vars = sorted(set().union(*per_term.values()))
+        fuzzy_dir = os.path.join(self.paths.root, "fuzzy")
+        if os.path.isdir(fuzzy_dir):
+            from .fuzzy import FUZZY_SCHEMA
+
+            vb = sorted({term_bucket(v, self.num_buckets) for v in all_vars})
+            rows = (
+                self.spark.read.schema(FUZZY_SCHEMA).parquet(fuzzy_dir)
+                .filter(F.col("vbucket").isin(vb) & F.col("variant").isin(all_vars))
+                .select("variant", "term", "df")
+                .collect()
+            )
+        else:
+            from .fuzzy import VARIANTS_EXPR
+
+            rows = (
+                self._idf.select("term", "df")
+                .withColumn("variant", F.explode(F.expr(VARIANTS_EXPR)))
+                .filter(F.col("variant").isin(all_vars))
+                .select("variant", "term", "df")
+                .collect()
+            )
+        by_var: dict[str, list[tuple[str, int]]] = {}
+        for r in rows:
+            by_var.setdefault(r["variant"], []).append((r["term"], int(r["df"])))
+        out: dict[str, list[tuple[str, int]]] = {}
+        for t, tv in per_term.items():
+            seen: dict[str, int] = {}
+            for v in tv:
+                seen.update(by_var.get(v, ()))
+            out[t] = list(seen.items())
+        return out
+
+    def expand_fuzzy(self, query_text: str, limit: int = FUZZY_CAP) -> str:
+        """Rewrite trailing-``~`` tokens into their edit-distance-≤1
+        vocabulary neighbors (``kubernets~`` → ``kubernetes ...``) —
+        Lucene fuzzy-query semantics with the SymSpell delete-1 scheme
+        for candidate generation (see ``index/fuzzy.py``): exact term
+        first, then df desc / term asc, capped at ``limit``; unmatched
+        terms drop out.  The rewrite feeds the ordinary analyzed paths,
+        composing with scope/tombstones/batch like prefix expansion."""
+        toks, terms = split_fuzzy_tokens(query_text)
+        if not terms:
+            return query_text
+        cand = self._fuzzy_rows(terms)
+        expansions: dict[str, list[str]] = {}
+        for t in terms:
+            exp = rank_fuzzy_candidates(t, cand.get(t, []), limit)
+            if exp:
+                expansions[t] = exp
+        return rewrite_fuzzy(toks, expansions)
 
     # -- query -------------------------------------------------------
 

@@ -289,6 +289,100 @@ def oracle_match_count(
     return len(oracle_matches(index, query_text, mode, scope))
 
 
+#: Lucene-style bound on fuzzy (edit-distance-1) expansion.
+FUZZY_CAP = 16
+_FUZZY_TOKEN = re.compile(r"^([0-9A-Za-z]+)~$")
+
+
+def split_fuzzy_tokens(query_text: str) -> tuple[list[str], list[str]]:
+    """Like :func:`split_prefix_tokens` for trailing-``~`` fuzzy tokens."""
+    toks: list[str] = []
+    terms: list[str] = []
+    for tok in query_text.split():
+        m = _FUZZY_TOKEN.match(tok)
+        if m:
+            t = m.group(1).lower()
+            toks.append(t + "~")
+            if t not in terms:
+                terms.append(t)
+        else:
+            toks.append(tok)
+    return toks, terms
+
+
+def rewrite_fuzzy(toks: list[str], expansions: dict[str, list[str]]) -> str:
+    out: list[str] = []
+    for tok in toks:
+        m = _FUZZY_TOKEN.match(tok)
+        if m:
+            out.extend(expansions.get(m.group(1), []))
+        else:
+            out.append(tok)
+    return " ".join(out)
+
+
+def deletions1(word: str) -> list[str]:
+    """All single-character deletions — the SymSpell d=1 variant set."""
+    return [word[:i] + word[i + 1:] for i in range(len(word))]
+
+
+def within_edit1(a: str, b: str) -> bool:
+    """Levenshtein(a, b) ≤ 1, O(len) — the exact verifier candidates
+    from the delete-1 collision join must pass (collisions admit some
+    distance-2 pairs, e.g. substitution+shift)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def rank_fuzzy_candidates(
+    term: str, cands: list[tuple[str, int]], limit: int
+) -> list[str]:
+    """Shared ordering contract for a fuzzy expansion: verified ed≤1
+    matches, exact term first, then df desc, term asc, capped."""
+    hits = sorted(
+        ((0 if w == term else 1, -df, w) for w, df in cands if within_edit1(term, w)),
+        key=lambda x: x,
+    )
+    return [w for _d, _ndf, w in hits[:limit]]
+
+
+def oracle_expand_fuzzy(
+    index: OracleIndex, query_text: str, limit: int = FUZZY_CAP
+) -> str:
+    """Reference rewrite for fuzzy (trailing-``~``) queries: each term
+    expands to its edit-distance-≤1 vocabulary neighbors (exact term
+    first, then df desc / term asc, capped) — the contract the engine's
+    ``expand_fuzzy`` must reproduce.  Candidates come from the same
+    delete-1 collision rule the engine's sidecar join implements, then
+    the exact verifier."""
+    toks, terms = split_fuzzy_tokens(query_text)
+    if not terms:
+        return query_text
+    expansions: dict[str, list[str]] = {}
+    for t in terms:
+        tv = set(deletions1(t)) | {t}
+        cands = [
+            (w, len(plist))
+            for w, plist in index.postings.items()
+            if tv & (set(deletions1(w)) | {w})
+        ]
+        exp = rank_fuzzy_candidates(t, cands, limit)
+        if exp:
+            expansions[t] = exp
+    return rewrite_fuzzy(toks, expansions)
+
+
 def oracle_expand_prefixes(
     index: OracleIndex, query_text: str, limit: int = PREFIX_CAP
 ) -> str:

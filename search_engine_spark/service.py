@@ -81,10 +81,13 @@ def search(
     if page < 1:
         raise ValueError("page is 1-based")
     user_query = query_text
-    if mode in ("disjunctive", "conjunctive") and "*" in query_text:
-        # Lucene-style prefix expansion: trailing-* tokens rewrite to
-        # their top-df index terms; no-op (and no job) without them
-        query_text = index.expand_prefixes(query_text)
+    if mode in ("disjunctive", "conjunctive"):
+        # Lucene-style prefix/fuzzy expansion: trailing-* / trailing-~
+        # tokens rewrite to index terms; no-op (and no job) without them
+        if "*" in query_text:
+            query_text = index.expand_prefixes(query_text)
+        if "~" in query_text:
+            query_text = index.expand_fuzzy(query_text)
     scope = transcripts.filter(where) if where else None
     deep = index.topk(query_text, mode, page * k, tombstones=tombstones, scope=scope)
     rows = deep.collect()[(page - 1) * k : page * k]
