@@ -150,3 +150,49 @@ def test_service_auto_expands_fuzzy(spark, xs_index, xs_pdf):
     got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in page["results"]]
     want = _rows(xs_index.topk(page["expanded_query"], "disjunctive", 5))
     assert got == want
+
+
+def test_within_edit1_matches_dp_levenshtein():
+    """Property: within_edit1 == (full DP Levenshtein ≤ 1) on random
+    short words — the O(len) shortcut must be exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @given(
+        st.text(alphabet="abcde", min_size=0, max_size=6),
+        st.text(alphabet="abcde", min_size=0, max_size=6),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(a, b):
+        assert within_edit1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    check()
+
+
+def test_delete1_collision_property():
+    """Property: ed(a,b) ≤ 1 ⇒ variant sets collide (completeness of the
+    SymSpell candidate rule on random words)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        st.text(alphabet="abc", min_size=1, max_size=5),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(a, b):
+        if within_edit1(a, b):
+            va = set(deletions1(a)) | {a}
+            vb = set(deletions1(b)) | {b}
+            assert va & vb, (a, b)
+
+    check()
