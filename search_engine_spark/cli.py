@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -305,6 +306,7 @@ def _one_index_stats(spark, root: str) -> dict:
         "n_postings": int(agg["n_postings"] or 0),
         "n_blocks": int(agg["n_blocks"] or 0),
         "compressed_bytes": int(agg["compressed_bytes"] or 0),
+        "fuzzy_sidecar": os.path.isdir(os.path.join(root, "fuzzy")),
         "lineage": lineage,
     }
 
