@@ -212,16 +212,19 @@ def cmd_query(args: argparse.Namespace) -> None:
         from .sources import load_transcripts
 
         scope = load_transcripts(spark, args.input).filter(args.where)
-    query_text = args.query
-    if args.mode in ("disjunctive", "conjunctive"):
-        if "*" in query_text:
-            query_text = idx.expand_prefixes(query_text)
-        if "~" in query_text:
-            query_text = idx.expand_fuzzy(query_text)
-    t0 = time.time()
+    t0 = time.time()  # before expansion: its Spark jobs are part of query latency
+    query_text, analyzed = args.query, False
+    expanded = idx.expand_query(args.query)
+    if expanded is not None:
+        if args.mode != "disjunctive":
+            raise SystemExit(
+                "prefix (*) / fuzzy (~) tokens require --mode disjunctive"
+            )
+        query_text, analyzed = expanded, True
     rows = idx.topk(
         query_text, args.mode, args.k, algo=args.algo,
         tombstones=_load_tombstones(args.tombstones), scope=scope,
+        analyzed=analyzed,
     ).collect()
     print(
         json.dumps(

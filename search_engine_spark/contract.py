@@ -2599,12 +2599,17 @@ def _prefix_oracle_sql(query_text: str, k: int = 10) -> str:
     (df-desc capped rewrite over the stemmed vocabulary) feeds the
     pure-Python scorer."""
     from .corpus import generate_transcripts
-    from .oracle import build_oracle_index, oracle_expand_prefixes, oracle_topk
+    from .oracle import build_oracle_index, oracle_expand_query, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
     rows = oracle_topk(
-        idx, oracle_expand_prefixes(idx, query_text), "disjunctive", k
+        idx, oracle_expand_query(idx, query_text), "disjunctive", k, analyzed=True
     )
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
     values = ",\n  ".join(
         f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
     )
@@ -2623,21 +2628,26 @@ def transcripts_prefix(spark, sf_dir):
     ordinary disjunctive path scores the rewrite.  No reference analog;
     contract == the pure-Python expander + scorer."""
     idx = _xs_index(spark)
-    return idx.topk(idx.expand_prefixes("term000* merg*"), "disjunctive", 10).select(
-        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
-    )
+    return idx.topk(
+        idx.expand_query("term000* merg*"), "disjunctive", 10, analyzed=True
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
 
 
 def _fuzzy_oracle_sql(query_text: str, k: int = 10) -> str:
     """VALUES oracle for fuzzy queries: the pure-Python delete-1
     expander (exact-first/df-desc capped rewrite) feeds the scorer."""
     from .corpus import generate_transcripts
-    from .oracle import build_oracle_index, oracle_expand_fuzzy, oracle_topk
+    from .oracle import build_oracle_index, oracle_expand_query, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
     rows = oracle_topk(
-        idx, oracle_expand_fuzzy(idx, query_text), "disjunctive", k
+        idx, oracle_expand_query(idx, query_text), "disjunctive", k, analyzed=True
     )
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
     values = ",\n  ".join(
         f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
     )
@@ -2662,9 +2672,9 @@ def transcripts_fuzzy(spark, sf_dir):
     if "fuzzy_sidecar" not in _XS_INDEX:
         build_fuzzy_sidecar(spark, idx.paths.root)
         _XS_INDEX["fuzzy_sidecar"] = "ok"
-    return idx.topk(idx.expand_fuzzy("term001~ merg~"), "disjunctive", 10).select(
-        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
-    )
+    return idx.topk(
+        idx.expand_query("term001~ merg~"), "disjunctive", 10, analyzed=True
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
 
 
 def _facets_oracle_sql(query_text: str, mode: str) -> str:
@@ -2675,6 +2685,8 @@ def _facets_oracle_sql(query_text: str, mode: str) -> str:
     idx = build_oracle_index(pdf)
     facet = dict(zip(zip(pdf.conv_id, pdf.turn_idx), pdf.role))
     counts = oracle_facet_counts(idx, query_text, mode, facet)
+    if not counts:
+        return ("SELECT role, n FROM (VALUES ('', 0)) t(role, n) WHERE FALSE")
     values = ",\n  ".join(f"('{r}', {n})" for r, n in sorted(counts.items()))
     return f"SELECT role, n FROM (VALUES\n  {values}\n) t(role, n)"
 

@@ -375,27 +375,43 @@ class MultiIndex:
         toks, prefixes = split_prefix_tokens(query_text)
         if not prefixes:
             return query_text
-        cond = F.col("term").startswith(prefixes[0])
-        for p in prefixes[1:]:
-            cond = cond | F.col("term").startswith(p)
-        rows = (
-            reduce(
-                DataFrame.unionByName,
-                [seg._idf.filter(cond).select("term", "df") for seg in self.segments],
-            )
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
+        return rewrite_with_expansions(
+            toks, self._prefix_expansions(prefixes, limit)
         )
-        expansions: dict[str, list[str]] = {}
+
+    def _prefix_expansions(
+        self, prefixes: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        # per-prefix: prefix-filtered union of segment idf tables →
+        # df summed per term → distributed TakeOrdered cap, so the
+        # driver receives at most limit rows per prefix
+        parts = []
         for p in prefixes:
-            hits = sorted(
-                ((int(r["df"]), r["term"]) for r in rows if r["term"].startswith(p)),
-                key=lambda x: (-x[0], x[1]),
+            summed = (
+                reduce(
+                    DataFrame.unionByName,
+                    [
+                        seg._idf.filter(F.col("term").startswith(p))
+                        .select("term", "df")
+                        for seg in self.segments
+                    ],
+                )
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
             )
-            if hits:
-                expansions[p] = [t for _df, t in hits[:limit]]
-        return rewrite_with_expansions(toks, expansions)
+            parts.append(
+                summed.orderBy(F.desc("df"), F.asc("term"))
+                .limit(limit)
+                .select(F.lit(p).alias("prefix"), "term", "df")
+            )
+        rows = reduce(DataFrame.unionByName, parts).collect()
+        by_prefix: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:  # union row order is unspecified — re-rank driver-side
+            by_prefix.setdefault(r["prefix"], []).append((int(r["df"]), r["term"]))
+        return {
+            p: [t for _df, t in sorted(hits, key=lambda x: (-x[0], x[1]))]
+            for p, hits in by_prefix.items()
+        }
 
     def expand_fuzzy(self, query_text: str, limit: int | None = None) -> str:
         """Fuzzy (trailing-``~``) rewrite over the UNION vocabulary:
@@ -414,6 +430,13 @@ class MultiIndex:
         toks, terms = split_fuzzy_tokens(query_text)
         if not terms:
             return query_text
+        return rewrite_fuzzy(toks, self._fuzzy_expansions(terms, limit))
+
+    def _fuzzy_expansions(
+        self, terms: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        from ..oracle import rank_fuzzy_candidates
+
         merged: dict[str, dict[str, int]] = {t: {} for t in terms}
         for seg in self.segments:
             for t, lst in seg._fuzzy_rows(terms).items():
@@ -425,7 +448,36 @@ class MultiIndex:
             exp = rank_fuzzy_candidates(t, list(merged[t].items()), limit)
             if exp:
                 expansions[t] = exp
-        return rewrite_fuzzy(toks, expansions)
+        return expansions
+
+    def expand_query(
+        self,
+        query_text: str,
+        prefix_limit: int | None = None,
+        fuzzy_limit: int | None = None,
+    ) -> str | None:
+        """One-pass executable rewrite over the union vocabulary — same
+        contract as :meth:`CompressedIndex.expand_query` (fully analyzed
+        output, execute with ``analyzed=True``)."""
+        from ..oracle import (
+            FUZZY_CAP,
+            PREFIX_CAP,
+            assemble_expanded,
+            classify_expansion_tokens,
+        )
+
+        cls = classify_expansion_tokens(query_text)
+        prefixes = sorted({v for kk, v in cls if kk == "prefix"})
+        fuzzies = sorted({v for kk, v in cls if kk == "fuzzy"})
+        if not prefixes and not fuzzies:
+            return None
+        return assemble_expanded(
+            cls,
+            self._prefix_expansions(prefixes, prefix_limit or PREFIX_CAP)
+            if prefixes else {},
+            self._fuzzy_expansions(fuzzies, fuzzy_limit or FUZZY_CAP)
+            if fuzzies else {},
+        )
 
     def _label(self, cand: DataFrame, extra: tuple = ()) -> DataFrame:
         cols = [*extra, "conv_id", "turn_idx", "score"]
@@ -466,17 +518,18 @@ class MultiIndex:
         algo: str = "auto",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> DataFrame:
         """Top-k across all segments → DataFrame(conv_id, turn_idx,
         score); identical to a single index built over the union.
         ``scope`` restricts results to the given turns (metadata filter,
         global-stats scoring) — same contract as the single reader."""
-        if scope is not None and algo == "wand":
+        if (tombstones or scope is not None) and algo == "wand":
             raise ValueError(
-                "algo='wand' cannot honor scope (its bounded heap has no "
-                "candidate-exclusion hook); use algo='auto' or 'exact'"
+                "algo='wand' cannot honor tombstones/scope (its bounded heap "
+                "has no candidate-exclusion hook); use algo='auto' or 'exact'"
             )
-        spec = parse_query(query_text, mode)
+        spec = parse_query(query_text, mode, analyzed=analyzed)
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -516,13 +569,14 @@ class MultiIndex:
         mode: str = "disjunctive",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> int:
         """Total matching documents across all segments (totalResults
         analog) — per-(seg, group) counts sum because segments and
         groups hold disjoint documents."""
         from .reader import _make_count_kernel
 
-        spec = parse_query(query_text, mode)
+        spec = parse_query(query_text, mode, analyzed=analyzed)
         if spec is None:
             return 0
         fetch_terms = sorted(
@@ -553,13 +607,14 @@ class MultiIndex:
         mode: str = "disjunctive",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> DataFrame:
         """ALL matching documents across segments → DataFrame(conv_id,
         turn_idx) — the candidate set :meth:`match_count` sizes,
         materialized for faceting and metadata joins."""
         from .reader import MATCHES_SCHEMA, _make_matches_kernel
 
-        spec = parse_query(query_text, mode)
+        spec = parse_query(query_text, mode, analyzed=analyzed)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
         if spec is None:
             return empty
@@ -594,19 +649,17 @@ class MultiIndex:
         mode: str = "disjunctive",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> DataFrame:
         """Matching-doc counts grouped by a metadata column → DataFrame
         (facet_col, n), across all segments — same contract as
         :meth:`CompressedIndex.facet_counts`."""
-        cand = self.matches(query_text, mode, tombstones=tombstones, scope=scope)
-        return (
-            cand.join(
-                meta.select("conv_id", "turn_idx", facet_col),
-                ["conv_id", "turn_idx"],
-            )
-            .groupBy(facet_col)
-            .agg(F.count(F.lit(1)).alias("n"))
+        from .reader import _facet_join
+
+        cand = self.matches(
+            query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
         )
+        return _facet_join(cand, meta, facet_col)
 
     def topk_batch(
         self,
@@ -615,17 +668,18 @@ class MultiIndex:
         algo: str = "auto",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> DataFrame:
         """Batched top-k across all segments in ONE job →
         DataFrame(query_id, conv_id, turn_idx, score); row-identical to
         per-query :meth:`topk` (pinned by tests).  ``scope`` applies one
         shared metadata filter to every query of the batch."""
-        if scope is not None and algo == "wand":
+        if (tombstones or scope is not None) and algo == "wand":
             raise ValueError(
-                "algo='wand' cannot honor scope (its bounded heap has no "
-                "candidate-exclusion hook); use algo='auto' or 'exact'"
+                "algo='wand' cannot honor tombstones/scope (its bounded heap "
+                "has no candidate-exclusion hook); use algo='auto' or 'exact'"
             )
-        specs = _parse_batch(queries, k)
+        specs = _parse_batch(queries, k, analyzed=analyzed)
         empty = self.spark.createDataFrame(
             [], "query_id int, conv_id string, turn_idx int, score double"
         )

@@ -33,6 +33,8 @@ from ..oracle import (
     OPERATOR_PATTERN,
     PHRASE_PATTERN,
     PREFIX_CAP,
+    assemble_expanded,
+    classify_expansion_tokens,
     deletions1,
     rank_fuzzy_candidates,
     rewrite_fuzzy,
@@ -66,8 +68,27 @@ class QuerySpec:
     bool_op: str | None = None
 
 
-def parse_query(query_text: str, mode: str) -> QuerySpec | None:
-    """Reference query parsing (QueryService.java:73-134, 80-104)."""
+def parse_query(
+    query_text: str, mode: str, analyzed: bool = False
+) -> QuerySpec | None:
+    """Reference query parsing (QueryService.java:73-134, 80-104).
+
+    ``analyzed=True`` treats ``query_text`` as whitespace-joined
+    POST-ANALYSIS index terms and skips re-analysis — the execution
+    mode for prefix/fuzzy rewrites, whose expansions are vocabulary
+    terms that a second Porter pass could corrupt (Porter is not
+    idempotent: ``university → univers → univ``).  Only the term modes
+    take pre-analyzed input; phrase/boolean positions depend on the
+    original token stream."""
+    if analyzed:
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(
+                f"analyzed=True supports disjunctive/conjunctive, not {mode!r}"
+            )
+        terms = query_text.split()
+        if not terms:
+            return None
+        return QuerySpec(mode, sorted(set(terms)))
     if mode == "boolean":
         m = OPERATOR_PATTERN.search(query_text)
         phrases = PHRASE_PATTERN.findall(query_text)
@@ -169,14 +190,28 @@ def _tomb_for(exclude, post_pdf: pd.DataFrame):
 
 
 def _parse_batch(
-    queries: list[tuple], default_k: int
+    queries: list[tuple], default_k: int, analyzed: bool = False
 ) -> list[tuple[int, QuerySpec, int]]:
     """(query_text, mode[, k]) list → [(caller_index, spec, k)] for the
     parseable queries — shared by both readers' batch paths."""
     parsed = [
-        (parse_query(q[0], q[1]), (q[2] if len(q) > 2 else default_k)) for q in queries
+        (parse_query(q[0], q[1], analyzed=analyzed), (q[2] if len(q) > 2 else default_k))
+        for q in queries
     ]
     return [(i, s, kk) for i, (s, kk) in enumerate(parsed) if s is not None]
+
+
+def _facet_join(cand: DataFrame, meta: DataFrame, facet_col: str) -> DataFrame:
+    """(conv_id, turn_idx) match set ⋈ column-pruned metadata → per-value
+    counts — shared by both readers' facet_counts."""
+    return (
+        cand.join(
+            meta.select("conv_id", "turn_idx", facet_col),
+            ["conv_id", "turn_idx"],
+        )
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def _batch_term_sets(specs: list[tuple[int, QuerySpec, int]]) -> tuple[set, set]:
@@ -380,19 +415,34 @@ class CompressedIndex:
         toks, prefixes = split_prefix_tokens(query_text)
         if not prefixes:
             return query_text
-        cond = F.col("term").startswith(prefixes[0])
-        for p in prefixes[1:]:
-            cond = cond | F.col("term").startswith(p)
-        rows = self._idf.filter(cond).select("term", "df").collect()
-        expansions: dict[str, list[str]] = {}
-        for p in prefixes:
-            hits = sorted(
-                ((int(r["df"]), r["term"]) for r in rows if r["term"].startswith(p)),
-                key=lambda x: (-x[0], x[1]),
-            )
-            if hits:
-                expansions[p] = [t for _df, t in hits[:limit]]
-        return rewrite_with_expansions(toks, expansions)
+        return rewrite_with_expansions(
+            toks, self._prefix_expansions(prefixes, limit)
+        )
+
+    def _prefix_expansions(
+        self, prefixes: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        from functools import reduce
+
+        # per-prefix TakeOrdered: the df-desc cap runs DISTRIBUTED, so
+        # the driver receives at most limit rows per prefix — a short
+        # prefix over a 10^9-term vocabulary must not collect millions
+        # of matches before capping
+        parts = [
+            self._idf.filter(F.col("term").startswith(p))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+            .select(F.lit(p).alias("prefix"), "term", "df")
+            for p in prefixes
+        ]
+        rows = reduce(DataFrame.unionByName, parts).collect()
+        by_prefix: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:  # union row order is unspecified — re-rank driver-side
+            by_prefix.setdefault(r["prefix"], []).append((int(r["df"]), r["term"]))
+        return {
+            p: [t for _df, t in sorted(hits, key=lambda x: (-x[0], x[1]))]
+            for p, hits in by_prefix.items()
+        }
 
     def _fuzzy_rows(self, terms: list[str]) -> dict[str, list[tuple[str, int]]]:
         """Delete-1 collision candidates per fuzzy query term →
@@ -446,13 +496,42 @@ class CompressedIndex:
         toks, terms = split_fuzzy_tokens(query_text)
         if not terms:
             return query_text
+        return rewrite_fuzzy(toks, self._fuzzy_expansions(terms, limit))
+
+    def _fuzzy_expansions(
+        self, terms: list[str], limit: int
+    ) -> dict[str, list[str]]:
         cand = self._fuzzy_rows(terms)
         expansions: dict[str, list[str]] = {}
         for t in terms:
             exp = rank_fuzzy_candidates(t, cand.get(t, []), limit)
             if exp:
                 expansions[t] = exp
-        return rewrite_fuzzy(toks, expansions)
+        return expansions
+
+    def expand_query(
+        self,
+        query_text: str,
+        prefix_limit: int = PREFIX_CAP,
+        fuzzy_limit: int = FUZZY_CAP,
+    ) -> str | None:
+        """One-pass EXECUTABLE rewrite of a query containing ``*``/``~``
+        markers, or None when it has none: marker tokens splice in their
+        vocabulary expansions, plain tokens run through the analyzer
+        ONCE, and the result must execute with ``analyzed=True`` —
+        vocabulary terms are analysis fixed points only by accident
+        (Porter is not idempotent: ``university → univers → univ``), so
+        a second analysis pass would corrupt them."""
+        cls = classify_expansion_tokens(query_text)
+        prefixes = sorted({v for kk, v in cls if kk == "prefix"})
+        fuzzies = sorted({v for kk, v in cls if kk == "fuzzy"})
+        if not prefixes and not fuzzies:
+            return None
+        return assemble_expanded(
+            cls,
+            self._prefix_expansions(prefixes, prefix_limit) if prefixes else {},
+            self._fuzzy_expansions(fuzzies, fuzzy_limit) if fuzzies else {},
+        )
 
     # -- query -------------------------------------------------------
 
@@ -512,6 +591,7 @@ class CompressedIndex:
         algo: str = "auto",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> DataFrame:
         """Top-k → DataFrame(conv_id, turn_idx, score), oracle-identical.
 
@@ -530,7 +610,7 @@ class CompressedIndex:
                 "algo='wand' cannot honor tombstones/scope (its bounded heap "
                 "has no candidate-exclusion hook); use algo='auto' or 'exact'"
             )
-        spec = parse_query(query_text, mode)
+        spec = parse_query(query_text, mode, analyzed=analyzed)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int, score double")
         if spec is None:
             return empty
@@ -578,12 +658,13 @@ class CompressedIndex:
         mode: str = "disjunctive",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> int:
         """Total matching documents (the reference's totalResults field,
         served by every /api/search response for pagination): size of
         the candidate set :meth:`topk` ranks, via one grouped count pass
         over the same bucket-pruned postings scan."""
-        spec = parse_query(query_text, mode)
+        spec = parse_query(query_text, mode, analyzed=analyzed)
         if spec is None:
             return 0
         fetch_terms = sorted(
@@ -615,11 +696,12 @@ class CompressedIndex:
         mode: str = "disjunctive",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> DataFrame:
         """ALL matching documents → DataFrame(conv_id, turn_idx) — the
         candidate set :meth:`match_count` sizes, materialized for
         faceting and metadata joins.  Output is O(matches)."""
-        spec = parse_query(query_text, mode)
+        spec = parse_query(query_text, mode, analyzed=analyzed)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
         if spec is None:
             return empty
@@ -650,6 +732,7 @@ class CompressedIndex:
         mode: str = "disjunctive",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> DataFrame:
         """Matching-doc counts grouped by a metadata column → DataFrame
         (facet_col, n) — the search-facet panel (count per role, tool,
@@ -660,15 +743,10 @@ class CompressedIndex:
         of ts).  The join input is the MATCH set, not the corpus, so
         Catalyst/AQE broadcasts it when small; the metadata scan is
         column-pruned to the three needed columns."""
-        cand = self.matches(query_text, mode, tombstones=tombstones, scope=scope)
-        return (
-            cand.join(
-                meta.select("conv_id", "turn_idx", facet_col),
-                ["conv_id", "turn_idx"],
-            )
-            .groupBy(facet_col)
-            .agg(F.count(F.lit(1)).alias("n"))
+        cand = self.matches(
+            query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
         )
+        return _facet_join(cand, meta, facet_col)
 
     def topk_batch(
         self,
@@ -677,6 +755,7 @@ class CompressedIndex:
         algo: str = "auto",
         tombstones: list | None = None,
         scope: DataFrame | None = None,
+        analyzed: bool = False,
     ) -> DataFrame:
         """Top-k for MANY queries in ONE job →
         DataFrame(query_id, conv_id, turn_idx, score).
@@ -696,7 +775,7 @@ class CompressedIndex:
                 "algo='wand' cannot honor tombstones/scope (its bounded heap "
                 "has no candidate-exclusion hook); use algo='auto' or 'exact'"
             )
-        specs = _parse_batch(queries, k)
+        specs = _parse_batch(queries, k, analyzed=analyzed)
         empty = self.spark.createDataFrame(
             [], "query_id int, conv_id string, turn_idx int, score double"
         )

@@ -179,12 +179,35 @@ def oracle_topk(
     mode: str = "disjunctive",
     k: int = 10,
     scope: set[DocKey] | None = None,
+    analyzed: bool = False,
 ) -> list[tuple[DocKey, float]]:
     """Golden top-k for one query: list of ((conv_id, turn_idx), score).
 
     ``scope`` restricts the RESULT set to the given doc keys (a metadata
     filter); scores keep the corpus-global stats — the filter-context
-    semantics of the engine's scoped search."""
+    semantics of the engine's scoped search.  ``analyzed=True`` treats
+    ``query_text`` as whitespace-joined post-analysis terms (the
+    expansion execution mode; term modes only)."""
+    if analyzed:
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(
+                f"analyzed=True supports disjunctive/conjunctive, not {mode!r}"
+            )
+        terms = query_text.split()
+        if not terms:
+            return []
+        if mode == "conjunctive":
+            sets = [
+                {key for key, _f, _p in index.postings.get(t, [])}
+                for t in set(terms)
+            ]
+            candidates = set.intersection(*sets) if sets else set()
+            if scope is not None:
+                candidates &= scope
+            if not candidates:
+                return []
+            return _topk(_score_candidates(index, terms, candidates), k)
+        return _topk(_score_candidates(index, terms, scope), k)
     if mode == "boolean":
         return _boolean_topk(index, query_text, k, scope)
     if mode == "phrase":
@@ -245,9 +268,29 @@ def oracle_matches(
     query_text: str,
     mode: str = "disjunctive",
     scope: set[DocKey] | None = None,
+    analyzed: bool = False,
 ) -> set[DocKey]:
     """The full matching-document set for one query — the candidate set
     the ranked page is drawn from — optionally restricted to ``scope``."""
+    if analyzed:
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(
+                f"analyzed=True supports disjunctive/conjunctive, not {mode!r}"
+            )
+        terms = query_text.split()
+        if not terms:
+            return set()
+        if mode == "conjunctive":
+            sets = [
+                {key for key, _f, _p in index.postings.get(t, [])}
+                for t in set(terms)
+            ]
+            docs = set.intersection(*sets) if sets else set()
+        else:
+            docs = set(_score_candidates(index, terms, None))
+        if scope is not None:
+            docs &= scope
+        return docs
     if mode == "boolean":
         op_match = OPERATOR_PATTERN.search(query_text)
         phrases = PHRASE_PATTERN.findall(query_text)
@@ -357,18 +400,9 @@ def rank_fuzzy_candidates(
     return [w for _d, _ndf, w in hits[:limit]]
 
 
-def oracle_expand_fuzzy(
-    index: OracleIndex, query_text: str, limit: int = FUZZY_CAP
-) -> str:
-    """Reference rewrite for fuzzy (trailing-``~``) queries: each term
-    expands to its edit-distance-≤1 vocabulary neighbors (exact term
-    first, then df desc / term asc, capped) — the contract the engine's
-    ``expand_fuzzy`` must reproduce.  Candidates come from the same
-    delete-1 collision rule the engine's sidecar join implements, then
-    the exact verifier."""
-    toks, terms = split_fuzzy_tokens(query_text)
-    if not terms:
-        return query_text
+def _oracle_fuzzy_expansions(
+    index: OracleIndex, terms: list[str], limit: int
+) -> dict[str, list[str]]:
     expansions: dict[str, list[str]] = {}
     for t in terms:
         tv = set(deletions1(t)) | {t}
@@ -380,19 +414,29 @@ def oracle_expand_fuzzy(
         exp = rank_fuzzy_candidates(t, cands, limit)
         if exp:
             expansions[t] = exp
-    return rewrite_fuzzy(toks, expansions)
+    return expansions
 
 
-def oracle_expand_prefixes(
-    index: OracleIndex, query_text: str, limit: int = PREFIX_CAP
+def oracle_expand_fuzzy(
+    index: OracleIndex, query_text: str, limit: int = FUZZY_CAP
 ) -> str:
-    """Reference rewrite for prefix (trailing-``*``) queries: each
-    prefix expands to at most ``limit`` index-vocabulary terms, highest
-    df first (term asc ties) — the contract the engine's
-    ``expand_prefixes`` must reproduce."""
-    toks, prefixes = split_prefix_tokens(query_text)
-    if not prefixes:
+    """Reference rewrite for fuzzy (trailing-``~``) queries: each term
+    expands to its edit-distance-≤1 vocabulary neighbors (exact term
+    first, then df desc / term asc, capped) — the contract the engine's
+    ``expand_fuzzy`` must reproduce.  Candidates come from the same
+    delete-1 collision rule the engine's sidecar join implements, then
+    the exact verifier.  Non-marker tokens pass through VERBATIM — use
+    :func:`oracle_expand_query` for an executable (fully analyzed)
+    rewrite."""
+    toks, terms = split_fuzzy_tokens(query_text)
+    if not terms:
         return query_text
+    return rewrite_fuzzy(toks, _oracle_fuzzy_expansions(index, terms, limit))
+
+
+def _oracle_prefix_expansions(
+    index: OracleIndex, prefixes: list[str], limit: int
+) -> dict[str, list[str]]:
     expansions: dict[str, list[str]] = {}
     for p in prefixes:
         hits = sorted(
@@ -402,7 +446,88 @@ def oracle_expand_prefixes(
         )
         if hits:
             expansions[p] = [t for _df, t in hits[:limit]]
-    return rewrite_with_expansions(toks, expansions)
+    return expansions
+
+
+def oracle_expand_prefixes(
+    index: OracleIndex, query_text: str, limit: int = PREFIX_CAP
+) -> str:
+    """Reference rewrite for prefix (trailing-``*``) queries: each
+    prefix expands to at most ``limit`` index-vocabulary terms, highest
+    df first (term asc ties) — the contract the engine's
+    ``expand_prefixes`` must reproduce.  Non-marker tokens pass through
+    VERBATIM — use :func:`oracle_expand_query` for an executable
+    (fully analyzed) rewrite."""
+    toks, prefixes = split_prefix_tokens(query_text)
+    if not prefixes:
+        return query_text
+    return rewrite_with_expansions(
+        toks, _oracle_prefix_expansions(index, prefixes, limit)
+    )
+
+
+def classify_expansion_tokens(query_text: str) -> list[tuple[str, str]]:
+    """Whitespace tokens → [(kind, value)]: ``prefix`` (trailing *),
+    ``fuzzy`` (trailing ~), or ``plain``.  Shared by the engine and
+    oracle so both classify queries identically."""
+    out: list[tuple[str, str]] = []
+    for tok in query_text.split():
+        mp = _PREFIX_TOKEN.match(tok)
+        mf = _FUZZY_TOKEN.match(tok)
+        if mp:
+            out.append(("prefix", mp.group(1).lower()))
+        elif mf:
+            out.append(("fuzzy", mf.group(1).lower()))
+        else:
+            out.append(("plain", tok))
+    return out
+
+
+def has_expansion_tokens(query_text: str) -> bool:
+    return any(k != "plain" for k, _ in classify_expansion_tokens(query_text))
+
+
+def assemble_expanded(
+    classified: list[tuple[str, str]],
+    prefix_exp: dict[str, list[str]],
+    fuzzy_exp: dict[str, list[str]],
+) -> str:
+    """Build the EXECUTABLE rewrite: marker tokens splice in their
+    vocabulary expansions (already analysis-fixed index terms), plain
+    tokens run through the ordinary query analyzer ONCE.  The result is
+    a fully analyzed term string — execute with ``analyzed=True`` so no
+    second Porter pass can corrupt vocabulary terms (Porter is not
+    idempotent: ``university → univers → univ``)."""
+    out: list[str] = []
+    for kind, val in classified:
+        if kind == "prefix":
+            out.extend(prefix_exp.get(val, []))
+        elif kind == "fuzzy":
+            out.extend(fuzzy_exp.get(val, []))
+        else:
+            out.extend(analyze_query(val))
+    return " ".join(out)
+
+
+def oracle_expand_query(
+    index: OracleIndex,
+    query_text: str,
+    prefix_limit: int = PREFIX_CAP,
+    fuzzy_limit: int = FUZZY_CAP,
+) -> str | None:
+    """One-pass executable rewrite of a query containing ``*``/``~``
+    markers (None when it has none): vocabulary expansions + analyzed
+    plain tokens — feed to ``oracle_topk(..., analyzed=True)``."""
+    cls = classify_expansion_tokens(query_text)
+    prefixes = sorted({v for k, v in cls if k == "prefix"})
+    fuzzies = sorted({v for k, v in cls if k == "fuzzy"})
+    if not prefixes and not fuzzies:
+        return None
+    return assemble_expanded(
+        cls,
+        _oracle_prefix_expansions(index, prefixes, prefix_limit),
+        _oracle_fuzzy_expansions(index, fuzzies, fuzzy_limit),
+    )
 
 
 def oracle_facet_counts(

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators.snippets import WIDTH, snippets
 from .operators.suggest import MAX_TITLES, suggested_queries
+from .oracle import has_expansion_tokens as _has_expansion_tokens
 
 _TITLE_WORDS = 8  # leading words of a turn standing in for a page title
 
@@ -81,22 +82,33 @@ def search(
     if page < 1:
         raise ValueError("page is 1-based")
     user_query = query_text
-    if mode in ("disjunctive", "conjunctive"):
+    analyzed = False
+    if _has_expansion_tokens(query_text):
         # Lucene-style prefix/fuzzy expansion: trailing-* / trailing-~
-        # tokens rewrite to index terms; no-op (and no job) without them
-        if "*" in query_text:
-            query_text = index.expand_prefixes(query_text)
-        if "~" in query_text:
-            query_text = index.expand_fuzzy(query_text)
+        # tokens rewrite to index-vocabulary terms.  The rewrite is
+        # FULLY ANALYZED (vocab terms must not be re-stemmed — Porter
+        # is not idempotent), so it executes with analyzed=True.
+        # Disjunctive only: a multi-term expansion inside a conjunctive
+        # query would require ALL expansion terms (Lucene's contract is
+        # any-of), so reject rather than silently change semantics.
+        if mode != "disjunctive":
+            raise ValueError(
+                "prefix (*) / fuzzy (~) tokens require mode='disjunctive'"
+            )
+        query_text = index.expand_query(query_text)
+        analyzed = True
     scope = transcripts.filter(where) if where else None
-    deep = index.topk(query_text, mode, page * k, tombstones=tombstones, scope=scope)
+    deep = index.topk(
+        query_text, mode, page * k,
+        tombstones=tombstones, scope=scope, analyzed=analyzed,
+    )
     rows = deep.collect()[(page - 1) * k : page * k]
     totals = {}
     if include_total:
         # totalResults/totalPages, served on every reference response
         # (QueryService pagination) — one grouped count pass
         total = index.match_count(
-            query_text, mode, tombstones=tombstones, scope=scope
+            query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
         )
         totals = {"total_results": total, "total_pages": -(-total // k)}
     if facet_col:
@@ -104,7 +116,7 @@ def search(
             r[facet_col]: r["n"]
             for r in index.facet_counts(
                 query_text, transcripts, facet_col, mode,
-                tombstones=tombstones, scope=scope,
+                tombstones=tombstones, scope=scope, analyzed=analyzed,
             ).collect()
         }
     if not rows:

@@ -20,6 +20,7 @@ from search_engine_spark.oracle import (
     build_oracle_index,
     deletions1,
     oracle_expand_fuzzy,
+    oracle_expand_query,
     oracle_topk,
     within_edit1,
 )
@@ -94,14 +95,31 @@ def test_sidecar_equals_fallback(spark, xs_pdf, xs_oracle, tmp_path_factory):
 
 def test_fuzzy_topk_matches_oracle(xs_index, xs_oracle):
     for q in _FUZZY_QUERIES:
-        got = _rows(xs_index.topk(xs_index.expand_fuzzy(q), "disjunctive", 10))
+        eq = xs_index.expand_query(q)
+        assert eq == oracle_expand_query(xs_oracle, q), q
+        got = _rows(xs_index.topk(eq, "disjunctive", 10, analyzed=True))
         want = [
             (c, t, round(s, 9))
             for (c, t), s in oracle_topk(
-                xs_oracle, oracle_expand_fuzzy(xs_oracle, q), "disjunctive", 10
+                xs_oracle, eq, "disjunctive", 10, analyzed=True
             )
         ]
         assert got == want, q
+
+
+def test_mixed_prefix_and_fuzzy_one_pass(xs_index, xs_oracle):
+    """* and ~ markers in ONE query expand in a single pass — chaining
+    marker-specific rewrites would re-analyze the first rewrite's
+    vocabulary terms."""
+    q = "term000* merg~ term0002"
+    eq = xs_index.expand_query(q)
+    assert eq == oracle_expand_query(xs_oracle, q)
+    got = _rows(xs_index.topk(eq, "disjunctive", 10, analyzed=True))
+    want = [
+        (c, t, round(s, 9))
+        for (c, t), s in oracle_topk(xs_oracle, eq, "disjunctive", 10, analyzed=True)
+    ]
+    assert got == want
 
 
 def test_cap_and_ordering(xs_index, xs_oracle):
@@ -146,9 +164,11 @@ def test_service_auto_expands_fuzzy(spark, xs_index, xs_pdf):
     tr = spark.createDataFrame(xs_pdf)
     page = search(xs_index, tr, "term001~", k=5)
     assert page["query"] == "term001~"
-    assert page["expanded_query"] == xs_index.expand_fuzzy("term001~")
+    assert page["expanded_query"] == xs_index.expand_query("term001~")
     got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in page["results"]]
-    want = _rows(xs_index.topk(page["expanded_query"], "disjunctive", 5))
+    want = _rows(
+        xs_index.topk(page["expanded_query"], "disjunctive", 5, analyzed=True)
+    )
     assert got == want
 
 

@@ -21,6 +21,7 @@ from search_engine_spark.index.reader import CompressedIndex
 from search_engine_spark.oracle import (
     build_oracle_index,
     oracle_expand_prefixes,
+    oracle_expand_query,
     oracle_topk,
 )
 
@@ -60,15 +61,67 @@ def test_expansion_matches_oracle(xs_index, xs_oracle):
 
 
 def test_expanded_topk_matches_oracle(xs_index, xs_oracle):
+    """Execution path: expand_query returns a FULLY-ANALYZED rewrite
+    that runs with analyzed=True (no second Porter pass)."""
     for q in _PREFIX_QUERIES:
-        got = _rows(xs_index.topk(xs_index.expand_prefixes(q), "disjunctive", 10))
+        eq = xs_index.expand_query(q)
+        assert eq == oracle_expand_query(xs_oracle, q), q
+        got = _rows(xs_index.topk(eq, "disjunctive", 10, analyzed=True))
         want = [
             (c, t, round(s, 9))
             for (c, t), s in oracle_topk(
-                xs_oracle, oracle_expand_prefixes(xs_oracle, q), "disjunctive", 10
+                xs_oracle, oracle_expand_query(xs_oracle, q),
+                "disjunctive", 10, analyzed=True,
             )
         ]
         assert got == want, q
+
+
+def test_non_idempotent_stem_expansion(spark, tmp_path):
+    """Porter is NOT idempotent (university → univers → univ): an
+    expansion containing the non-fixed-point vocab term 'univers' must
+    still match, which requires the analyzed=True execution path — the
+    round-4 review found the naive re-analyzed rewrite returned ZERO
+    results here."""
+    import pandas as pd
+
+    from search_engine_spark.oracle import build_oracle_index
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c-0", "c-0", "c-1"],
+            "turn_idx": [0, 1, 0],
+            "text": [
+                "the university opened today",
+                "many universities collaborate",
+                "unrelated filler text rows",
+            ],
+        }
+    )
+    out = str(tmp_path / "uidx")
+    build_index(spark, spark.createDataFrame(pdf), out, BuildConfig(num_groups=2))
+    idx = CompressedIndex(spark, out)
+    oracle = build_oracle_index(pdf)
+    # sanity: the vocab term is not a stemmer fixed point
+    from search_engine_spark.textproc import analyze_query
+
+    assert "univers" in oracle.postings
+    assert analyze_query("univers") != ["univers"]
+    eq = idx.expand_query("univ*")
+    assert eq == oracle_expand_query(oracle, "univ*") == "univers"
+    got = _rows(idx.topk(eq, "disjunctive", 10, analyzed=True))
+    assert len(got) == 2  # both university turns
+    want = [
+        (c, t, round(s, 9))
+        for (c, t), s in oracle_topk(oracle, eq, "disjunctive", 10, analyzed=True)
+    ]
+    assert got == want
+    # the service path end-to-end
+    from search_engine_spark.service import search
+
+    page = search(idx, spark.createDataFrame(pdf), "univ*", k=5)
+    assert len(page["results"]) == 2
+    assert page["expanded_query"] == "univers"
 
 
 def test_cap_orders_by_df_then_term(xs_index, xs_oracle):
@@ -92,7 +145,8 @@ def test_no_prefix_is_identity(xs_index):
 
 
 def test_unmatched_prefix_drops_out(xs_index):
-    got = _rows(xs_index.topk(xs_index.expand_prefixes("zzznothing* term0001")))
+    eq = xs_index.expand_query("zzznothing* term0001")
+    got = _rows(xs_index.topk(eq, "disjunctive", 10, analyzed=True))
     want = _rows(xs_index.topk("term0001"))
     assert got == want
 
@@ -116,13 +170,13 @@ def test_expansion_composes_with_scope(spark, xs_index, xs_pdf, xs_oracle):
     scope_df = corpus.filter("role = 'assistant'")
     sub = xs_pdf[xs_pdf.role == "assistant"]
     scope = set(zip(sub.conv_id, sub.turn_idx))
-    q = xs_index.expand_prefixes("term000*")
-    got = _rows(xs_index.topk(q, "disjunctive", 10, scope=scope_df))
+    q = xs_index.expand_query("term000*")
+    got = _rows(xs_index.topk(q, "disjunctive", 10, scope=scope_df, analyzed=True))
     want = [
         (c, t, round(s, 9))
         for (c, t), s in oracle_topk(
-            xs_oracle, oracle_expand_prefixes(xs_oracle, "term000*"),
-            "disjunctive", 10, scope=scope,
+            xs_oracle, oracle_expand_query(xs_oracle, "term000*"),
+            "disjunctive", 10, scope=scope, analyzed=True,
         )
     ]
     assert got == want
@@ -134,9 +188,15 @@ def test_service_auto_expands(spark, xs_index, xs_pdf):
     tr = spark.createDataFrame(xs_pdf)
     page = search(xs_index, tr, "term000*", k=5)
     assert page["query"] == "term000*"
-    assert page["expanded_query"] == xs_index.expand_prefixes("term000*")
+    assert page["expanded_query"] == xs_index.expand_query("term000*")
     got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in page["results"]]
-    want = _rows(xs_index.topk(page["expanded_query"], "disjunctive", 5))
+    want = _rows(
+        xs_index.topk(page["expanded_query"], "disjunctive", 5, analyzed=True)
+    )
     assert got == want
     plain = search(xs_index, tr, "term0001", k=5)
     assert "expanded_query" not in plain
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disjunctive"):
+        search(xs_index, tr, "term000* term0001", mode="conjunctive", k=5)
