@@ -221,11 +221,18 @@ def cmd_query(args: argparse.Namespace) -> None:
                 "prefix (*) / fuzzy (~) tokens require --mode disjunctive"
             )
         query_text, analyzed = expanded, True
-    rows = idx.topk(
-        query_text, args.mode, args.k, algo=args.algo,
-        tombstones=_load_tombstones(args.tombstones), scope=scope,
-        analyzed=analyzed,
-    ).collect()
+    if getattr(args, "collapse", False):
+        rows = idx.topk_conversations(
+            query_text, args.mode, args.k,
+            tombstones=_load_tombstones(args.tombstones), scope=scope,
+            analyzed=analyzed,
+        ).collect()
+    else:
+        rows = idx.topk(
+            query_text, args.mode, args.k, algo=args.algo,
+            tombstones=_load_tombstones(args.tombstones), scope=scope,
+            analyzed=analyzed,
+        ).collect()
     print(
         json.dumps(
             {
@@ -481,6 +488,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument(
         "--where",
         help="SQL predicate over the transcripts columns scoping results",
+    )
+    q.add_argument(
+        "--collapse",
+        action="store_true",
+        help="one result per CONVERSATION (best turn as representative)",
     )
     q.set_defaults(fn=cmd_query)
 

@@ -40,6 +40,7 @@ PRIORITY = [
     "transcripts_facets",  # r4: per-role facet counts
     "transcripts_prefix",  # r4: wildcard/prefix expansion
     "transcripts_fuzzy",  # r4: edit-distance-1 fuzzy matching
+    "transcripts_conversations",  # r4: conversation-collapsed ranking
     "transcripts_bm25_updated",  # r4: turn-level UPDATE via shadow segments
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
@@ -2675,6 +2676,44 @@ def transcripts_fuzzy(spark, sf_dir):
     return idx.topk(
         idx.expand_query("term001~ merg~"), "disjunctive", 10, analyzed=True
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _conversations_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk_conversations
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_topk_conversations(idx, query_text, mode, k)
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q(
+    "transcripts_conversations",
+    _conversations_oracle_sql("term0001 term0002", "disjunctive", 5),
+)
+def transcripts_conversations(spark, sf_dir):
+    """Conversation-collapsed top-k (the field-collapsing analog —
+    'show me conversations about X'): one row per conversation,
+    represented by its best matching turn; collapse is group-local
+    because the group key is a conv_id hash, so the exchange stays
+    G·k rows.  No reference analog (it serves flat page results);
+    semantics follow Lucene/Elasticsearch collapse, verified against
+    the pure-Python oracle."""
+    idx = _xs_index(spark)
+    return idx.topk_conversations("term0001 term0002", "disjunctive", 5).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
 
 
 def _facets_oracle_sql(query_text: str, mode: str) -> str:

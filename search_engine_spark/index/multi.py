@@ -563,6 +563,67 @@ class MultiIndex:
             .limit(k)
         )
 
+    def topk_conversations(
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        tombstones: list | None = None,
+        scope: DataFrame | None = None,
+        analyzed: bool = False,
+    ) -> DataFrame:
+        """Conversation-collapsed top-k across segments → DataFrame
+        (conv_id, turn_idx, score).  A conversation CAN span segments
+        (extend appends turns to existing convs), so each (seg, group)
+        collapses locally — bounding the exchange at S·G·k rows — and a
+        window re-collapses per conv_id before the global cut.  A conv
+        whose best turn was cut by a segment-local top-k cannot belong
+        to the global top-k (that segment already holds k better convs),
+        so the two-level collapse stays exact."""
+        from pyspark.sql import Window
+
+        from .reader import _make_collapse_kernel
+
+        spec = parse_query(query_text, mode, analyzed=analyzed)
+        empty = self.spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+        if spec is None:
+            return empty
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        kernel = _make_collapse_kernel(
+            spec, idf, self.avgdl, k, with_ties=True,
+            exclude=self._effective_exclude(tombstones), turn_bits=self.turn_bits,
+            scoped=scope is not None,
+        )
+        post = self._postings(fetch_terms)
+        if scope is not None:
+            cand = (
+                post.groupBy("seg", "group")
+                .cogroup(self.scope_docs(scope).groupBy("seg", "group"))
+                .applyInPandas(
+                    _with_seg_scoped(kernel), schema="seg int, " + RESULT_SCHEMA
+                )
+            )
+        else:
+            cand = post.groupBy("seg", "group").applyInPandas(
+                _with_seg(kernel), schema="seg int, " + RESULT_SCHEMA
+            )
+        w = Window.partitionBy("conv_id").orderBy(
+            F.desc("score"), F.asc("turn_idx")
+        )
+        return (
+            self._label(cand)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(k)
+        )
+
     def match_count(
         self,
         query_text: str,

@@ -223,6 +223,70 @@ def _batch_term_sets(specs: list[tuple[int, QuerySpec, int]]) -> tuple[set, set]
     return fetch_terms, score_terms
 
 
+def _collapse_convs(
+    docs: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    turn_bits: int,
+    with_ties: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(all scored turns, score-desc/doc-asc order) → one row per
+    CONVERSATION (its best turn — highest score, lowest turn on ties),
+    cut to the group-local top-k conversations.  Representative doc ids
+    order like conv ids (different convs differ in the high bits), so
+    the shared :func:`kernels._cut_topk` tie policy applies verbatim."""
+    from .kernels import _cut_topk
+
+    if docs.size == 0:
+        return docs, scores
+    convs = docs >> turn_bits
+    # docs arrive sorted (score desc, doc asc): the FIRST occurrence of
+    # each conv is its best turn under exactly that tie-break
+    _, first = np.unique(convs, return_index=True)
+    return _cut_topk(docs[first], scores[first], k, with_ties)
+
+
+def _make_collapse_kernel(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    with_ties: bool = False,
+    exclude=None,
+    turn_bits: int = TURN_BITS,
+    scoped: bool = False,
+):
+    """Per-group kernel for conversation-collapsed top-k (the field-
+    collapsing analog: rank CONVERSATIONS by their best matching turn).
+    Collapse is group-LOCAL because ``group = pmod(xxhash64(conv_id))``
+    — a conversation never spans groups within one index (MultiIndex
+    re-collapses across segments with a window).  Scores every
+    candidate exactly (no block pruning — the collapse needs each
+    conv's max, which a turn-level top-k cut could drop)."""
+
+    def collapse(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
+        if len(post_pdf) == 0 or (allow is not None and allow.size == 0):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "score": pd.array([], dtype="float64")})
+        plists = _build_plists(post_pdf, idf, avgdl)
+        docs, scores = _score_spec(
+            spec, idf, plists, avgdl, 1 << 62, "exact", False,
+            tomb=_tomb_for(exclude, post_pdf), turn_bits=turn_bits,
+            allow=allow,
+        )
+        docs, scores = _collapse_convs(docs, scores, k, turn_bits, with_ties)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    if scoped:
+        def kernel(key: tuple, post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame):
+            return collapse(post_pdf, _allow_arr(allow_pdf))
+    else:
+        def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return collapse(post_pdf, None)
+
+    return kernel
+
+
 def _rank_per_query(labeled: DataFrame, specs: list[tuple[int, QuerySpec, int]]) -> DataFrame:
     """Candidate rows (query_id, conv_id, turn_idx, score) → per-query
     top-k via a query_id-partitioned rank (WindowGroupLimit: partial
@@ -639,6 +703,62 @@ class CompressedIndex:
             # scoped: cogroup the pruned postings with the predicate's
             # doc ids on the SAME group key — the allow side shuffles
             # once, partitioned like the postings, never via the driver
+            cand = (
+                post.groupBy("group")
+                .cogroup(self.scope_docs(scope).groupBy("group"))
+                .applyInPandas(kernel, schema=RESULT_SCHEMA)
+            )
+        else:
+            cand = post.groupBy("group").applyInPandas(kernel, schema=RESULT_SCHEMA)
+        return (
+            self._label(cand)
+            .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(k)
+        )
+
+    def topk_conversations(
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        tombstones: list | None = None,
+        scope: DataFrame | None = None,
+        analyzed: bool = False,
+    ) -> DataFrame:
+        """Conversation-collapsed top-k → DataFrame(conv_id, turn_idx,
+        score): rank CONVERSATIONS by their best-matching turn (the
+        Elasticsearch field-collapsing analog — 'show me conversations
+        about X', one row per conv, its best turn as representative).
+
+        Exact: each group scores all candidates and collapses to its
+        local top-k conversations (convs never span groups — the group
+        key is a conv_id hash), so at most G·k rows reach the global
+        TakeOrdered.  Composes with tombstones/scope/analyzed like
+        :meth:`topk`."""
+        if self.scheme != "conv_rank":
+            raise ValueError(
+                "topk_conversations needs the conv_rank doc-id scheme — the "
+                "kernel collapses on the rank bits (dense streaming indexes: "
+                "compact first)"
+            )
+        spec = parse_query(query_text, mode, analyzed=analyzed)
+        empty = self.spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+        if spec is None:
+            return empty
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        kernel = _make_collapse_kernel(
+            spec, idf, self.avgdl, k, with_ties=self.tie_safe,
+            exclude=self._resolve_tomb(tombstones),
+            turn_bits=getattr(self, "turn_bits", TURN_BITS),
+            scoped=scope is not None,
+        )
+        post = self.postings_df(fetch_terms)
+        if scope is not None:
             cand = (
                 post.groupBy("group")
                 .cogroup(self.scope_docs(scope).groupBy("group"))

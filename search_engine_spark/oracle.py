@@ -320,6 +320,25 @@ def oracle_matches(
     return docs
 
 
+def oracle_topk_conversations(
+    index: OracleIndex,
+    query_text: str,
+    mode: str = "disjunctive",
+    k: int = 10,
+    scope: set[DocKey] | None = None,
+    analyzed: bool = False,
+) -> list[tuple[DocKey, float]]:
+    """Golden conversation-collapsed top-k: one row per conversation
+    (its best turn — highest score, lowest turn on ties), conversations
+    ranked by that best score (conv_id asc ties), top-k."""
+    rows = oracle_topk(index, query_text, mode, 1 << 62, scope, analyzed)
+    best: dict[str, tuple[DocKey, float]] = {}
+    for (conv, turn), score in rows:  # (score desc, conv asc, turn asc)
+        if conv not in best:
+            best[conv] = ((conv, turn), score)
+    return sorted(best.values(), key=lambda kv: (-kv[1], kv[0][0]))[:k]
+
+
 def oracle_match_count(
     index: OracleIndex,
     query_text: str,
