@@ -76,6 +76,9 @@ CONTRACT_QUERIES = [
     "ivf_drift_stats",
     "transcripts_bm25_scoped",
     "transcripts_facets",
+    "transcripts_prefix",
+    "transcripts_fuzzy",
+    "transcripts_conversations",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
