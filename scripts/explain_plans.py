@@ -116,6 +116,29 @@ def main() -> None:
     )
     sections.append(
         (
+            "Conversation-collapsed top-k (field collapsing)",
+            "Expected: the SAME bucket/term-pruned postings scan and ONE "
+            "grouped FlatMapGroupsInPandas as the flat top-k — the collapse "
+            "happens inside the kernel (group = conv_id hash, so a conv "
+            "never spans groups), emitting at most k conv-representatives "
+            "per group; broadcast-able conv-label join; TakeOrderedAndProject "
+            "over G*k rows. No window, no extra exchange.",
+            cap(idx.topk_conversations("term0001 term0002", "disjunctive", 10)),
+        )
+    )
+    sections.append(
+        (
+            "Segmented conversation collapse (MultiIndex re-collapse)",
+            "Expected: union-pruned per-segment scans, per-(seg, group) "
+            "kernel collapse bounding the exchange at S*G*k rows, then ONE "
+            "conv_id-partitioned WindowGroupLimit (rank=1) merging segment "
+            "bests — needed because extend can spread a conversation over "
+            "segments — and TakeOrderedAndProject for the global cut.",
+            cap(multi.topk_conversations("term0001 term0002", "disjunctive", 10)),
+        )
+    )
+    sections.append(
+        (
             "Docs-engine BM25 top-k (pure JVM path)",
             "Expected: WholeStageCodegen end-to-end, broadcast of the tiny "
             "idf/stats sides, hash partial aggregates, TakeOrderedAndProject; "
