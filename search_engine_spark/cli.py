@@ -197,6 +197,7 @@ def cmd_search(args: argparse.Namespace) -> None:
         idx, tr, args.query, args.mode, args.k, page=args.page,
         tombstones=_load_tombstones(args.tombstones),
         where=args.where, facet_col=args.facet,
+        collapse=getattr(args, "collapse", False),
     )
     page["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(page))
@@ -464,6 +465,11 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument(
         "--facet",
         help="transcripts column to facet the match set by (adds counts)",
+    )
+    se.add_argument(
+        "--collapse",
+        action="store_true",
+        help="one result per CONVERSATION (best turn as representative)",
     )
     se.set_defaults(fn=cmd_search)
 

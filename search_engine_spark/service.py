@@ -64,6 +64,7 @@ def search(
     tombstones: list | None = None,
     where: str | None = None,
     facet_col: str | None = None,
+    collapse: bool = False,
 ) -> dict:
     """One enriched result page.
 
@@ -78,7 +79,12 @@ def search(
     to matching turns — pushed to the metadata scan, cogrouped with the
     postings (see ``CompressedIndex.topk``); total_results counts the
     scoped candidate set.  ``facet_col`` adds ``{"facets": {value:
-    count}}`` for that transcripts column over the (scoped) match set."""
+    count}}`` for that transcripts column over the (scoped) match set.
+
+    ``collapse=True`` returns one result per CONVERSATION (its best
+    turn as representative — ``topk_conversations``); ``total_results``
+    still counts matching TURNS, the Elasticsearch field-collapsing
+    contract (collapsed hit counts need a separate cardinality pass)."""
     if page < 1:
         raise ValueError("page is 1-based")
     user_query = query_text
@@ -98,10 +104,16 @@ def search(
         query_text = index.expand_query(query_text)
         analyzed = True
     scope = transcripts.filter(where) if where else None
-    deep = index.topk(
-        query_text, mode, page * k,
-        tombstones=tombstones, scope=scope, analyzed=analyzed,
-    )
+    if collapse:
+        deep = index.topk_conversations(
+            query_text, mode, page * k,
+            tombstones=tombstones, scope=scope, analyzed=analyzed,
+        )
+    else:
+        deep = index.topk(
+            query_text, mode, page * k,
+            tombstones=tombstones, scope=scope, analyzed=analyzed,
+        )
     rows = deep.collect()[(page - 1) * k : page * k]
     totals = {}
     if include_total:

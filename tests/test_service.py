@@ -187,3 +187,21 @@ def test_search_facets(spark, xs_full_setup):
     )
     assert set(scoped["facets"]) == {"user"}
     assert scoped["facets"]["user"] == scoped["total_results"]
+
+
+def test_search_collapse(spark, xs_setup):
+    idx, tr = xs_setup
+    page = search(idx, tr, "term0001 term0002", k=5, collapse=True)
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in page["results"]]
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9))
+        for r in idx.topk_conversations("term0001 term0002", "disjunctive", 5).collect()
+    ]
+    assert got == want and len(got) == 5
+    convs = [c for c, _t, _s in got]
+    assert len(convs) == len(set(convs))
+    # ES field-collapsing contract: total still counts matching TURNS
+    assert page["total_results"] == idx.match_count("term0001 term0002")
+    # snippets come from the representative turn
+    for res in page["results"]:
+        assert res["snippet"]
