@@ -205,3 +205,17 @@ def test_search_collapse(spark, xs_setup):
     # snippets come from the representative turn
     for res in page["results"]:
         assert res["snippet"]
+
+
+def test_search_collapse_pagination(spark, xs_setup):
+    idx, tr = xs_setup
+    p1 = search(idx, tr, "term0001 term0002", k=3, page=1, collapse=True)
+    p2 = search(idx, tr, "term0001 term0002", k=3, page=2, collapse=True)
+    deep = idx.topk_conversations("term0001 term0002", "disjunctive", 6).collect()
+    want2 = [(r.conv_id, round(r.score, 9)) for r in deep[3:6]]
+    assert [(r["conv_id"], round(r["score"], 9)) for r in p2["results"]] == want2
+    # pages partition the collapsed ranking: no conversation repeats
+    c1 = {r["conv_id"] for r in p1["results"]}
+    c2 = {r["conv_id"] for r in p2["results"]}
+    assert not (c1 & c2) and len(c1) == len(c2) == 3
+    assert p2["page"] == 2 and p2["total_results"] == p1["total_results"]
