@@ -79,6 +79,8 @@ CONTRACT_QUERIES = [
     "transcripts_prefix",
     "transcripts_fuzzy",
     "transcripts_conversations",
+    "transcripts_recency",
+    "transcripts_synonyms",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

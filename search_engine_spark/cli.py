@@ -184,6 +184,63 @@ def cmd_fuzzy_build(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_synonyms_build(args: argparse.Namespace) -> None:
+    """Persist a curated raw-word synonym mapping as the index's sidecar
+    (index/synonyms.py) — analyzed once at write time, spliced into
+    queries at read time (--synonyms)."""
+    from .index.synonyms import write_synonyms
+
+    with open(args.mapping) as fh:
+        mapping = json.load(fh)
+    spark = _spark(args.cores)
+    t0 = time.time()
+    out = write_synonyms(spark, args.index, mapping)
+    print(
+        json.dumps(
+            {
+                "synonyms_sidecar": out,
+                "rules": len(mapping),
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
+def _add_rerank_args(p) -> None:
+    """Shared query-layer flags: synonym splice + recency decay."""
+    p.add_argument(
+        "--synonyms",
+        action="store_true",
+        help="splice the index's persisted synonym sidecar into the query",
+    )
+    p.add_argument(
+        "--recency-now",
+        help="rerank by freshness-decayed BM25: the reference 'now' "
+        "timestamp (ISO, same clock as the ts column)",
+    )
+    p.add_argument(
+        "--recency-scale", type=float,
+        help="decay scale in seconds (half-life at the default decay rate)",
+    )
+    p.add_argument("--recency-offset", type=float, default=0.0,
+                   help="grace window in seconds before decay starts")
+    p.add_argument("--recency-decay", type=float, default=0.5,
+                   help="multiplier at scale seconds past the offset")
+
+
+def _recency_opts(args: argparse.Namespace) -> dict | None:
+    if not getattr(args, "recency_now", None):
+        return None
+    if args.recency_scale is None:
+        raise SystemExit("--recency-now needs --recency-scale (seconds)")
+    return {
+        "now": args.recency_now,
+        "scale_s": args.recency_scale,
+        "offset_s": args.recency_offset,
+        "decay_rate": args.recency_decay,
+    }
+
+
 def cmd_search(args: argparse.Namespace) -> None:
     """Enriched result page (snippets + suggestions) — /api/search analog."""
     from .service import search
@@ -198,6 +255,8 @@ def cmd_search(args: argparse.Namespace) -> None:
         tombstones=_load_tombstones(args.tombstones),
         where=args.where, facet_col=args.facet,
         collapse=getattr(args, "collapse", False),
+        synonyms=getattr(args, "synonyms", False),
+        recency=_recency_opts(args),
     )
     page["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(page))
@@ -222,7 +281,31 @@ def cmd_query(args: argparse.Namespace) -> None:
                 "prefix (*) / fuzzy (~) tokens require --mode disjunctive"
             )
         query_text, analyzed = expanded, True
-    if getattr(args, "collapse", False):
+    if getattr(args, "synonyms", False):
+        if args.mode != "disjunctive":
+            raise SystemExit("--synonyms requires --mode disjunctive")
+        query_text = idx.expand_synonyms(query_text, analyzed=analyzed)
+        analyzed = True
+    recency = _recency_opts(args)
+    if recency:
+        if getattr(args, "collapse", False):
+            raise SystemExit("--recency-now does not compose with --collapse")
+        from .operators.recency import recency_topk
+        from .sources import load_transcripts
+
+        if not args.input:
+            raise SystemExit(
+                "--recency-now needs --input (the transcripts table with ts)"
+            )
+        tr = load_transcripts(spark, args.input)
+        rows = recency_topk(
+            idx, tr, query_text, recency["now"], recency["scale_s"],
+            args.mode, args.k,
+            offset_s=recency["offset_s"], decay_rate=recency["decay_rate"],
+            tombstones=_load_tombstones(args.tombstones), scope=scope,
+            analyzed=analyzed,
+        ).collect()
+    elif getattr(args, "collapse", False):
         rows = idx.topk_conversations(
             query_text, args.mode, args.k,
             tombstones=_load_tombstones(args.tombstones), scope=scope,
@@ -246,7 +329,16 @@ def cmd_query(args: argparse.Namespace) -> None:
                 "mode": args.mode,
                 "seconds": round(time.time() - t0, 3),
                 "results": [
-                    {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "score": r["score"]}
+                    {
+                        "conv_id": r["conv_id"],
+                        "turn_idx": r["turn_idx"],
+                        "score": r["score"],
+                        **(
+                            {"recency_score": r["recency_score"]}
+                            if "recency_score" in r.__fields__
+                            else {}
+                        ),
+                    }
                     for r in rows
                 ],
             }
@@ -471,6 +563,7 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="one result per CONVERSATION (best turn as representative)",
     )
+    _add_rerank_args(se)
     se.set_defaults(fn=cmd_search)
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
@@ -500,6 +593,7 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="one result per CONVERSATION (best turn as representative)",
     )
+    _add_rerank_args(q)
     q.set_defaults(fn=cmd_query)
 
     qb = sub.add_parser(
@@ -523,6 +617,17 @@ def main(argv: list[str] | None = None) -> None:
     )
     fb.add_argument("--index", required=True, help="index root")
     fb.set_defaults(fn=cmd_fuzzy_build)
+
+    sb = sub.add_parser(
+        "synonyms-build",
+        help="persist a raw-word synonym mapping as the index sidecar",
+    )
+    sb.add_argument("--index", required=True, help="index root")
+    sb.add_argument(
+        "--mapping", required=True,
+        help='JSON file: {"word": ["synonym", "multi word phrase", ...]}',
+    )
+    sb.set_defaults(fn=cmd_synonyms_build)
 
     st = sub.add_parser("stats", help="index status / statistics")
     st.add_argument("--index", required=True)

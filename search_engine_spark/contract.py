@@ -42,6 +42,8 @@ PRIORITY = [
     "transcripts_fuzzy",  # r4: edit-distance-1 fuzzy matching
     "transcripts_conversations",  # r4: conversation-collapsed ranking
     "transcripts_bm25_updated",  # r4: turn-level UPDATE via shadow segments
+    "transcripts_recency",  # r4: freshness-decayed ranking
+    "transcripts_synonyms",  # r4: query-time synonym expansion
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -2742,6 +2744,109 @@ def transcripts_facets(spark, sf_dir):
     corpus = spark.createDataFrame(generate_transcripts("xs"))
     return idx.facet_counts("term0001 term0002", corpus, "role").select(
         "role", F.col("n").cast("long").alias("n")
+    )
+
+
+_RECENCY_NOW = "2026-01-01 01:00:00"
+_RECENCY_SCALE_S = 600.0
+
+
+def _recency_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
+    """VALUES oracle for freshness-decayed ranking: the pure-Python
+    scorer's FULL match set decayed by the identical exp(ln(.5)/scale *
+    age) expression and cut to k (oracle.oracle_recency_topk)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_recency_topk
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_recency_topk(
+        idx, pdf, query_text, _RECENCY_NOW, _RECENCY_SCALE_S, mode, k
+    )
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score, recency_score FROM (VALUES "
+            "('', 0, 0.0, 0.0)) t(conv_id, turn_idx, score, recency_score) "
+            "WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(bm25)!r}, {float(dec)!r})"
+        for key, bm25, dec in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score, "
+        "round(recency_score + 1e-9, 5) AS recency_score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score, recency_score)"
+    )
+
+
+@q(
+    "transcripts_recency",
+    _recency_oracle_sql("term0001 term0002", "disjunctive", 10),
+)
+def transcripts_recency(spark, sf_dir):
+    """Freshness-decayed top-k (operators/recency.py): every match's
+    exact BM25 score times an exponential age decay, re-ranked — the
+    ES function_score shape; full-match rescore because the decayed
+    order is not monotone in BM25."""
+    from .corpus import generate_transcripts
+    from .operators.recency import recency_topk
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return recency_topk(
+        idx, corpus, "term0001 term0002", _RECENCY_NOW, _RECENCY_SCALE_S, k=10
+    ).select(
+        "conv_id",
+        "turn_idx",
+        rnd(F.col("score"), 5).alias("score"),
+        rnd(F.col("recency_score"), 5).alias("recency_score"),
+    )
+
+
+#: Raw-word synonym mapping over the xs vocabulary (analyzed at write
+#: time — Porter is not idempotent, so the sidecar stores index terms).
+_SYN_MAPPING = {
+    "term0001": ["term0002", "term0003"],
+    "running": "caresses",
+    "window": ["merge sort"],
+}
+
+
+def _synonyms_oracle_sql(query_text: str, k: int = 10) -> str:
+    """VALUES oracle: the independent synonym rewrite
+    (oracle.oracle_expand_synonyms) executed by the pure-Python scorer
+    in analyzed disjunctive mode (OR-semantics — what a synonym means)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_expand_synonyms, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rewritten = oracle_expand_synonyms(_SYN_MAPPING, query_text)
+    rows = oracle_topk(idx, rewritten, "disjunctive", k, analyzed=True)
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM (VALUES ('', 0, 0.0)) "
+            "t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_synonyms", _synonyms_oracle_sql("term0001 running", 10))
+def transcripts_synonyms(spark, sf_dir):
+    """Query-time synonym expansion (index/synonyms.py — the Lucene
+    SynonymGraphFilter shape): each analyzed query term splices in its
+    curated synonyms; the rewrite runs through the ordinary analyzed
+    disjunctive path, BM25 stats untouched."""
+    idx = _xs_index(spark)
+    eq = idx.expand_synonyms("term0001 running", _SYN_MAPPING)
+    return idx.topk(eq, "disjunctive", 10, analyzed=True).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 
 

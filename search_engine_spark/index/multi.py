@@ -479,6 +479,17 @@ class MultiIndex:
             if fuzzies else {},
         )
 
+    def expand_synonyms(
+        self, query_text: str, mapping: dict | None = None,
+        analyzed: bool = False,
+    ) -> str:
+        """Synonym splice over the segment set — the sidecar is a
+        query-layer setting kept on the BASE segment (segment 0), so
+        the single-index method serves unchanged; explicit ``mapping``
+        overrides it (same contract as
+        :meth:`CompressedIndex.expand_synonyms`)."""
+        return self.segments[0].expand_synonyms(query_text, mapping, analyzed)
+
     def _label(self, cand: DataFrame, extra: tuple = ()) -> DataFrame:
         cols = [*extra, "conv_id", "turn_idx", "score"]
         return (
@@ -701,6 +712,50 @@ class MultiIndex:
                 _with_seg(kernel), schema="seg int, " + MATCHES_SCHEMA
             )
         return self._label(cand.withColumn("score", F.lit(0.0))).drop("score")
+
+    def matches_scored(
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+        scope: DataFrame | None = None,
+        analyzed: bool = False,
+    ) -> DataFrame:
+        """ALL matching documents WITH exact BM25 scores across segments
+        → DataFrame(conv_id, turn_idx, score) — the segmented analog of
+        :meth:`CompressedIndex.matches_scored` (global stats via the
+        broadcast merged idf/avgdl, shadow/tombstone exclusion at kernel
+        time), feeding rescoring operators like recency decay."""
+        from .reader import RESULT_SCHEMA, _make_scored_matches_kernel
+
+        spec = parse_query(query_text, mode, analyzed=analyzed)
+        empty = self.spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+        if spec is None:
+            return empty
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        kernel = _make_scored_matches_kernel(
+            spec, idf, self.avgdl, exclude=self._effective_exclude(tombstones),
+            turn_bits=self.turn_bits, scoped=scope is not None,
+        )
+        post = self._postings(fetch_terms)
+        if scope is not None:
+            cand = (
+                post.groupBy("seg", "group")
+                .cogroup(self.scope_docs(scope).groupBy("seg", "group"))
+                .applyInPandas(
+                    _with_seg_scoped(kernel), schema="seg int, " + RESULT_SCHEMA
+                )
+            )
+        else:
+            cand = post.groupBy("seg", "group").applyInPandas(
+                _with_seg(kernel), schema="seg int, " + RESULT_SCHEMA
+            )
+        return self._label(cand)
 
     def facet_counts(
         self,

@@ -380,6 +380,7 @@ class CompressedIndex:
             self._docmap = spark.read.parquet(self.paths.docmap).cache()
         self._idf_cache: dict[str, float] = {}
         self._tomb_memo: dict[tuple, Tombstones] = {}
+        self._syn_memo: dict[str, list[str]] | None = None
         from collections import OrderedDict
 
         self._results: "OrderedDict[tuple, list]" = OrderedDict()
@@ -596,6 +597,31 @@ class CompressedIndex:
             self._prefix_expansions(prefixes, prefix_limit) if prefixes else {},
             self._fuzzy_expansions(fuzzies, fuzzy_limit) if fuzzies else {},
         )
+
+    def expand_synonyms(
+        self, query_text: str, mapping: dict | None = None,
+        analyzed: bool = False,
+    ) -> str:
+        """Analyzed rewrite splicing each query term's synonyms in after
+        it (``index/synonyms.py`` — the Lucene SynonymGraphFilter
+        query-time shape).  Execute the result with ``analyzed=True``
+        (disjunctive — OR-semantics is what a synonym means; a
+        conjunctive query would REQUIRE every synonym).  ``mapping``
+        (raw words) overrides the persisted sidecar; with neither, the
+        query passes through unchanged.  ``analyzed=True`` treats the
+        input as already-analyzed terms (composition with a prior
+        prefix/fuzzy ``expand_query`` pass, whose output must not be
+        re-stemmed)."""
+        from .synonyms import analyze_mapping, expand_terms, load_synonyms
+
+        if mapping is not None:
+            syn = analyze_mapping(mapping)
+        else:
+            if self._syn_memo is None:
+                self._syn_memo = load_synonyms(self.spark, self.paths.root)
+            syn = self._syn_memo
+        terms = query_text.split() if analyzed else analyze_query(query_text)
+        return " ".join(expand_terms(terms, syn))
 
     # -- query -------------------------------------------------------
 
@@ -843,6 +869,44 @@ class CompressedIndex:
             grouped = post.groupBy("group")
         cand = grouped.applyInPandas(kernel, schema=MATCHES_SCHEMA)
         return self._label(cand.withColumn("score", F.lit(0.0))).drop("score")
+
+    def matches_scored(
+        self,
+        query_text: str,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+        scope: DataFrame | None = None,
+        analyzed: bool = False,
+    ) -> DataFrame:
+        """ALL matching documents WITH exact BM25 scores → DataFrame
+        (conv_id, turn_idx, score) — :meth:`matches` plus the score
+        column: the exhaustive-scoring feed for rescoring operators
+        whose final order is not monotone in BM25 (recency decay —
+        ``operators/recency.py``).  Output is O(matches); kernel cost
+        is the same O(postings) class as :meth:`match_count`."""
+        spec = parse_query(query_text, mode, analyzed=analyzed)
+        empty = self.spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+        if spec is None:
+            return empty
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        idf = self.idf_map(spec.score_terms)
+        kernel = _make_scored_matches_kernel(
+            spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones),
+            turn_bits=getattr(self, "turn_bits", TURN_BITS),
+            scoped=scope is not None,
+        )
+        post = self.postings_df(fetch_terms)
+        if scope is not None:
+            grouped = post.groupBy("group").cogroup(
+                self.scope_docs(scope).groupBy("group")
+            )
+        else:
+            grouped = post.groupBy("group")
+        return self._label(grouped.applyInPandas(kernel, schema=RESULT_SCHEMA))
 
     def facet_counts(
         self,
@@ -1111,6 +1175,50 @@ def _make_matches_kernel(
         tomb = _tomb_for(exclude, post_pdf)
         cand = _candidates_spec(spec, idf, plists, tomb, turn_bits, allow)
         return pd.DataFrame({"doc_id": cand})
+
+    if scoped:
+        def kernel(key: tuple, post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame):
+            return emit(post_pdf, _allow_arr(allow_pdf))
+    else:
+        def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return emit(post_pdf, None)
+
+    return kernel
+
+
+def _make_scored_matches_kernel(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    avgdl: float,
+    exclude=None,
+    turn_bits: int = TURN_BITS,
+    scoped: bool = False,
+):
+    """Kernel emitting EVERY matching doc WITH its exact BM25 score —
+    the exhaustive-scoring input to rescoring operators whose final
+    order is NOT monotone in the BM25 score (recency decay: a fresher
+    low-BM25 doc can outrank a stale high-BM25 one, so a top-N overfetch
+    would be lossy).  Same candidate set as :func:`_make_matches_kernel`
+    (every candidate contains ≥1 scoring term, so scores are strictly
+    positive and the exact kernel's zero-score drop never fires); cost
+    is one full decode+score of the query terms' postings — the same
+    O(postings) class as :func:`_make_count_kernel`."""
+
+    def emit(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                              "score": pd.array([], dtype="float64")})
+        if len(post_pdf) == 0 or (allow is not None and allow.size == 0):
+            return empty
+        plists = _build_plists(post_pdf, idf, avgdl)
+        tomb = _tomb_for(exclude, post_pdf)
+        cand = _candidates_spec(spec, idf, plists, tomb, turn_bits, allow)
+        if cand.size == 0:
+            return empty
+        score_lists = {t: p for t, p in plists.items() if t in idf}
+        docs, scores = exact_topk(
+            score_lists, idf, avgdl, int(cand.size), candidates=cand
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
 
     if scoped:
         def kernel(key: tuple, post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame):

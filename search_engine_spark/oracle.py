@@ -351,6 +351,46 @@ def oracle_match_count(
     return len(oracle_matches(index, query_text, mode, scope))
 
 
+def oracle_recency_topk(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    now: str,
+    scale_s: float,
+    mode: str = "disjunctive",
+    k: int = 10,
+    offset_s: float = 0.0,
+    decay_rate: float = 0.5,
+    scope: set[DocKey] | None = None,
+    analyzed: bool = False,
+) -> list[tuple[DocKey, float, float]]:
+    """Golden freshness-decayed top-k (operators/recency.py): EVERY
+    matching doc's BM25 score multiplied by exp(ln(decay)/scale *
+    max(0, now - ts - offset)), re-ranked, cut to k.  Returns
+    ``[((conv_id, turn_idx), bm25, decayed), ...]`` ordered by
+    (decayed desc, conv_id, turn_idx).  ``lam`` is computed by the
+    identical Python expression as the engine operator, and ages are
+    exact whole-second differences, so the two sides' float sequences
+    match to the final libm ``exp`` call (absorbed by the contract's
+    round-5 nudge)."""
+    lam = math.log(decay_rate) / float(scale_s)
+    now_ts = pd.Timestamp(now)
+    ts_map = {
+        (c, int(t)): ts
+        for c, t, ts in zip(
+            transcripts["conv_id"], transcripts["turn_idx"], transcripts["ts"]
+        )
+    }
+    out = []
+    for key, score in oracle_topk(index, query_text, mode, 1 << 62, scope, analyzed):
+        age = max(
+            0.0, (now_ts - ts_map[key]).total_seconds() - float(offset_s)
+        )
+        out.append((key, score, score * math.exp(lam * age)))
+    out.sort(key=lambda r: (-r[2], r[0][0], r[0][1]))
+    return out[:k]
+
+
 #: Lucene-style bound on fuzzy (edit-distance-1) expansion.
 FUZZY_CAP = 16
 _FUZZY_TOKEN = re.compile(r"^([0-9A-Za-z]+)~$")
@@ -525,6 +565,41 @@ def assemble_expanded(
             out.extend(fuzzy_exp.get(val, []))
         else:
             out.extend(analyze_query(val))
+    return " ".join(out)
+
+
+def oracle_expand_synonyms(
+    mapping: dict[str, list[str] | str], query_text: str
+) -> str:
+    """Golden synonym rewrite (engine mirror: ``CompressedIndex.
+    expand_synonyms`` over ``index/synonyms.py``): analyze the mapping
+    (single-term keys, flattened multi-word values, key removed), then
+    splice each analyzed query term's synonyms in after it with an
+    order-preserving dedupe.  Returns the analyzed term string —
+    execute with ``analyzed=True``."""
+    syn: dict[str, list[str]] = {}
+    for raw_key, raw_vals in mapping.items():
+        kt = analyze_text(raw_key)
+        if len(kt) != 1:
+            raise ValueError(
+                f"synonym key {raw_key!r} must analyze to exactly one term"
+            )
+        if isinstance(raw_vals, str):
+            raw_vals = [raw_vals]
+        vals: list[str] = []
+        for phrase in raw_vals:
+            for t in analyze_text(phrase):
+                if t != kt[0] and t not in vals:
+                    vals.append(t)
+        if vals:
+            syn[kt[0]] = vals
+    out: list[str] = []
+    for t in analyze_query(query_text):
+        if t not in out:
+            out.append(t)
+        for s in syn.get(t, ()):
+            if s not in out:
+                out.append(s)
     return " ".join(out)
 
 

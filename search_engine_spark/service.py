@@ -65,6 +65,8 @@ def search(
     where: str | None = None,
     facet_col: str | None = None,
     collapse: bool = False,
+    synonyms: bool | dict = False,
+    recency: dict | None = None,
 ) -> dict:
     """One enriched result page.
 
@@ -84,7 +86,21 @@ def search(
     ``collapse=True`` returns one result per CONVERSATION (its best
     turn as representative — ``topk_conversations``); ``total_results``
     still counts matching TURNS, the Elasticsearch field-collapsing
-    contract (collapsed hit counts need a separate cardinality pass)."""
+    contract (collapsed hit counts need a separate cardinality pass).
+
+    ``synonyms`` layers the query-time synonym splice
+    (``index/synonyms.py``) on top of any prefix/fuzzy expansion:
+    ``True`` uses the index's persisted sidecar, a dict is an explicit
+    raw-word mapping.  Disjunctive only (OR-semantics is what a synonym
+    means); the response echoes ``expanded_query``.
+
+    ``recency`` ({"now": iso_ts, "scale_s": s[, "offset_s", "decay_rate"]})
+    reranks by freshness-decayed BM25 (``operators/recency.py`` — the ES
+    function_score decay): results carry both ``score`` and
+    ``recency_score`` and are ordered by the latter.  ``total_results``
+    still counts the match set (decay reorders, never filters).  Not
+    composable with ``collapse`` (a conversation's best-by-decay turn
+    is not its best-by-BM25 turn; rejected rather than approximated)."""
     if page < 1:
         raise ValueError("page is 1-based")
     user_query = query_text
@@ -103,8 +119,29 @@ def search(
             )
         query_text = index.expand_query(query_text)
         analyzed = True
+    if synonyms:
+        if mode != "disjunctive":
+            raise ValueError("synonym expansion requires mode='disjunctive'")
+        mapping = synonyms if isinstance(synonyms, dict) else None
+        query_text = index.expand_synonyms(query_text, mapping, analyzed=analyzed)
+        analyzed = True
     scope = transcripts.filter(where) if where else None
-    if collapse:
+    if recency:
+        if collapse:
+            raise ValueError(
+                "recency rescoring does not compose with collapse (a "
+                "conversation's best-by-decay turn is not its best-by-BM25 turn)"
+            )
+        from .operators.recency import DECAY_RATE, recency_topk
+
+        deep = recency_topk(
+            index, transcripts, query_text, recency["now"], recency["scale_s"],
+            mode, page * k,
+            offset_s=recency.get("offset_s", 0.0),
+            decay_rate=recency.get("decay_rate", DECAY_RATE),
+            tombstones=tombstones, scope=scope, analyzed=analyzed,
+        )
+    elif collapse:
         deep = index.topk_conversations(
             query_text, mode, page * k,
             tombstones=tombstones, scope=scope, analyzed=analyzed,
@@ -162,6 +199,11 @@ def search(
             "conv_id": r.conv_id,
             "turn_idx": r.turn_idx,
             "score": r.score,
+            **(
+                {"recency_score": r.recency_score}
+                if "recency_score" in r.__fields__
+                else {}
+            ),
             "snippet": snippet_map.get((r.conv_id, r.turn_idx), ""),
         }
         for r in rows

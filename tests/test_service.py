@@ -219,3 +219,91 @@ def test_search_collapse_pagination(spark, xs_setup):
     c2 = {r["conv_id"] for r in p2["results"]}
     assert not (c1 & c2) and len(c1) == len(c2) == 3
     assert p2["page"] == 2 and p2["total_results"] == p1["total_results"]
+
+
+def test_search_recency(spark, xs_full_setup):
+    from search_engine_spark.operators.recency import recency_topk
+
+    idx, tr = xs_full_setup
+    rec = {"now": "2026-01-01 01:00:00", "scale_s": 600.0}
+    page = search(idx, tr, "term0001 term0002", k=5, recency=rec)
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9),
+         round(r["recency_score"], 9))
+        for r in page["results"]
+    ]
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9), round(r.recency_score, 9))
+        for r in recency_topk(
+            idx, tr, "term0001 term0002", rec["now"], rec["scale_s"], k=5
+        ).collect()
+    ]
+    assert got == want and len(got) == 5
+    # decay reorders, never filters: totals count the undecayed match set
+    assert page["total_results"] == idx.match_count("term0001 term0002")
+    for res in page["results"]:
+        assert res["snippet"]
+    with pytest.raises(ValueError, match="collapse"):
+        search(idx, tr, "term0001", k=5, recency=rec, collapse=True)
+
+
+def test_search_recency_pagination(spark, xs_full_setup):
+    idx, tr = xs_full_setup
+    rec = {"now": "2026-01-01 01:00:00", "scale_s": 600.0}
+    p1 = search(idx, tr, "term0001 term0002", k=3, page=1, recency=rec)
+    p2 = search(idx, tr, "term0001 term0002", k=3, page=2, recency=rec)
+    k1 = {(r["conv_id"], r["turn_idx"]) for r in p1["results"]}
+    k2 = {(r["conv_id"], r["turn_idx"]) for r in p2["results"]}
+    assert not (k1 & k2) and len(k1) == len(k2) == 3
+    # page 2 continues the same decayed ranking
+    assert p2["results"][0]["recency_score"] <= p1["results"][-1]["recency_score"]
+
+
+def test_search_synonyms(spark, xs_full_setup):
+    from search_engine_spark.index.synonyms import write_synonyms
+    from search_engine_spark.oracle import oracle_expand_synonyms
+
+    idx, tr = xs_full_setup
+    mapping = {"term0001": ["term0002", "term0003"]}
+    # explicit mapping (no sidecar write needed)
+    page = search(idx, tr, "term0001", k=5, synonyms=mapping)
+    eq = oracle_expand_synonyms(mapping, "term0001")
+    assert page["expanded_query"] == eq
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9))
+        for r in idx.topk(eq, "disjunctive", 5, analyzed=True).collect()
+    ]
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in page["results"]
+    ]
+    assert got == want
+    assert page["total_results"] == idx.match_count(eq, analyzed=True)
+    with pytest.raises(ValueError, match="disjunctive"):
+        search(idx, tr, "term0001", mode="conjunctive", synonyms=mapping)
+    # sidecar-driven (synonyms=True) — persisted on the index root
+    write_synonyms(spark, idx.paths.root, mapping)
+    fresh = CompressedIndex(spark, idx.paths.root)
+    page2 = search(fresh, tr, "term0001", k=5, synonyms=True)
+    assert page2["expanded_query"] == eq
+    assert [
+        (r["conv_id"], r["turn_idx"]) for r in page2["results"]
+    ] == [(c, t) for c, t, _s in got]
+
+
+def test_search_synonyms_compose_with_prefix(spark, xs_full_setup):
+    """* expansion then synonym splice — one analyzed rewrite end to end."""
+    idx, tr = xs_full_setup
+    mapping = {"term0001": ["term0003"]}
+    page = search(idx, tr, "term0001*", k=5, synonyms=mapping)
+    assert "term0003" in page["expanded_query"].split()
+    eq = page["expanded_query"]
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9))
+        for r in idx.topk(eq, "disjunctive", 5, analyzed=True).collect()
+    ]
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in page["results"]
+    ]
+    assert got == want
