@@ -260,6 +260,25 @@ def main() -> None:
             cap(contract.QUERIES["transcripts_bm25_updated"](spark, SF)),
         )
     )
+    from search_engine_spark.operators.recency import recency_topk
+
+    sections.append(
+        (
+            "Recency-decayed top-k (full-match rescore)",
+            "Expected: the SAME bucket/term-pruned postings scan and ONE "
+            "grouped kernel as topk (emitting every match WITH its exact "
+            "BM25 score), a join to the corpus scan with ReadSchema pruned "
+            "to (conv_id, turn_idx, ts) — never the text column — "
+            "whole-stage-codegen exp/greatest math for the decay, and "
+            "TakeOrderedAndProject for the final cut (no global sort).",
+            cap(
+                recency_topk(
+                    idx, spark.read.parquet(pq), "term0001 term0002",
+                    "2026-01-01 01:00:00", 600.0,
+                )
+            ),
+        )
+    )
     sections.append(
         (
             "Importance-weighted scoring (Ranker1 metric path)",
