@@ -81,6 +81,7 @@ CONTRACT_QUERIES = [
     "transcripts_conversations",
     "transcripts_recency",
     "transcripts_synonyms",
+    "transcripts_phrase_slop",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

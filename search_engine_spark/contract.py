@@ -44,6 +44,7 @@ PRIORITY = [
     "transcripts_bm25_updated",  # r4: turn-level UPDATE via shadow segments
     "transcripts_recency",  # r4: freshness-decayed ranking
     "transcripts_synonyms",  # r4: query-time synonym expansion
+    "transcripts_phrase_slop",  # r4: ordered sloppy phrase ("a b"~2)
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -2278,6 +2279,23 @@ def transcripts_phrase(spark, sf_dir):
     """Positional phrase query on the compressed index."""
     idx = _xs_index(spark)
     return idx.topk('"phrase alpha beta"', "phrase", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+@q(
+    "transcripts_phrase_slop",
+    _transcripts_oracle_sql('"term0001 term0002"~2', "phrase", 10),
+)
+def transcripts_phrase_slop(spark, sf_dir):
+    """Sloppy (ordered, windowed) phrase query — `"a b"~2` matches the
+    terms in order within 2 extra position gaps (Lucene ordered
+    SpanNearQuery semantics; extension over the reference's
+    exact-adjacent phrase).  At xs the window widens the match set
+    10 -> 40 docs vs the exact phrase, so this entry exercises the
+    greedy-chain kernel path, not a rename of transcripts_phrase."""
+    idx = _xs_index(spark)
+    return idx.topk('"term0001 term0002"~2', "phrase", 10).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 

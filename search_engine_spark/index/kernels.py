@@ -574,14 +574,51 @@ def conjunctive_candidates(plists: dict[str, TermPostings]) -> np.ndarray:
     return out
 
 
-def phrase_candidates(
-    ordered_terms: list[str], plists: dict[str, TermPostings]
-) -> np.ndarray:
-    """Docs where the terms appear at consecutive positions (post-stem).
+def _gather_pos_keys(
+    tp: TermPostings, cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Packed ``(candidate_rank << 32) | position`` keys for one term's
+    occurrences within the candidate docs, plus the raw positions.
 
-    Oracle `_phrase_match_docs` / positional check (Ranker1.java:370-449)
+    Keys are strictly increasing (docs ascend, positions ascend within a
+    doc), so downstream ``intersect1d``/``searchsorted`` run on sorted
+    input.  Work is bounded by the CANDIDATE docs' position counts, not
+    the term's full posting list."""
+    flat, offs = tp.flat_positions()
+    idx = np.searchsorted(tp.doc_ids, cand)
+    cnts = offs[idx + 1] - offs[idx]
+    total = int(cnts.sum())
+    out_starts = np.concatenate([[0], np.cumsum(cnts)])[:-1]
+    gather = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, cnts)
+        + np.repeat(offs[idx], cnts)
+    )
+    pos_vals = flat[gather]
+    keys = (
+        np.repeat(np.arange(cand.size, dtype=np.int64), cnts) << 32
+    ) + pos_vals
+    return keys, pos_vals
+
+
+def phrase_candidates(
+    ordered_terms: list[str],
+    plists: dict[str, TermPostings],
+    slop: int = 0,
+) -> np.ndarray:
+    """Docs where the terms appear in order within a ``slop`` window.
+
+    ``slop=0`` is the exact positional phrase — the oracle
+    `_phrase_match_docs` / positional check (Ranker1.java:370-449)
     without per-position queries: intersect doc lists, then intersect
     shifted position arrays per surviving doc.
+
+    ``slop>0`` is the ordered sloppy phrase (Lucene ordered
+    SpanNearQuery / Indri ``#N`` semantics, an extension over the
+    reference): the doc matches iff positions p1 < p2 < ... < pn exist,
+    one per term in phrase order, with total in-between gap
+    ``(pn - p1) - (n-1) <= slop``.  Adjacent is gap 0, so ``slop=0``
+    via this path equals the exact phrase (pinned by tests).
     """
     if any(t not in plists or plists[t].doc_ids.size == 0 for t in ordered_terms):
         return np.empty(0, dtype=np.int64)
@@ -590,31 +627,18 @@ def phrase_candidates(
         cand = np.intersect1d(cand, plists[t].doc_ids, assume_unique=True)
     if cand.size == 0 or len(ordered_terms) == 1:
         return cand
+    if slop > 0:
+        return _sloppy_phrase_candidates(ordered_terms, plists, cand, slop)
     # Vectorized alignment: pack each candidate position into one int64
     # key (candidate_rank << 32) | (position - term_order) — a phrase hit
     # is a key present for EVERY term, so the per-doc python loop over
     # np.isin calls (≈100 µs × |cand| docs) collapses into
-    # len(terms)-1 sorted intersections over flat arrays.  Keys are
-    # strictly increasing (docs ascend, positions ascend within a doc),
-    # so intersect1d runs in its assume_unique fast path.  Work is
-    # bounded by the CANDIDATE docs' position counts, not the full lists.
+    # len(terms)-1 sorted intersections over flat arrays (sorted, so
+    # intersect1d runs in its assume_unique fast path).
     survivors: np.ndarray | None = None
     for j, t in enumerate(ordered_terms):
-        tp = plists[t]
-        flat, offs = tp.flat_positions()
-        idx = np.searchsorted(tp.doc_ids, cand)
-        cnts = offs[idx + 1] - offs[idx]
-        total = int(cnts.sum())
-        out_starts = np.concatenate([[0], np.cumsum(cnts)])[:-1]
-        gather = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(out_starts, cnts)
-            + np.repeat(offs[idx], cnts)
-        )
-        pos_vals = flat[gather]
-        keys = (
-            np.repeat(np.arange(cand.size, dtype=np.int64), cnts) << 32
-        ) + (pos_vals - j)
+        keys, pos_vals = _gather_pos_keys(plists[t], cand)
+        keys = keys - j
         if j > 0:
             keys = keys[pos_vals >= j]  # a phrase cannot start before 0
         survivors = (
@@ -625,3 +649,37 @@ def phrase_candidates(
         if survivors.size == 0:
             return np.empty(0, dtype=np.int64)
     return cand[np.unique(survivors >> 32)]
+
+
+def _sloppy_phrase_candidates(
+    ordered_terms: list[str],
+    plists: dict[str, TermPostings],
+    cand: np.ndarray,
+    slop: int,
+) -> np.ndarray:
+    """Greedy earliest-successor chaining, vectorized across ALL docs.
+
+    For a fixed start position of the first term, the minimal reachable
+    end position of the last term is obtained by greedily taking each
+    next term's SMALLEST position strictly after the current one
+    (standard exchange argument for ordered span queries) — so a doc
+    matches iff some start's greedy chain ends within the window.  One
+    ``searchsorted`` per term advances EVERY live chain at once over the
+    packed (candidate_rank << 32 | position) key arrays; a chain whose
+    successor falls in a different doc (or past the end) dies.  Work is
+    O(total candidate positions × n_terms × log), no per-doc loop.
+    """
+    chain_keys = [_gather_pos_keys(plists[t], cand)[0] for t in ordered_terms]
+    cur = chain_keys[0]
+    start = cur
+    for kj in chain_keys[1:]:
+        nxt = np.searchsorted(kj, cur, side="right")
+        alive = nxt < kj.size
+        cur, start = kj[nxt[alive]], start[alive]
+        same_doc = (cur >> 32) == (start >> 32)
+        cur, start = cur[same_doc], start[same_doc]
+        if cur.size == 0:
+            return np.empty(0, dtype=np.int64)
+    gap = (cur & 0xFFFFFFFF) - (start & 0xFFFFFFFF) - (len(ordered_terms) - 1)
+    hit = gap <= slop
+    return cand[np.unique(start[hit] >> 32)]

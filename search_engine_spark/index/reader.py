@@ -36,6 +36,7 @@ from ..oracle import (
     assemble_expanded,
     classify_expansion_tokens,
     deletions1,
+    parse_slop,
     rank_fuzzy_candidates,
     rewrite_fuzzy,
     rewrite_with_expansions,
@@ -66,6 +67,7 @@ class QuerySpec:
     phrase_a: list[str] | None = None  # ordered phrase terms
     phrase_b: list[str] | None = None
     bool_op: str | None = None
+    slop: int = 0  # phrase mode: ordered window ("a b"~N); 0 = exact
 
 
 def parse_query(
@@ -103,7 +105,12 @@ def parse_query(
         terms = analyze_text(pm.group(1) if pm else query_text)
         if not terms:
             return None
-        return QuerySpec("phrase", sorted(set(terms)), terms)
+        # `"a b"~N` = ordered sloppy phrase (Lucene ordered SpanNearQuery
+        # semantics — an extension; the reference matches exact-adjacent
+        # only).  Candidates widen; scoring stays BM25 over the terms.
+        return QuerySpec(
+            "phrase", sorted(set(terms)), terms, slop=parse_slop(query_text)
+        )
     terms = analyze_query(query_text)
     if not terms:
         return None
@@ -1048,7 +1055,7 @@ def _score_spec(
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         cand = conjunctive_candidates(need)
     elif spec.mode == "phrase":
-        cand = phrase_candidates(spec.phrase_a or [], plists)
+        cand = phrase_candidates(spec.phrase_a or [], plists, spec.slop)
     else:  # boolean
         la = phrase_candidates(spec.phrase_a or [], plists)
         rb = phrase_candidates(spec.phrase_b or [], plists)
@@ -1090,7 +1097,7 @@ def _candidates_spec(
             return np.empty(0, dtype=np.int64)
         cand = conjunctive_candidates(need)
     elif spec.mode == "phrase":
-        cand = phrase_candidates(spec.phrase_a or [], plists)
+        cand = phrase_candidates(spec.phrase_a or [], plists, spec.slop)
     else:
         la = phrase_candidates(spec.phrase_a or [], plists)
         rb = phrase_candidates(spec.phrase_b or [], plists)

@@ -29,6 +29,7 @@ path):
 
 from __future__ import annotations
 
+import bisect
 import math
 import re
 from dataclasses import dataclass, field
@@ -43,6 +44,18 @@ DocKey = tuple[str, int]
 # QueryService.java:50-51
 PHRASE_PATTERN = re.compile(r'"([^"]*)"')
 OPERATOR_PATTERN = re.compile(r"\s+(AND|OR|NOT)\s+")
+
+#: Sloppy-phrase suffix: `"a b"~2` = terms in order within 2 extra
+#: position gaps (Lucene ordered SpanNearQuery / Indri #N semantics —
+#: an extension over the reference, whose phrase match is exact-adjacent
+#: only).  Phrase mode only; boolean sub-phrases stay exact.
+SLOP_PATTERN = re.compile(r'"\s*~(\d+)')
+
+
+def parse_slop(query_text: str) -> int:
+    """Slop window from an inline `"..."~N` suffix (0 when absent)."""
+    m = SLOP_PATTERN.search(query_text)
+    return int(m.group(1)) if m else 0
 
 #: Lucene-style bound on multi-term (prefix) expansion — a wildcard may
 #: never blow a query up into the whole vocabulary.
@@ -153,18 +166,48 @@ def _topk(scores: dict[DocKey, float], k: int) -> list[tuple[DocKey, float]]:
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:k]
 
 
-def _phrase_match_docs(index: OracleIndex, phrase_terms: list[str]) -> set[DocKey]:
-    """Turns where phrase_terms occur at consecutive positions (post-stem stream)."""
+def _phrase_match_docs(
+    index: OracleIndex, phrase_terms: list[str], slop: int = 0
+) -> set[DocKey]:
+    """Turns where phrase_terms occur in order within a ``slop`` window.
+
+    ``slop=0``: consecutive positions in the post-stem stream.
+    ``slop>0``: ordered sloppy phrase — positions p1 < ... < pn, one per
+    term in phrase order, with ``(pn - p1) - (n-1) <= slop``; checked by
+    the greedy earliest-successor chain per start (minimal end for a
+    given start, so existence is exact)."""
     if not phrase_terms:
         return set()
     first = index.postings.get(phrase_terms[0], [])
     if len(phrase_terms) == 1:
         return {key for key, _f, _p in first}
+    if slop > 0:
+        rest_pos = [
+            {key: pos for key, _f, pos in index.postings.get(t, [])}
+            for t in phrase_terms[1:]
+        ]
+        out: set[DocKey] = set()
+        for key, _f, pos0 in first:
+            if any(key not in r for r in rest_pos):
+                continue
+            for p in pos0:
+                cur = p
+                for r in rest_pos:
+                    arr = r[key]  # ascending
+                    i = bisect.bisect_right(arr, cur)
+                    if i == len(arr):
+                        cur = None
+                        break
+                    cur = arr[i]
+                if cur is not None and (cur - p - len(rest_pos)) <= slop:
+                    out.add(key)
+                    break
+        return out
     rest = [
         {key: set(pos) for key, _f, pos in index.postings.get(t, [])}
         for t in phrase_terms[1:]
     ]
-    out: set[DocKey] = set()
+    out = set()
     for key, _f, pos0 in first:
         for p in pos0:
             if all(key in r and (p + i + 1) in r[key] for i, r in enumerate(rest)):
@@ -214,7 +257,7 @@ def oracle_topk(
         phrase = PHRASE_PATTERN.search(query_text)
         text = phrase.group(1) if phrase else query_text
         terms = analyze_text(text)
-        docs = _phrase_match_docs(index, terms)
+        docs = _phrase_match_docs(index, terms, parse_slop(query_text))
         if scope is not None:
             docs &= scope
         return _topk(_score_candidates(index, terms, docs), k)
@@ -303,7 +346,7 @@ def oracle_matches(
     elif mode == "phrase":
         phrase = PHRASE_PATTERN.search(query_text)
         text = phrase.group(1) if phrase else query_text
-        docs = _phrase_match_docs(index, analyze_text(text))
+        docs = _phrase_match_docs(index, analyze_text(text), parse_slop(query_text))
     else:
         terms = analyze_query(query_text)
         if not terms:

@@ -19,6 +19,7 @@ from search_engine_spark.index.reader import CompressedIndex
 
 _PROBE_QUERIES = [REFERENCE_QUERIES[i] for i in (0, 1, 2, 3, 7)] + [
     {"query_text": '"phrase alpha beta"', "mode": "phrase", "k": 10},
+    {"query_text": '"term0001 term0002"~2', "mode": "phrase", "k": 10},
     {"query_text": '"alpha" AND "beta"', "mode": "boolean", "k": 10},
     {"query_text": '"alpha" NOT "beta"', "mode": "boolean", "k": 10},
 ]

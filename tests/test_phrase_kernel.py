@@ -81,3 +81,78 @@ def test_phrase_repeated_term_adjacent():
     corpus = {"a": {1: [0, 1], 2: [0, 2], 3: [5]}}
     plists = {"a": _make_tp("a", corpus["a"], 2)}
     assert phrase_candidates(["a", "a"], plists).tolist() == [1]
+
+
+# ---------------------------------------------------------------- slop
+
+
+def _ref_phrase_slop(
+    terms: list[str], corpus: dict[str, dict[int, list[int]]], slop: int
+) -> list[int]:
+    """Brute force: enumerate one position per term; a doc matches iff
+    some strictly-increasing assignment spans <= (n-1) + slop."""
+    import itertools
+
+    doc_sets = [set(corpus[t]) for t in terms]
+    out = []
+    for d in sorted(set.intersection(*doc_sets)):
+        pls = [corpus[t][d] for t in terms]
+        for combo in itertools.product(*pls):
+            if all(combo[i + 1] > combo[i] for i in range(len(combo) - 1)) and (
+                combo[-1] - combo[0] - (len(combo) - 1)
+            ) <= slop:
+                out.append(d)
+                break
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    corpus=st.fixed_dictionaries({"a": _term_docs, "b": _term_docs, "c": _term_docs}),
+    phrase=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=4),
+    block_size=st.integers(1, 5),
+    slop=st.integers(0, 4),
+)
+def test_sloppy_phrase_matches_brute_force(corpus, phrase, block_size, slop):
+    plists = {t: _make_tp(t, dp, block_size) for t, dp in corpus.items() if dp}
+    got = phrase_candidates(phrase, plists, slop).tolist()
+    want = (
+        _ref_phrase_slop(phrase, corpus, slop)
+        if all(t in corpus and corpus[t] for t in phrase)
+        else []
+    )
+    assert got == want
+    # widening the window never loses a match
+    wider = phrase_candidates(phrase, plists, slop + 1).tolist()
+    assert set(got) <= set(wider)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    corpus=st.fixed_dictionaries({"a": _term_docs, "b": _term_docs, "c": _term_docs}),
+    phrase=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=4),
+    slop=st.integers(0, 4),
+)
+def test_oracle_sloppy_phrase_matches_brute_force(corpus, phrase, slop):
+    """The pure-Python oracle's greedy chain == brute force (same random
+    universe as the kernel test, so both sides pin to one reference)."""
+    from search_engine_spark.oracle import OracleIndex, _phrase_match_docs
+
+    postings = {
+        t: [((f"d{d:03d}", 0), len(ps), ps) for d, ps in sorted(dp.items())]
+        for t, dp in corpus.items()
+    }
+    idx = OracleIndex(n_docs=40, avgdl=10.0, doclen={}, postings=postings)
+    got = sorted(k[0] for k in _phrase_match_docs(idx, phrase, slop))
+    want = [f"d{d:03d}" for d in _ref_phrase_slop(phrase, corpus, slop)]
+    assert got == want
+
+
+def test_sloppy_phrase_gap_boundary():
+    # a at 0, b at 3: gap of 2 tokens between them — needs slop >= 2
+    corpus = {"a": {7: [0]}, "b": {7: [3]}}
+    plists = {t: _make_tp(t, dp, 2) for t, dp in corpus.items()}
+    assert phrase_candidates(["a", "b"], plists, 1).tolist() == []
+    assert phrase_candidates(["a", "b"], plists, 2).tolist() == [7]
+    # order matters: b never precedes a
+    assert phrase_candidates(["b", "a"], plists, 9).tolist() == []
