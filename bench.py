@@ -82,6 +82,7 @@ CONTRACT_QUERIES = [
     "transcripts_recency",
     "transcripts_synonyms",
     "transcripts_phrase_slop",
+    "transcripts_more_like_this",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

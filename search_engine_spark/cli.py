@@ -380,6 +380,43 @@ def cmd_query_batch(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_mlt(args: argparse.Namespace) -> None:
+    """More-like-this: rank turns similar to one source turn (its top
+    tf*idf terms as a disjunctive BM25 query, source excluded)."""
+    from .operators.mlt import mlt_query_terms, more_like_this
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    tr = load_transcripts(spark, args.input)
+    t0 = time.time()
+    terms = mlt_query_terms(idx, tr, args.conv, args.turn, args.max_terms)
+    rows = (
+        more_like_this(
+            idx, tr, args.conv, args.turn, args.k, args.max_terms, terms=terms
+        ).collect()
+        if terms
+        else []
+    )
+    print(
+        json.dumps(
+            {
+                "source": {"conv_id": args.conv, "turn_idx": args.turn},
+                "mlt_terms": terms,
+                "seconds": round(time.time() - t0, 3),
+                "results": [
+                    {
+                        "conv_id": r["conv_id"],
+                        "turn_idx": r["turn_idx"],
+                        "score": r["score"],
+                    }
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
 def cmd_bench(_args: argparse.Namespace) -> None:
     import runpy
 
@@ -607,6 +644,23 @@ def main(argv: list[str] | None = None) -> None:
     qb.add_argument("--k", type=int, default=10)
     qb.add_argument("--algo", default="auto", choices=["auto", "exact", "wand"])
     qb.set_defaults(fn=cmd_query_batch)
+
+    ml = sub.add_parser(
+        "more-like-this", help="rank turns similar to one source turn (ES MLT)"
+    )
+    ml.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    ml.add_argument("--input", required=True, help="transcripts (parquet/table:)")
+    ml.add_argument("--conv", required=True, help="source conv_id")
+    ml.add_argument("--turn", type=int, required=True, help="source turn_idx")
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument(
+        "--max-terms", type=int, default=25,
+        help="top tf*idf source terms kept for the derived query",
+    )
+    ml.set_defaults(fn=cmd_mlt)
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)

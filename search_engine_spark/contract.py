@@ -45,6 +45,7 @@ PRIORITY = [
     "transcripts_recency",  # r4: freshness-decayed ranking
     "transcripts_synonyms",  # r4: query-time synonym expansion
     "transcripts_phrase_slop",  # r4: ordered sloppy phrase ("a b"~2)
+    "transcripts_more_like_this",  # r4: similar-turn retrieval (ES MLT)
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -2864,6 +2865,50 @@ def transcripts_synonyms(spark, sf_dir):
     idx = _xs_index(spark)
     eq = idx.expand_synonyms("term0001 running", _SYN_MAPPING)
     return idx.topk(eq, "disjunctive", 10, analyzed=True).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+#: MLT contract source: a term-rich xs turn (25 selected query terms,
+#: full 10-row result set — a non-degenerate exercise of the operator).
+_MLT_SRC = ("conv-000004", 1)
+
+
+def _mlt_oracle_sql(conv_id: str, turn_idx: int, k: int = 10) -> str:
+    """VALUES oracle: the independent more-like-this ranking
+    (oracle.oracle_more_like_this) — top tf*idf source terms, analyzed
+    disjunctive BM25, source turn excluded."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_more_like_this
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_more_like_this(idx, conv_id, turn_idx, k)
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM (VALUES ('', 0, 0.0)) "
+            "t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_more_like_this", _mlt_oracle_sql(*_MLT_SRC, 10))
+def transcripts_more_like_this(spark, sf_dir):
+    """More-like-this (operators/mlt.py — the Elasticsearch
+    more_like_this shape): the source turn's top-25 tf*idf terms become
+    a disjunctive BM25 query via the analyzed execution path; the
+    source turn is excluded from the result."""
+    from .corpus import generate_transcripts
+    from .operators.mlt import more_like_this
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return more_like_this(idx, corpus, *_MLT_SRC, k=10).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 

@@ -394,6 +394,51 @@ def oracle_match_count(
     return len(oracle_matches(index, query_text, mode, scope))
 
 
+#: More-like-this: max source-doc terms kept for the derived query
+#: (Elasticsearch `more_like_this.max_query_terms` default).
+MLT_MAX_TERMS = 25
+
+
+def mlt_select_terms(
+    tokens: list[str],
+    idf_by_term: dict[str, float],
+    max_terms: int = MLT_MAX_TERMS,
+) -> list[str]:
+    """The MLT query terms of ONE document: its distinct analyzed terms
+    ranked by tf*idf descending (term ascending on ties), top
+    ``max_terms``.  SHARED by the engine operator (operators/mlt.py) and
+    :func:`oracle_more_like_this` so both sides rank float-for-float
+    identically (tf is an int count; idf a float64 from the same
+    formula)."""
+    tf: dict[str, int] = {}
+    for t in tokens:
+        tf[t] = tf.get(t, 0) + 1
+    ranked = sorted(tf, key=lambda t: (-(tf[t] * idf_by_term[t]), t))
+    return ranked[:max_terms]
+
+
+def oracle_more_like_this(
+    index: OracleIndex,
+    conv_id: str,
+    turn_idx: int,
+    k: int = 10,
+    max_terms: int = MLT_MAX_TERMS,
+) -> list[tuple[DocKey, float]]:
+    """Golden more-like-this: BM25 top-k of the disjunctive query built
+    from the source turn's top tf*idf terms, the source turn itself
+    excluded (Elasticsearch more_like_this semantics — an extension over
+    the reference, which has no similar-document query)."""
+    key = (conv_id, turn_idx)
+    toks = index.tokens.get(key, [])
+    if not toks:
+        return []
+    idfs = {t: index.idf(t) for t in set(toks)}
+    terms = mlt_select_terms(toks, idfs, max_terms)
+    scores = _score_candidates(index, terms, None)
+    scores.pop(key, None)
+    return _topk(scores, k)
+
+
 def oracle_recency_topk(
     index: OracleIndex,
     transcripts: pd.DataFrame,
