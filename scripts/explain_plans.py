@@ -279,6 +279,26 @@ def main() -> None:
             ),
         )
     )
+    from search_engine_spark.operators.mlt import more_like_this
+
+    sections.append(
+        (
+            "More-like-this (derived-query retrieval)",
+            "Expected: the derived query runs the ORDINARY analyzed topk "
+            "plan — bucket/term-pruned postings scan over the 25 selected "
+            "terms, one grouped kernel, broadcast label join — then a "
+            "codegen'd source-exclusion Filter and TakeOrderedAndProject "
+            "(orderBy+limit fuse; no global sort).  The source-turn read "
+            "that derives the terms is a SEPARATE prior job: a single-row "
+            "scan with PushedFilters on (conv_id, turn_idx) and ReadSchema "
+            "pruned to the text column, collected driver-side (one doc).",
+            cap(
+                more_like_this(
+                    idx, spark.read.parquet(pq), "conv-000004", 1, k=10
+                )
+            ),
+        )
+    )
     sections.append(
         (
             "Importance-weighted scoring (Ranker1 metric path)",
