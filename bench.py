@@ -83,6 +83,7 @@ CONTRACT_QUERIES = [
     "transcripts_synonyms",
     "transcripts_phrase_slop",
     "transcripts_more_like_this",
+    "transcripts_did_you_mean",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

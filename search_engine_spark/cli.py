@@ -417,6 +417,32 @@ def cmd_mlt(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_correct(args: argparse.Namespace) -> None:
+    """Did-you-mean: per unmatched query term, the highest-df
+    edit-distance-<=1 vocabulary neighbor; optionally run the corrected
+    query (analyzed execution)."""
+    from .operators.didyoumean import suggest_correction
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    t0 = time.time()
+    corrected, sugg = suggest_correction(idx, args.query)
+    out = {
+        "query": args.query,
+        "corrected_query": corrected,
+        "suggestions": sugg,
+        "seconds": round(time.time() - t0, 3),
+    }
+    if corrected and args.run:
+        rows = idx.topk(corrected, "disjunctive", args.k, analyzed=True).collect()
+        out["results"] = [
+            {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "score": r["score"]}
+            for r in rows
+        ]
+        out["seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+
+
 def cmd_bench(_args: argparse.Namespace) -> None:
     import runpy
 
@@ -661,6 +687,18 @@ def main(argv: list[str] | None = None) -> None:
         help="top tf*idf source terms kept for the derived query",
     )
     ml.set_defaults(fn=cmd_mlt)
+
+    co = sub.add_parser(
+        "correct", help="did-you-mean: spelling suggestions for unmatched terms"
+    )
+    co.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    co.add_argument("--query", required=True)
+    co.add_argument("--run", action="store_true", help="also run the corrected query")
+    co.add_argument("--k", type=int, default=10)
+    co.set_defaults(fn=cmd_correct)
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)

@@ -46,6 +46,7 @@ PRIORITY = [
     "transcripts_synonyms",  # r4: query-time synonym expansion
     "transcripts_phrase_slop",  # r4: ordered sloppy phrase ("a b"~2)
     "transcripts_more_like_this",  # r4: similar-turn retrieval (ES MLT)
+    "transcripts_did_you_mean",  # r4: spelling correction (ES term suggester)
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -2911,6 +2912,45 @@ def transcripts_more_like_this(spark, sf_dir):
     return more_like_this(idx, corpus, *_MLT_SRC, k=10).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
+
+
+#: Did-you-mean contract query: two misspelled terms (one-char typo /
+#: one-char insertion) plus a matched term that must stay untouched.
+_DYM_QUERY = "termm0003 term001 pony"
+
+
+def _dym_oracle_sql(query_text: str) -> str:
+    """VALUES oracle: the independent correction picks
+    (oracle.oracle_suggest_correction) — per unmatched analyzed term,
+    the highest-df edit-distance-<=1 vocabulary neighbor."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_suggest_correction
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    _corrected, sugg = oracle_suggest_correction(idx, query_text)
+    if not sugg:
+        return (
+            "SELECT term, suggestion FROM (VALUES ('', '')) "
+            "t(term, suggestion) WHERE FALSE"
+        )
+    values = ",\n  ".join(f"('{t}', '{s}')" for t, s in sorted(sugg.items()))
+    return f"SELECT term, suggestion FROM (VALUES\n  {values}\n) t(term, suggestion)"
+
+
+@q("transcripts_did_you_mean", _dym_oracle_sql(_DYM_QUERY))
+def transcripts_did_you_mean(spark, sf_dir):
+    """Did-you-mean (operators/didyoumean.py — the ES term-suggester
+    shape, suggest_mode=missing): each unmatched analyzed query term
+    maps to its highest-df edit-distance-<=1 vocabulary neighbor via
+    the SymSpell delete-1 machinery; matched terms are never touched."""
+    from .operators.didyoumean import suggest_correction
+
+    idx = _xs_index(spark)
+    _corrected, sugg = suggest_correction(idx, _DYM_QUERY)
+    rows = sorted(sugg.items())
+    if not rows:
+        return spark.createDataFrame([], "term string, suggestion string")
+    return spark.createDataFrame(rows, "term string, suggestion string")
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -547,6 +547,38 @@ def rank_fuzzy_candidates(
     return [w for _d, _ndf, w in hits[:limit]]
 
 
+def choose_correction(term: str, cands: list[tuple[str, int]]) -> str | None:
+    """Best spelling correction for an UNMATCHED query term: its
+    verified edit-distance-≤1 vocabulary neighbors ranked df desc, term
+    asc; ``None`` when no neighbor exists.  SHARED by the engine
+    operator (operators/didyoumean.py) and
+    :func:`oracle_suggest_correction` so both sides pick identically."""
+    hits = sorted((-df, w) for w, df in cands if within_edit1(term, w))
+    return hits[0][1] if hits else None
+
+
+def oracle_suggest_correction(
+    index: OracleIndex, query_text: str
+) -> tuple[str | None, dict[str, str]]:
+    """Golden did-you-mean: per unmatched analyzed term, the highest-df
+    edit-distance-≤1 vocabulary neighbor; the corrected query replaces
+    each corrected term in the ANALYZED token sequence (executable with
+    ``analyzed=True``).  ``(None, {})`` when every term matches or no
+    term has a neighbor."""
+    terms = analyze_query(query_text)
+    sugg: dict[str, str] = {}
+    for t in sorted(set(terms)):
+        if index.postings.get(t):
+            continue  # matched: nothing to correct
+        cands = [(w, len(p)) for w, p in index.postings.items() if within_edit1(t, w)]
+        c = choose_correction(t, cands)
+        if c is not None:
+            sugg[t] = c
+    if not sugg:
+        return None, {}
+    return " ".join(sugg.get(t, t) for t in terms), sugg
+
+
 def _oracle_fuzzy_expansions(
     index: OracleIndex, terms: list[str], limit: int
 ) -> dict[str, list[str]]:
