@@ -169,6 +169,17 @@ def search(
             ).collect()
         }
     if not rows:
+        # zero hits on a plain term query → offer a spelling correction
+        # (ES term-suggester, suggest_mode=missing; search-UI contract:
+        # "did you mean" appears only when the query found nothing).
+        # Term modes only; expansion rewrites already handled typos.
+        dym = {}
+        if not analyzed and mode in ("disjunctive", "conjunctive"):
+            from .operators.didyoumean import suggest_correction
+
+            corrected, _sugg = suggest_correction(index, query_text)
+            if corrected is not None:
+                dym = {"did_you_mean": corrected}
         return {
             "query": user_query,
             **({"expanded_query": query_text} if query_text != user_query else {}),
@@ -176,6 +187,7 @@ def search(
             "page": page,
             "results": [],
             "suggested_queries": [],
+            **dym,
             **totals,
         }
     convs = sorted({r.conv_id for r in rows})

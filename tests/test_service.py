@@ -109,6 +109,18 @@ def test_search_empty_query(spark, xs_setup):
     assert page["results"] == [] and page["suggested_queries"] == []
 
 
+def test_search_did_you_mean_on_zero_hits(spark, xs_setup):
+    """A misspelled term query with zero hits carries an executable
+    corrected query; a hopeless query (no ed<=1 neighbor) carries none."""
+    idx, tr = xs_setup
+    page = search(idx, tr, "termm0003")
+    assert page["results"] == [] and page["did_you_mean"] == "term0003"
+    rerun = search(idx, tr, page["did_you_mean"])
+    assert rerun["results"]  # the correction actually finds hits
+    assert "did_you_mean" not in search(idx, tr, "zzzznotaterm")
+    assert "did_you_mean" not in search(idx, tr, "term0003")  # has hits
+
+
 def test_boolean_snippets_ignore_operator_words(spark, xs_setup):
     """'AND' must not enter the snippet locator (substring locate would
     center windows on 'and' inside unrelated words)."""
