@@ -154,7 +154,9 @@ def test_topk_batch_row_identical_to_per_query(built):
     """One-job batch execution must reproduce every per-query topk
     exactly (same rows, same order within each query) across all modes
     of the reference query set."""
-    queries = [(q["query_text"], q["mode"], q["k"]) for q in REFERENCE_QUERIES]
+    queries = [(q["query_text"], q["mode"], q["k"]) for q in REFERENCE_QUERIES] + [
+        ('"term0001 term0002"~2', "phrase", 10)  # sloppy phrase rides batch too
+    ]
     batch = built.topk_batch(queries)
     rows = {}
     for r in batch.collect():
