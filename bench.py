@@ -84,6 +84,7 @@ CONTRACT_QUERIES = [
     "transcripts_phrase_slop",
     "transcripts_more_like_this",
     "transcripts_did_you_mean",
+    "transcripts_significant_terms",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

@@ -443,6 +443,37 @@ def cmd_correct(args: argparse.Namespace) -> None:
     print(json.dumps(out))
 
 
+def cmd_significant(args: argparse.Namespace) -> None:
+    """Significant terms: what is distinctive about the match set
+    (ES significant_terms, JLH scoring)."""
+    from .pipeline.significant import significant_terms
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    tr = load_transcripts(spark, args.input)
+    scope = tr.filter(args.where) if args.where else None
+    t0 = time.time()
+    rows = significant_terms(
+        idx, tr, args.query, args.mode, n=args.n, min_fg=args.min_fg,
+        include_query_terms=args.include_query_terms, scope=scope,
+    ).collect()
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "mode": args.mode,
+                "seconds": round(time.time() - t0, 3),
+                "terms": [
+                    {"term": r["term"], "fg": r["fg"], "bg": r["bg"],
+                     "score": r["score"]}
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
 def cmd_bench(_args: argparse.Namespace) -> None:
     import runpy
 
@@ -699,6 +730,25 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--run", action="store_true", help="also run the corrected query")
     co.add_argument("--k", type=int, default=10)
     co.set_defaults(fn=cmd_correct)
+
+    sg = sub.add_parser(
+        "significant", help="terms overrepresented in the match set (ES JLH)"
+    )
+    sg.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    sg.add_argument("--input", required=True, help="transcripts (parquet/table:)")
+    sg.add_argument("--query", required=True)
+    sg.add_argument(
+        "--mode", default="disjunctive",
+        choices=["disjunctive", "conjunctive", "phrase", "boolean"],
+    )
+    sg.add_argument("--n", type=int, default=10)
+    sg.add_argument("--min-fg", type=int, default=2)
+    sg.add_argument("--include-query-terms", action="store_true")
+    sg.add_argument("--where", help="SQL predicate scoping the match set")
+    sg.set_defaults(fn=cmd_significant)
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)

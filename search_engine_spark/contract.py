@@ -47,6 +47,7 @@ PRIORITY = [
     "transcripts_phrase_slop",  # r4: ordered sloppy phrase ("a b"~2)
     "transcripts_more_like_this",  # r4: similar-turn retrieval (ES MLT)
     "transcripts_did_you_mean",  # r4: spelling correction (ES term suggester)
+    "transcripts_significant_terms",  # r4: JLH aggregation over the match set
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -2951,6 +2952,49 @@ def transcripts_did_you_mean(spark, sf_dir):
     if not rows:
         return spark.createDataFrame([], "term string, suggestion string")
     return spark.createDataFrame(rows, "term string, suggestion string")
+
+
+def _sig_oracle_sql(query_text: str, mode: str, n: int = 10) -> str:
+    """VALUES oracle: the independent significant-terms ranking
+    (oracle.oracle_significant_terms — ES JLH: (fg%-bg%)*(fg%/bg%) over
+    the matched turns' distinct terms vs the corpus background)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_significant_terms
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_significant_terms(idx, query_text, mode, n)
+    if not rows:
+        return (
+            "SELECT term, fg, bg, score FROM (VALUES ('', 0, 0, 0.0)) "
+            "t(term, fg, bg, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{t}', {f}, {b}, {float(s)!r})" for t, f, b, s in rows
+    )
+    return (
+        "SELECT term, fg, bg, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(term, fg, bg, score)"
+    )
+
+
+@q(
+    "transcripts_significant_terms",
+    _sig_oracle_sql("term0003 term0004", "conjunctive", 10),
+)
+def transcripts_significant_terms(spark, sf_dir):
+    """Significant terms (pipeline/significant.py — the ES
+    significant_terms JLH aggregation): terms overrepresented in the
+    match set vs the corpus background; foreground from one Arrow
+    tokenize pass over ONLY the matched turns, background from the
+    persisted idf table, query terms excluded."""
+    from .corpus import generate_transcripts
+    from .pipeline.significant import significant_terms
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return significant_terms(
+        idx, corpus, "term0003 term0004", "conjunctive", n=10
+    ).select("term", "fg", "bg", rnd(F.col("score"), 5).alias("score"))
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -547,6 +547,51 @@ def rank_fuzzy_candidates(
     return [w for _d, _ndf, w in hits[:limit]]
 
 
+def oracle_significant_terms(
+    index: OracleIndex,
+    query_text: str,
+    mode: str = "disjunctive",
+    n: int = 10,
+    min_fg: int = 2,
+    include_query_terms: bool = False,
+) -> list[tuple[str, int, int, float]]:
+    """Golden significant-terms: per term of the matched turns,
+    (term, fg, bg, jlh) with jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct),
+    fg_pct > bg_pct, ranked score desc / term asc, top n — the ES
+    significant_terms JLH contract the engine reproduces
+    (pipeline/significant.py)."""
+    docs = oracle_matches(index, query_text, mode)
+    fg_total = len(docs)
+    if not fg_total:
+        return []
+    fg: dict[str, int] = {}
+    for d in docs:
+        for t in set(index.tokens.get(d, ())):
+            fg[t] = fg.get(t, 0) + 1
+    qterms: set[str] = set()
+    if not include_query_terms:
+        if mode == "phrase":
+            m = PHRASE_PATTERN.search(query_text)
+            qterms = set(analyze_text(m.group(1) if m else query_text))
+        elif mode == "boolean":
+            qterms = {
+                t for p in PHRASE_PATTERN.findall(query_text) for t in analyze_text(p)
+            }
+        else:
+            qterms = set(analyze_query(query_text))
+    rows = []
+    for t, f in fg.items():
+        if f < min_fg or t in qterms:
+            continue
+        bg = index.df(t)
+        fg_pct, bg_pct = f / fg_total, bg / index.n_docs
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        if score > 0.0:
+            rows.append((t, f, bg, score))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return rows[:n]
+
+
 def choose_correction(term: str, cands: list[tuple[str, int]]) -> str | None:
     """Best spelling correction for an UNMATCHED query term: its
     verified edit-distance-≤1 vocabulary neighbors ranked df desc, term

@@ -1,0 +1,128 @@
+"""Significant terms — what is DISTINCTIVE about a query's match set.
+
+The Elasticsearch ``significant_terms`` aggregation (public JLH scoring
+semantics) over the transcripts engine: for every term appearing in the
+matched turns, compare its foreground document frequency (share of
+matched turns containing it) against its background document frequency
+(share of the whole corpus, from the index's persisted idf table) and
+rank by
+
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct),   fg_pct > bg_pct
+
+— the "surprise times impact" product ES documents for JLH.  The
+reference has no analog; transcript users ask exactly this ("what terms
+distinguish the sessions that matched 'timeout'?").
+
+Plan shape (and why it scales): the match set is query-bounded
+(``index.matches`` — the same O(matches) set every paginated request
+already counts), the foreground pass joins it back to the transcripts
+with a key semi-join (AQE broadcasts the small side) and tokenizes ONLY
+the matched turns in one Arrow ``mapInPandas`` pass — O(matched text),
+NOT a corpus scan; background frequencies come from the one-row-per-term
+idf table (no postings decode).  The alternative — counting matched
+docs inside every term's posting list — would scan the ENTIRE index per
+request; tokenizing the match set is strictly cheaper whenever the match
+set is smaller than the corpus, i.e. always.  Final cut is a
+TakeOrderedAndProject on (score desc, term asc).
+
+Query terms themselves are excluded by default (they are trivially
+significant — fg_pct = 1 for conjunctive terms); ``include_query_terms``
+restores the raw ES behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..textproc import analyze_text
+
+RESULT_SCHEMA = "term string, fg long, bg long, score double"
+
+
+def _distinct_terms_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """text batches → one row per (doc, DISTINCT term): document
+    frequency semantics, Arrow-batched, shared stem cache per task."""
+    stem_cache: dict[str, str] = {}
+    for pdf in batches:
+        out: list[str] = []
+        for t in pdf["text"]:
+            out.extend(
+                set(analyze_text(t if isinstance(t, str) else "", _stem_cache=stem_cache))
+            )
+        yield pd.DataFrame({"term": pd.array(out, dtype="string")})
+
+
+def significant_terms(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    n: int = 10,
+    min_fg: int = 2,
+    include_query_terms: bool = False,
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+) -> DataFrame:
+    """Top-n distinctive terms of the match set →
+    DataFrame(term, fg, bg, score) ordered by (score desc, term asc).
+
+    ``fg`` = matched turns containing the term, ``bg`` = its corpus df;
+    JLH score as above.  Oracle: ``oracle.oracle_significant_terms``."""
+    from .. import oracle as _o
+    from ..index.reader import parse_query
+
+    matched = index.matches(
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+    )
+    fg_total = matched.count()
+    if fg_total == 0:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    fg = (
+        transcripts.join(matched, ["conv_id", "turn_idx"], "leftsemi")
+        .select("text")
+        .mapInPandas(_distinct_terms_kernel, schema="term string")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg"))
+        .filter(F.col("fg") >= min_fg)
+    )
+    if not include_query_terms:
+        spec = parse_query(query_text, mode, analyzed=analyzed)
+        qterms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        fg = fg.filter(~F.col("term").isin(qterms))
+    # background df from the one-row-per-term idf table (bucket layout
+    # cannot prune an unknown term set — this is the table built to pay
+    # that scan, same trade as prefix expansion); every foreground term
+    # is in the vocabulary, so the inner join loses nothing.  MultiIndex:
+    # per-segment dfs sum (the same union-vocabulary contract as fuzzy /
+    # prefix expansion).
+    segments = getattr(index, "segments", None)
+    if segments is None:
+        bg = index._idf.select("term", F.col("df").alias("bg"))
+    else:
+        from functools import reduce
+
+        bg = (
+            reduce(
+                DataFrame.unionByName,
+                [s._idf.select("term", "df") for s in segments],
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("bg"))
+        )
+    n_docs = float(index.n_docs)
+    fg_pct = F.col("fg") / F.lit(float(fg_total))
+    bg_pct = F.col("bg") / F.lit(n_docs)
+    return (
+        fg.join(bg, "term")
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), "term")
+        .limit(n)
+        .select("term", "fg", "bg", "score")
+    )
