@@ -279,6 +279,27 @@ def main() -> None:
             ),
         )
     )
+    from search_engine_spark.pipeline.significant import significant_terms
+
+    sections.append(
+        (
+            "Significant terms (JLH aggregation over the match set)",
+            "Expected: the match-set job feeds a LEFT-SEMI join against "
+            "the transcripts scan (AQE broadcasts the small side), ONE "
+            "Arrow MapInPandas tokenize pass over ONLY the matched turns "
+            "with ReadSchema pruned to text, a partial-aggregated "
+            "groupBy(term) count, a join to the one-row-per-term idf "
+            "table for the background df, codegen'd JLH arithmetic, and "
+            "TakeOrderedAndProject — no corpus-wide tokenize, no "
+            "postings decode.",
+            cap(
+                significant_terms(
+                    idx, spark.read.parquet(pq), "term0003 term0004",
+                    "conjunctive", n=10,
+                )
+            ),
+        )
+    )
     from search_engine_spark.operators.mlt import more_like_this
 
     sections.append(
