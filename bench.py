@@ -85,6 +85,7 @@ CONTRACT_QUERIES = [
     "transcripts_more_like_this",
     "transcripts_did_you_mean",
     "transcripts_significant_terms",
+    "transcripts_date_histogram",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

@@ -474,6 +474,32 @@ def cmd_significant(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_histogram(args: argparse.Namespace) -> None:
+    """Date histogram: match counts per calendar interval of ts."""
+    from .pipeline.histogram import date_histogram
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    tr = load_transcripts(spark, args.input)
+    scope = tr.filter(args.where) if args.where else None
+    t0 = time.time()
+    rows = date_histogram(
+        idx, tr, args.query, args.mode, args.interval, scope=scope
+    ).collect()
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "mode": args.mode,
+                "interval": args.interval,
+                "seconds": round(time.time() - t0, 3),
+                "buckets": [{"bucket": str(r["bucket"]), "n": r["n"]} for r in rows],
+            }
+        )
+    )
+
+
 def cmd_bench(_args: argparse.Namespace) -> None:
     import runpy
 
@@ -749,6 +775,26 @@ def main(argv: list[str] | None = None) -> None:
     sg.add_argument("--include-query-terms", action="store_true")
     sg.add_argument("--where", help="SQL predicate scoping the match set")
     sg.set_defaults(fn=cmd_significant)
+
+    hg = sub.add_parser(
+        "histogram", help="match counts per calendar interval of ts"
+    )
+    hg.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    hg.add_argument("--input", required=True, help="transcripts (parquet/table:)")
+    hg.add_argument("--query", required=True)
+    hg.add_argument(
+        "--mode", default="disjunctive",
+        choices=["disjunctive", "conjunctive", "phrase", "boolean"],
+    )
+    hg.add_argument(
+        "--interval", default="hour",
+        choices=["minute", "hour", "day", "week", "month", "year"],
+    )
+    hg.add_argument("--where", help="SQL predicate scoping the match set")
+    hg.set_defaults(fn=cmd_histogram)
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)

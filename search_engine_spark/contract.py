@@ -48,6 +48,7 @@ PRIORITY = [
     "transcripts_more_like_this",  # r4: similar-turn retrieval (ES MLT)
     "transcripts_did_you_mean",  # r4: spelling correction (ES term suggester)
     "transcripts_significant_terms",  # r4: JLH aggregation over the match set
+    "transcripts_date_histogram",  # r4: per-interval match counts
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -2995,6 +2996,46 @@ def transcripts_significant_terms(spark, sf_dir):
     return significant_terms(
         idx, corpus, "term0003 term0004", "conjunctive", n=10
     ).select("term", "fg", "bg", rnd(F.col("score"), 5).alias("score"))
+
+
+def _hist_oracle_sql(query_text: str, mode: str, interval: str) -> str:
+    """VALUES oracle: the independent date-histogram buckets
+    (oracle.oracle_date_histogram); buckets compared as strings so the
+    check is timezone/type-representation-proof."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_date_histogram
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_date_histogram(idx, pdf, query_text, mode, interval)
+    if not rows:
+        return (
+            "SELECT bucket, n FROM (VALUES ('', 0)) t(bucket, n) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{b.strftime('%Y-%m-%d %H:%M:%S')}', {n})" for b, n in rows
+    )
+    return f"SELECT bucket, n FROM (VALUES\n  {values}\n) t(bucket, n)"
+
+
+@q(
+    "transcripts_date_histogram",
+    _hist_oracle_sql("term0003 term0004", "conjunctive", "hour"),
+)
+def transcripts_date_histogram(spark, sf_dir):
+    """Date histogram (pipeline/histogram.py — the ES date_histogram
+    aggregation, min_doc_count=1): the match set bucketed by calendar
+    hour of ts; pure JVM expressions over a (keys, ts)-pruned scan."""
+    from .corpus import generate_transcripts
+    from .pipeline.histogram import date_histogram
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return date_histogram(
+        idx, corpus, "term0003 term0004", "conjunctive", "hour"
+    ).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"), "n"
+    )
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -592,6 +592,43 @@ def oracle_significant_terms(
     return rows[:n]
 
 
+def oracle_date_histogram(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    interval: str = "hour",
+) -> list[tuple[pd.Timestamp, int]]:
+    """Golden date-histogram: the match set bucketed by the calendar
+    interval of ``ts``, one (bucket, count) row per non-empty bucket,
+    ascending — the ES date_histogram/min_doc_count=1 contract the
+    engine reproduces (pipeline/histogram.py)."""
+    docs = oracle_matches(index, query_text, mode)
+    if not docs:
+        return []
+    df = transcripts[["conv_id", "turn_idx", "ts"]]
+    keys = set(docs)
+    mask = [
+        (str(c), int(t)) in keys for c, t in zip(df["conv_id"], df["turn_idx"])
+    ]
+    hit = df[pd.Series(mask, index=df.index)]
+    # pandas floor freq strings: minute='min', hour='h', day='D'; weeks/
+    # months are calendar units floor() does not take — use to_period.
+    if interval in ("week", "month", "year"):
+        per = hit["ts"].dt.to_period(
+            {"week": "W", "month": "M", "year": "Y"}[interval]
+        )
+        buckets = per.dt.start_time
+    elif interval == "minute":
+        buckets = hit["ts"].dt.floor("min")
+    elif interval == "hour":
+        buckets = hit["ts"].dt.floor("h")
+    else:  # day
+        buckets = hit["ts"].dt.floor("D")
+    counts = buckets.value_counts().sort_index()
+    return [(b, int(n)) for b, n in counts.items()]
+
+
 def choose_correction(term: str, cands: list[tuple[str, int]]) -> str | None:
     """Best spelling correction for an UNMATCHED query term: its
     verified edit-distance-≤1 vocabulary neighbors ranked df desc, term

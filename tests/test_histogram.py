@@ -1,0 +1,64 @@
+"""Date histogram (pipeline/histogram.py) vs the pure-Python oracle.
+
+ES date_histogram semantics with min_doc_count=1: the match set bucketed
+by a calendar interval of ts, non-empty buckets only, ascending.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.config import BuildConfig
+from search_engine_spark.corpus import generate_transcripts
+from search_engine_spark.index.build import build_index
+from search_engine_spark.index.reader import CompressedIndex
+from search_engine_spark.oracle import build_oracle_index, oracle_date_histogram
+from search_engine_spark.pipeline.histogram import date_histogram
+
+_CASES = [
+    ("term0001", "disjunctive", "minute"),
+    ("term0001", "disjunctive", "hour"),
+    ("term0003 term0004", "conjunctive", "hour"),
+    ('"phrase alpha beta"', "phrase", "day"),
+    ("term0001", "disjunctive", "month"),
+]
+
+
+@pytest.fixture(scope="module")
+def xs_pdf():
+    return generate_transcripts("xs")
+
+
+@pytest.fixture(scope="module")
+def xs_df(spark, xs_pdf):
+    return spark.createDataFrame(xs_pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def xs_index(spark, xs_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("hist") / "idx")
+    build_index(spark, xs_df, out, BuildConfig(num_groups=2))
+    return CompressedIndex(spark, out)
+
+
+@pytest.fixture(scope="module")
+def xs_oracle(xs_pdf):
+    return build_oracle_index(xs_pdf)
+
+
+@pytest.mark.parametrize("q,m,iv", _CASES)
+def test_histogram_matches_oracle(xs_index, xs_df, xs_pdf, xs_oracle, q, m, iv):
+    got = [
+        (str(r.bucket), r.n)
+        for r in date_histogram(xs_index, xs_df, q, m, iv).collect()
+    ]
+    want = [(str(b), n) for b, n in oracle_date_histogram(xs_oracle, xs_pdf, q, m, iv)]
+    assert got == want and got
+    # total across buckets == the match count (nothing lost to bucketing)
+    assert sum(n for _b, n in got) == xs_index.match_count(q, m)
+
+
+def test_histogram_empty_and_bad_interval(xs_index, xs_df):
+    assert date_histogram(xs_index, xs_df, "zzzznotaterm").count() == 0
+    with pytest.raises(ValueError):
+        date_histogram(xs_index, xs_df, "term0001", interval="fortnight")
