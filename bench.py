@@ -86,6 +86,7 @@ CONTRACT_QUERIES = [
     "transcripts_did_you_mean",
     "transcripts_significant_terms",
     "transcripts_date_histogram",
+    "transcripts_top_hits_by_role",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

@@ -500,6 +500,38 @@ def cmd_histogram(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_top_hits(args: argparse.Namespace) -> None:
+    """Best k hits per value of a metadata column (ES terms+top_hits)."""
+    from .pipeline.tophits import top_hits_by
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    tr = load_transcripts(spark, args.input)
+    t0 = time.time()
+    rows = top_hits_by(idx, tr, args.query, args.by, args.mode, args.k).collect()
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "mode": args.mode,
+                "by": args.by,
+                "seconds": round(time.time() - t0, 3),
+                "hits": [
+                    {
+                        args.by: r[args.by],
+                        "rank": r["rank"],
+                        "conv_id": r["conv_id"],
+                        "turn_idx": r["turn_idx"],
+                        "score": r["score"],
+                    }
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
 def cmd_bench(_args: argparse.Namespace) -> None:
     import runpy
 
@@ -795,6 +827,23 @@ def main(argv: list[str] | None = None) -> None:
     )
     hg.add_argument("--where", help="SQL predicate scoping the match set")
     hg.set_defaults(fn=cmd_histogram)
+
+    th = sub.add_parser(
+        "top-hits", help="best k hits per value of a metadata column"
+    )
+    th.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    th.add_argument("--input", required=True, help="transcripts (parquet/table:)")
+    th.add_argument("--query", required=True)
+    th.add_argument("--by", required=True, help="transcripts bucket column (e.g. role)")
+    th.add_argument(
+        "--mode", default="disjunctive",
+        choices=["disjunctive", "conjunctive", "phrase", "boolean"],
+    )
+    th.add_argument("--k", type=int, default=3)
+    th.set_defaults(fn=cmd_top_hits)
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)

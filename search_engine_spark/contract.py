@@ -49,6 +49,7 @@ PRIORITY = [
     "transcripts_did_you_mean",  # r4: spelling correction (ES term suggester)
     "transcripts_significant_terms",  # r4: JLH aggregation over the match set
     "transcripts_date_histogram",  # r4: per-interval match counts
+    "transcripts_top_hits_by_role",  # r4: per-bucket top-k (ES top_hits)
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -3035,6 +3036,50 @@ def transcripts_date_histogram(spark, sf_dir):
         idx, corpus, "term0003 term0004", "conjunctive", "hour"
     ).select(
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"), "n"
+    )
+
+
+def _tophits_oracle_sql(query_text: str, mode: str, by: str, k: int) -> str:
+    """VALUES oracle: the independent per-bucket top-k
+    (oracle.oracle_top_hits_by — ES terms+top_hits contract)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_top_hits_by
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_top_hits_by(idx, pdf, query_text, by, mode, k)
+    if not rows:
+        return (
+            f"SELECT {by}, rank, conv_id, turn_idx, score FROM (VALUES "
+            f"('', 0, '', 0, 0.0)) t({by}, rank, conv_id, turn_idx, score) "
+            "WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{b}', {rk}, '{c}', {t}, {float(s)!r})" for b, rk, c, t, s in rows
+    )
+    return (
+        f"SELECT {by}, rank, conv_id, turn_idx, round(score + 1e-9, 5) AS score "
+        f"FROM (VALUES\n  {values}\n) t({by}, rank, conv_id, turn_idx, score)"
+    )
+
+
+@q(
+    "transcripts_top_hits_by_role",
+    _tophits_oracle_sql("term0001 term0002", "disjunctive", "role", 2),
+)
+def transcripts_top_hits_by_role(spark, sf_dir):
+    """Top hits per bucket (pipeline/tophits.py — the ES terms+top_hits
+    aggregation): best 2 turns per role for the query; exhaustive-score
+    kernel + WindowGroupLimit per-bucket cut."""
+    from .corpus import generate_transcripts
+    from .pipeline.tophits import top_hits_by
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return top_hits_by(
+        idx, corpus, "term0001 term0002", "role", "disjunctive", 2
+    ).select(
+        "role", "rank", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
 
 

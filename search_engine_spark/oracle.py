@@ -629,6 +629,37 @@ def oracle_date_histogram(
     return [(b, int(n)) for b, n in counts.items()]
 
 
+def oracle_top_hits_by(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    by: str,
+    mode: str = "disjunctive",
+    k: int = 3,
+) -> list[tuple[object, int, str, int, float]]:
+    """Golden top-hits-per-bucket: (<by>, rank, conv_id, turn_idx,
+    score), hits ranked (score desc, conv asc, turn asc) within each
+    bucket, buckets ascending — the ES terms+top_hits contract the
+    engine reproduces (pipeline/tophits.py)."""
+    rows = oracle_topk(index, query_text, mode, 1 << 62)
+    byval = {
+        (str(c), int(t)): (None if pd.isna(v) else v)
+        for c, t, v in zip(transcripts["conv_id"], transcripts["turn_idx"], transcripts[by])
+    }
+    groups: dict[object, list[tuple[DocKey, float]]] = {}
+    for key, score in rows:  # already (score desc, conv asc, turn asc)
+        b = byval[key]
+        g = groups.setdefault(b, [])
+        if len(g) < k:
+            g.append((key, score))
+    out = []
+    # None (NULL bucket) first — Spark's nulls-first ascending default
+    for b in sorted(groups, key=lambda v: (v is not None, v)):
+        for rank, (key, score) in enumerate(groups[b], start=1):
+            out.append((b, rank, key[0], key[1], score))
+    return out
+
+
 def choose_correction(term: str, cands: list[tuple[str, int]]) -> str | None:
     """Best spelling correction for an UNMATCHED query term: its
     verified edit-distance-≤1 vocabulary neighbors ranked df desc, term
