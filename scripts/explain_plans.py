@@ -300,6 +300,41 @@ def main() -> None:
             ),
         )
     )
+    from search_engine_spark.pipeline.histogram import date_histogram
+
+    sections.append(
+        (
+            "Date histogram over the match set",
+            "Expected: match-set semi-join against a transcripts scan "
+            "with ReadSchema pruned to (conv_id, turn_idx, ts) — never "
+            "text — then codegen'd date_trunc + a partial-aggregated "
+            "count (HashAggregate pair around one exchange of at most "
+            "|buckets| groups).  No UDF anywhere.",
+            cap(
+                date_histogram(
+                    idx, spark.read.parquet(pq), "term0003 term0004",
+                    "conjunctive", "hour",
+                )
+            ),
+        )
+    )
+    from search_engine_spark.pipeline.tophits import top_hits_by
+
+    sections.append(
+        (
+            "Top hits per bucket (terms + top_hits)",
+            "Expected: the exhaustive-scoring kernel feeds a join to a "
+            "(keys, role)-pruned transcripts scan; the rank<=k filter "
+            "over the per-bucket window becomes WindowGroupLimit — a "
+            "per-partition top-k, not a full sort.",
+            cap(
+                top_hits_by(
+                    idx, spark.read.parquet(pq), "term0001 term0002",
+                    "role", "disjunctive", 2,
+                )
+            ),
+        )
+    )
     from search_engine_spark.operators.mlt import more_like_this
 
     sections.append(
