@@ -257,6 +257,7 @@ def cmd_search(args: argparse.Namespace) -> None:
         collapse=getattr(args, "collapse", False),
         synonyms=getattr(args, "synonyms", False),
         recency=_recency_opts(args),
+        analyzed=getattr(args, "analyzed", False),
     )
     page["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(page))
@@ -697,6 +698,10 @@ def main(argv: list[str] | None = None) -> None:
                     choices=["disjunctive", "conjunctive", "phrase", "boolean"])
     se.add_argument("--k", type=int, default=10)
     se.add_argument("--page", type=int, default=1)
+    se.add_argument(
+        "--analyzed", action="store_true",
+        help="query is pre-analyzed vocabulary (e.g. a did_you_mean rewrite)",
+    )
     se.add_argument(
         "--tombstones",
         help="JSONL of {conv_id[, turn_idx]} rows to exclude (deleted docs)",

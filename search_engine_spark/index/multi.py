@@ -432,20 +432,28 @@ class MultiIndex:
             return query_text
         return rewrite_fuzzy(toks, self._fuzzy_expansions(terms, limit))
 
-    def _fuzzy_expansions(
-        self, terms: list[str], limit: int
-    ) -> dict[str, list[str]]:
-        from ..oracle import rank_fuzzy_candidates
-
+    def _fuzzy_rows(self, terms: list[str]) -> dict[str, list[tuple[str, int]]]:
+        """Per-segment delete-1 collision candidates merged with df
+        summed (raw sums, like :meth:`expand_prefixes`) — the MultiIndex
+        face of ``CompressedIndex._fuzzy_rows``, so fuzzy expansion and
+        did-you-mean (operators/didyoumean.py) share ONE merge contract."""
         merged: dict[str, dict[str, int]] = {t: {} for t in terms}
         for seg in self.segments:
             for t, lst in seg._fuzzy_rows(terms).items():
                 acc = merged[t]
                 for w, dfv in lst:
                     acc[w] = acc.get(w, 0) + dfv
+        return {t: list(d.items()) for t, d in merged.items()}
+
+    def _fuzzy_expansions(
+        self, terms: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        from ..oracle import rank_fuzzy_candidates
+
+        cand = self._fuzzy_rows(terms)
         expansions: dict[str, list[str]] = {}
         for t in terms:
-            exp = rank_fuzzy_candidates(t, list(merged[t].items()), limit)
+            exp = rank_fuzzy_candidates(t, cand.get(t, []), limit)
             if exp:
                 expansions[t] = exp
         return expansions

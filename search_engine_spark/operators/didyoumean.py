@@ -32,19 +32,6 @@ from ..oracle import choose_correction
 from ..textproc import analyze_query
 
 
-def _fuzzy_rows_any(index, terms: list[str]) -> dict[str, list[tuple[str, int]]]:
-    segments = getattr(index, "segments", None)
-    if segments is None:
-        return index._fuzzy_rows(terms)
-    merged: dict[str, dict[str, int]] = {t: {} for t in terms}
-    for seg in segments:
-        for t, lst in seg._fuzzy_rows(terms).items():
-            acc = merged[t]
-            for w, dfv in lst:
-                acc[w] = acc.get(w, 0) + dfv
-    return {t: list(d.items()) for t, d in merged.items()}
-
-
 def suggest_correction(
     index, query_text: str
 ) -> tuple[str | None, dict[str, str]]:
@@ -55,7 +42,8 @@ def suggest_correction(
     uniq = sorted(set(terms))
     if not uniq:
         return None, {}
-    cand = _fuzzy_rows_any(index, uniq)
+    # both readers expose _fuzzy_rows (MultiIndex merges per-segment dfs)
+    cand = index._fuzzy_rows(uniq)
     sugg: dict[str, str] = {}
     for t in uniq:
         lst = cand.get(t, [])

@@ -407,13 +407,15 @@ def mlt_select_terms(
     """The MLT query terms of ONE document: its distinct analyzed terms
     ranked by tf*idf descending (term ascending on ties), top
     ``max_terms``.  SHARED by the engine operator (operators/mlt.py) and
-    :func:`oracle_more_like_this` so both sides rank float-for-float
-    identically (tf is an int count; idf a float64 from the same
-    formula)."""
+    :func:`oracle_more_like_this`; the ranking key rounds to 9 decimals
+    so a last-ulp idf divergence between the engine's stored idf (JVM
+    log) and the oracle's ``math.log`` cannot flip the order at the
+    ``max_terms`` cut boundary — the same cross-runtime float defense
+    the score oracles apply (5-decimal rounding)."""
     tf: dict[str, int] = {}
     for t in tokens:
         tf[t] = tf.get(t, 0) + 1
-    ranked = sorted(tf, key=lambda t: (-(tf[t] * idf_by_term[t]), t))
+    ranked = sorted(tf, key=lambda t: (-round(tf[t] * idf_by_term[t], 9), t))
     return ranked[:max_terms]
 
 
@@ -625,8 +627,14 @@ def oracle_date_histogram(
         buckets = hit["ts"].dt.floor("h")
     else:  # day
         buckets = hit["ts"].dt.floor("D")
-    counts = buckets.value_counts().sort_index()
-    return [(b, int(n)) for b, n in counts.items()]
+    counts = buckets.value_counts().sort_index()  # dropna: NaT handled below
+    out = [(b, int(n)) for b, n in counts.items()]
+    # a NULL ts groups into a NULL bucket on the engine side
+    # (date_trunc(NULL)=NULL), ordered FIRST (Spark nulls-first asc)
+    n_null = int(buckets.isna().sum())
+    if n_null:
+        out.insert(0, (None, n_null))
+    return out
 
 
 def oracle_top_hits_by(

@@ -75,11 +75,16 @@ def significant_terms(
     from .. import oracle as _o
     from ..index.reader import parse_query
 
+    # persist: the match set is consumed TWICE (fg_total count + the
+    # foreground semi-join) — without it each use re-runs the O(postings)
+    # match kernel, doubling the dominant cost.  O(matches) keys only;
+    # Spark evicts LRU if memory is tight.
     matched = index.matches(
         query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
-    )
+    ).persist()
     fg_total = matched.count()
     if fg_total == 0:
+        matched.unpersist()
         return index.spark.createDataFrame([], RESULT_SCHEMA)
     fg = (
         transcripts.join(matched, ["conv_id", "turn_idx"], "leftsemi")

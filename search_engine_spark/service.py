@@ -67,6 +67,7 @@ def search(
     collapse: bool = False,
     synonyms: bool | dict = False,
     recency: dict | None = None,
+    analyzed: bool = False,
 ) -> dict:
     """One enriched result page.
 
@@ -94,6 +95,12 @@ def search(
     raw-word mapping.  Disjunctive only (OR-semantics is what a synonym
     means); the response echoes ``expanded_query``.
 
+    ``analyzed=True`` treats ``query_text`` as whitespace-joined index
+    vocabulary terms (term modes only) — the resubmission mode for a
+    ``did_you_mean`` rewrite, which is analyzed and must not be
+    re-stemmed.  A zero-hit first page on a plain term query carries
+    ``did_you_mean`` (the ES term suggester, suggest_mode=missing).
+
     ``recency`` ({"now": iso_ts, "scale_s": s[, "offset_s", "decay_rate"]})
     reranks by freshness-decayed BM25 (``operators/recency.py`` — the ES
     function_score decay): results carry both ``score`` and
@@ -104,8 +111,11 @@ def search(
     if page < 1:
         raise ValueError("page is 1-based")
     user_query = query_text
-    analyzed = False
-    if _has_expansion_tokens(query_text):
+    # ``analyzed=True`` = query_text is already index vocabulary (e.g. a
+    # did_you_mean rewrite being resubmitted): skip re-analysis AND the
+    # marker expansion — Porter is not idempotent, so a second pass
+    # would corrupt non-fixed-point vocab terms.
+    if not analyzed and _has_expansion_tokens(query_text):
         # Lucene-style prefix/fuzzy expansion: trailing-* / trailing-~
         # tokens rewrite to index-vocabulary terms.  The rewrite is
         # FULLY ANALYZED (vocab terms must not be re-stemmed — Porter
@@ -172,9 +182,13 @@ def search(
         # zero hits on a plain term query → offer a spelling correction
         # (ES term-suggester, suggest_mode=missing; search-UI contract:
         # "did you mean" appears only when the query found nothing).
-        # Term modes only; expansion rewrites already handled typos.
+        # page==1 empty IS "found nothing" (page 1 slices the deep top-k
+        # from rank 0); deeper empty pages of matching queries must not
+        # trigger it (or pay its vocabulary lookup).  Term modes only;
+        # expansion rewrites already handled typos.  The suggestion is
+        # an ANALYZED rewrite — resubmit it with ``analyzed=True``.
         dym = {}
-        if not analyzed and mode in ("disjunctive", "conjunctive"):
+        if page == 1 and not analyzed and mode in ("disjunctive", "conjunctive"):
             from .operators.didyoumean import suggest_correction
 
             corrected, _sugg = suggest_correction(index, query_text)

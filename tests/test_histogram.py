@@ -62,3 +62,26 @@ def test_histogram_empty_and_bad_interval(xs_index, xs_df):
     assert date_histogram(xs_index, xs_df, "zzzznotaterm").count() == 0
     with pytest.raises(ValueError):
         date_histogram(xs_index, xs_df, "term0001", interval="fortnight")
+
+
+def test_histogram_null_ts_bucket(spark, xs_index, xs_pdf, xs_oracle):
+    """A matching turn with ts=NULL lands in a NULL bucket FIRST on the
+    engine side (date_trunc(NULL)=NULL, nulls-first asc); the oracle
+    counts it identically instead of silently dropping NaT."""
+    import pandas as pd
+
+    nulled = xs_pdf.copy()
+    nulled.loc[nulled.index[:5], "ts"] = pd.NaT  # first conv's turns 0-4
+    df = spark.createDataFrame(nulled)
+    q, m = "term0001", "disjunctive"
+    got = [
+        (None if r.bucket is None else str(r.bucket), r.n)
+        for r in date_histogram(xs_index, df, q, m, "hour").collect()
+    ]
+    want = [
+        (None if b is None else str(b), n)
+        for b, n in oracle_date_histogram(xs_oracle, nulled, q, m, "hour")
+    ]
+    assert got == want
+    if any(b is None for b, _n in want):  # first conv matched the query
+        assert got[0][0] is None

@@ -115,10 +115,32 @@ def test_search_did_you_mean_on_zero_hits(spark, xs_setup):
     idx, tr = xs_setup
     page = search(idx, tr, "termm0003")
     assert page["results"] == [] and page["did_you_mean"] == "term0003"
-    rerun = search(idx, tr, page["did_you_mean"])
+    rerun = search(idx, tr, page["did_you_mean"], analyzed=True)
     assert rerun["results"]  # the correction actually finds hits
     assert "did_you_mean" not in search(idx, tr, "zzzznotaterm")
     assert "did_you_mean" not in search(idx, tr, "term0003")  # has hits
+
+
+def test_did_you_mean_roundtrip_stem_unstable(spark, xs_setup):
+    """The corrected query is ANALYZED vocabulary: 'causx' corrects to
+    'caus' (stem of cause/causes), which a re-analysis would corrupt to
+    'cau' (Porter is not idempotent) — analyzed=True resubmission is the
+    contract, and it must find hits where the naive round-trip finds none."""
+    idx, tr = xs_setup
+    page = search(idx, tr, "causx")
+    assert page["results"] == [] and page["did_you_mean"] == "caus"
+    assert search(idx, tr, "caus", analyzed=True)["results"]
+    naive = search(idx, tr, "caus")  # re-stems to 'cau' -> zero hits
+    assert naive["results"] == []
+
+
+def test_did_you_mean_not_on_deep_pages(spark, xs_setup):
+    """A matching query's out-of-range page is NOT 'found nothing' —
+    no correction offered (and no vocabulary lookup paid)."""
+    idx, tr = xs_setup
+    page = search(idx, tr, "term0001 zzzqx", page=99)
+    assert page["results"] == [] and "did_you_mean" not in page
+    assert page["total_results"] > 0
 
 
 def test_boolean_snippets_ignore_operator_words(spark, xs_setup):
