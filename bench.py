@@ -87,6 +87,9 @@ CONTRACT_QUERIES = [
     "transcripts_significant_terms",
     "transcripts_date_histogram",
     "transcripts_top_hits_by_role",
+    "transcripts_weighted",
+    "transcripts_min_should_match",
+    "transcripts_search_after",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
@@ -186,6 +189,17 @@ def main() -> None:
     t0 = time.time()
     index.facet_counts(q0["query_text"], tr_meta, "role", q0["mode"]).collect()
     results["bm25_facets"] = round(time.time() - t0, 3)
+    # offset-free deep page (search_after): page 2 from page 1's last
+    # row — one candidate-scoring pass, never an N·k overfetch
+    p1 = index.topk(q0["query_text"], q0["mode"], q0["k"]).collect()
+    if p1:
+        last = p1[-1]
+        t0 = time.time()
+        index.topk(
+            q0["query_text"], q0["mode"], q0["k"],
+            search_after=(last["score"], last["conv_id"], last["turn_idx"]),
+        ).collect()
+        results["bm25_search_after"] = round(time.time() - t0, 3)
     lat.sort()
     p50 = statistics.median(lat)
     p95 = lat[max(0, int(len(lat) * 0.95) - 1)]

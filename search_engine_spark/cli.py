@@ -287,10 +287,25 @@ def cmd_query(args: argparse.Namespace) -> None:
             raise SystemExit("--synonyms requires --mode disjunctive")
         query_text = idx.expand_synonyms(query_text, analyzed=analyzed)
         analyzed = True
+    min_match = getattr(args, "min_match", 1)
+    search_after = None
+    if getattr(args, "search_after", None):
+        try:
+            cs, cc, ct = json.loads(args.search_after)
+            search_after = (float(cs), str(cc), int(ct))
+        except (ValueError, TypeError) as e:
+            raise SystemExit(
+                f'--search-after must be JSON [score, "conv_id", turn_idx]: {e}'
+            )
     recency = _recency_opts(args)
     if recency:
         if getattr(args, "collapse", False):
             raise SystemExit("--recency-now does not compose with --collapse")
+        if search_after is not None or min_match > 1:
+            raise SystemExit(
+                "--recency-now does not compose with --search-after/--min-match "
+                "(the decayed order is not monotone in the BM25 cursor)"
+            )
         from .operators.recency import recency_topk
         from .sources import load_transcripts
 
@@ -310,13 +325,13 @@ def cmd_query(args: argparse.Namespace) -> None:
         rows = idx.topk_conversations(
             query_text, args.mode, args.k,
             tombstones=_load_tombstones(args.tombstones), scope=scope,
-            analyzed=analyzed,
+            analyzed=analyzed, min_match=min_match, search_after=search_after,
         ).collect()
     else:
         rows = idx.topk(
             query_text, args.mode, args.k, algo=args.algo,
             tombstones=_load_tombstones(args.tombstones), scope=scope,
-            analyzed=analyzed,
+            analyzed=analyzed, min_match=min_match, search_after=search_after,
         ).collect()
     print(
         json.dumps(
@@ -749,6 +764,17 @@ def main(argv: list[str] | None = None) -> None:
         "--collapse",
         action="store_true",
         help="one result per CONVERSATION (best turn as representative)",
+    )
+    q.add_argument(
+        "--min-match", type=int, default=1,
+        help="disjunctive: require ≥ m distinct query terms per match "
+        "(ES minimum_should_match)",
+    )
+    q.add_argument(
+        "--search-after",
+        help='cursor JSON [score, "conv_id", turn_idx] — the previous '
+        "page's LAST row (exact score, not a rounded display value); "
+        "returns the k results strictly after it (offset-free paging)",
     )
     _add_rerank_args(q)
     q.set_defaults(fn=cmd_query)

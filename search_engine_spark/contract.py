@@ -36,6 +36,9 @@ ORACLES: dict[str, str] = {}
 #: any truncation at the tail.
 PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
+    "transcripts_weighted",  # r4: per-term query boosts (tok^w)
+    "transcripts_min_should_match",  # r4: ES minimum_should_match
+    "transcripts_search_after",  # r4: offset-free deep pagination
     "transcripts_bm25_scoped",  # r4: metadata-filtered retrieval
     "transcripts_facets",  # r4: per-role facet counts
     "transcripts_prefix",  # r4: wildcard/prefix expansion
@@ -3081,6 +3084,117 @@ def transcripts_top_hits_by_role(spark, sf_dir):
     ).select(
         "role", "rank", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
+
+
+def _topk_rows_values_sql(rows) -> str:
+    """((conv_id, turn_idx), score) rows → the standard VALUES twin with
+    5-dp epsilon-nudged rounding (shared by the r4 query-option
+    entries)."""
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+def _weighted_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
+    """VALUES oracle for boosted queries: the pure-Python scorer with
+    the identical ``tok^w`` weight resolution (oracle.parse_query_weights
+    — largest boost wins per index term)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    return _topk_rows_values_sql(oracle_topk(idx, query_text, mode, k))
+
+
+@q("transcripts_weighted", _weighted_oracle_sql("term0001^3 term0002", "disjunctive", 10))
+def transcripts_weighted(spark, sf_dir):
+    """Per-term query boosts (`tok^w`, Lucene boost semantics): score =
+    Σ (w·idf)·tf_bm25.  Implemented by pre-scaling the broadcast idf map
+    — zero kernel changes, block-max bounds stay valid (they are built
+    FROM the scaled map), so the default pruned path serves boosted
+    queries too (algo parity pinned by tests/test_query_options.py).
+    No reference analog (its ranker has no query weights); semantics
+    follow Lucene, verified against the pure-Python oracle."""
+    idx = _xs_index(spark)
+    return idx.topk("term0001^3 term0002", "disjunctive", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+def _msm_oracle_sql(query_text: str, m: int, k: int = 10) -> str:
+    """VALUES oracle for minimum_should_match: the pure-Python scorer
+    restricted to docs matching ≥ m distinct terms (oracle._msm_docs)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    return _topk_rows_values_sql(
+        oracle_topk(idx, query_text, "disjunctive", k, min_match=m)
+    )
+
+
+@q(
+    "transcripts_min_should_match",
+    _msm_oracle_sql("term0001 term0002 term0003", 2, 10),
+)
+def transcripts_min_should_match(spark, sf_dir):
+    """minimum_should_match (ES bool-query contract): disjunctive
+    candidates must contain ≥ 2 of the 3 query terms — one vectorized
+    unique-with-counts pass over the groups' doc lists
+    (kernels.msm_candidates), between the union (m=1) and the
+    intersection (m=n).  No reference analog; verified against the
+    pure-Python oracle."""
+    idx = _xs_index(spark)
+    return idx.topk(
+        "term0001 term0002 term0003", "disjunctive", 10, min_match=2
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _after_oracle_sql(query_text: str, mode: str, k: int) -> tuple[str, tuple]:
+    """(VALUES oracle, cursor) for search_after: the cursor is the
+    oracle's k-th row (exact float — engine scores are bit-identical,
+    pinned by the suite), the oracle rows are the k AFTER it."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    full = oracle_topk(idx, query_text, mode, k + 1)
+    (cc, ct), cs = full[k - 1]
+    cursor = (cs, cc, ct)
+    rows = oracle_topk(idx, query_text, mode, k, after=cursor)
+    return _topk_rows_values_sql(rows), cursor
+
+
+_AFTER_SQL, _AFTER_CURSOR = _after_oracle_sql(
+    "term0001 term0002 term0003", "disjunctive", 10
+)
+
+
+@q("transcripts_search_after", _AFTER_SQL)
+def transcripts_search_after(spark, sf_dir):
+    """search_after deep pagination (the ES contract): page 2 via the
+    (score, conv_id, turn_idx) cursor of page 1's last row — offset-free
+    (page N never overfetches N·k rows; each kernel group still ships
+    ≤ k rows).  The cursor resolves to this index's doc-id space with
+    one memoized pruned lookup; kernels filter strictly after it in
+    (score desc, doc asc) order, exact under the conv_rank order
+    isomorphism.  Replaces the reference's offset pagination
+    (QueryService.java pageSize/page) at depths where offsets stop
+    scaling; verified against the pure-Python oracle."""
+    idx = _xs_index(spark)
+    return idx.topk(
+        "term0001 term0002 term0003", "disjunctive", 10,
+        search_after=_AFTER_CURSOR,
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
 
 
 def flagship(spark: SparkSession) -> DataFrame:

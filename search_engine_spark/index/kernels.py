@@ -561,6 +561,23 @@ def wand_topk(
     return out_docs[order], out_scores[order]
 
 
+def msm_candidates(plists: dict[str, TermPostings], m: int) -> np.ndarray:
+    """Docs containing at least ``m`` DISTINCT query terms — the
+    Elasticsearch ``minimum_should_match`` candidate set, between the
+    disjunctive union (m=1) and the conjunctive intersection (m=n).
+
+    Each term's doc list holds unique ids, so one concatenate +
+    unique-with-counts pass yields every doc's distinct-matched-term
+    count vectorized.  Terms absent from the index can never match (ES
+    optional-clause semantics): a group whose PRESENT terms number
+    fewer than ``m`` matches nothing."""
+    arrays = [p.doc_ids for p in plists.values() if p.doc_ids.size]
+    if len(arrays) < m:
+        return np.empty(0, dtype=np.int64)
+    docs, counts = np.unique(np.concatenate(arrays), return_counts=True)
+    return docs[counts >= m]
+
+
 def conjunctive_candidates(plists: dict[str, TermPostings]) -> np.ndarray:
     """Docs containing ALL terms (QueryService.java:595-615 semantics)."""
     arrays = [p.doc_ids for p in plists.values()]

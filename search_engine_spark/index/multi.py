@@ -53,6 +53,7 @@ from .reader import (
     _make_group_kernel,
     _parse_batch,
     _rank_per_query,
+    _weighted_idf,
     parse_query,
     resolve_tombstones,
 )
@@ -190,6 +191,7 @@ class MultiIndex:
         ).cache()
         self._idf_cache: dict[str, float] = {}
         self._tomb_memo: dict[tuple, dict] = {}
+        self._after_memo: dict[tuple, dict] = {}
         from collections import OrderedDict
 
         self._results: "OrderedDict[tuple, list]" = OrderedDict()
@@ -226,6 +228,26 @@ class MultiIndex:
             }
             self._tomb_memo[key] = hit
         return hit
+
+    def _resolve_after(self, search_after) -> dict | None:
+        """(score, conv_id, turn_idx) cursor → one (score, cursor_doc_id)
+        per SEGMENT (doc ids are segment-local rank encodings), memoized
+        per distinct cursor.  Each segment resolves independently via
+        :meth:`CompressedIndex._resolve_after` — a segment not holding
+        the cursor conversation cuts through its boundary rank, so the
+        filter stays exact even when the cursor doc lives elsewhere."""
+        if search_after is None:
+            return None
+        score, conv_id, turn_idx = search_after
+        key = (str(conv_id), int(turn_idx))
+        hit = self._after_memo.get(key)
+        if hit is None:
+            hit = {
+                i: seg._resolve_after((0.0, conv_id, turn_idx))[1]
+                for i, seg in enumerate(self.segments)
+            }
+            self._after_memo[key] = hit
+        return {i: (float(score), cdoc) for i, cdoc in hit.items()}
 
     def _shadow_exclude(self) -> dict | None:
         """Per-segment (Tombstones, affected-groups) for shadowed docs,
@@ -538,17 +560,23 @@ class MultiIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Top-k across all segments → DataFrame(conv_id, turn_idx,
         score); identical to a single index built over the union.
         ``scope`` restricts results to the given turns (metadata filter,
-        global-stats scoring) — same contract as the single reader."""
-        if (tombstones or scope is not None) and algo == "wand":
+        global-stats scoring); ``min_match``/boosts (``tok^2``)/
+        ``search_after`` follow the single reader's contract (the
+        cursor resolves per segment — see :meth:`_resolve_after`)."""
+        if (tombstones or scope is not None or search_after is not None
+                or min_match > 1) and algo == "wand":
             raise ValueError(
-                "algo='wand' cannot honor tombstones/scope (its bounded heap "
-                "has no candidate-exclusion hook); use algo='auto' or 'exact'"
+                "algo='wand' cannot honor tombstones/scope/min_match/"
+                "search_after (its bounded heap has no candidate-exclusion "
+                "hook); use algo='auto' or 'exact'"
             )
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -557,11 +585,12 @@ class MultiIndex:
         fetch_terms = sorted(
             set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
         )
-        idf = self.idf_map(spec.score_terms)
+        idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_group_kernel(
             spec, idf, self.avgdl, k, algo, with_ties=True,
             exclude=self._effective_exclude(tombstones), turn_bits=self.turn_bits,
             scoped=scope is not None,
+            after=self._resolve_after(search_after),
         )
         post = self._postings(fetch_terms)
         if scope is not None:
@@ -590,6 +619,8 @@ class MultiIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Conversation-collapsed top-k across segments → DataFrame
         (conv_id, turn_idx, score).  A conversation CAN span segments
@@ -598,12 +629,25 @@ class MultiIndex:
         window re-collapses per conv_id before the global cut.  A conv
         whose best turn was cut by a segment-local top-k cannot belong
         to the global top-k (that segment already holds k better convs),
-        so the two-level collapse stays exact."""
+        so the two-level collapse stays exact.
+
+        ``search_after`` is NOT supported here: a conversation spanning
+        segments collapses to its best turn only AFTER the cross-segment
+        window, so a per-segment cursor filter could resurface a
+        conversation already served at a higher cross-segment score.
+        Collapsed deep pagination needs a compacted (single) index."""
         from pyspark.sql import Window
 
         from .reader import _make_collapse_kernel
 
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        if search_after is not None:
+            raise ValueError(
+                "search_after on conversation-collapsed results needs a "
+                "single compacted index (a conv spanning segments would "
+                "paginate on per-segment bests, not its global best); "
+                "compact first or paginate turn-level topk"
+            )
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -612,7 +656,7 @@ class MultiIndex:
         fetch_terms = sorted(
             set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
         )
-        idf = self.idf_map(spec.score_terms)
+        idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_collapse_kernel(
             spec, idf, self.avgdl, k, with_ties=True,
             exclude=self._effective_exclude(tombstones), turn_bits=self.turn_bits,
@@ -650,13 +694,14 @@ class MultiIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
     ) -> int:
         """Total matching documents across all segments (totalResults
         analog) — per-(seg, group) counts sum because segments and
         groups hold disjoint documents."""
         from .reader import _make_count_kernel
 
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
         if spec is None:
             return 0
         fetch_terms = sorted(
@@ -688,13 +733,14 @@ class MultiIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
     ) -> DataFrame:
         """ALL matching documents across segments → DataFrame(conv_id,
         turn_idx) — the candidate set :meth:`match_count` sizes,
         materialized for faceting and metadata joins."""
         from .reader import MATCHES_SCHEMA, _make_matches_kernel
 
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
         if spec is None:
             return empty
@@ -745,7 +791,7 @@ class MultiIndex:
         fetch_terms = sorted(
             set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
         )
-        idf = self.idf_map(spec.score_terms)
+        idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_scored_matches_kernel(
             spec, idf, self.avgdl, exclude=self._effective_exclude(tombstones),
             turn_bits=self.turn_bits, scoped=scope is not None,
@@ -774,6 +820,7 @@ class MultiIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
     ) -> DataFrame:
         """Matching-doc counts grouped by a metadata column → DataFrame
         (facet_col, n), across all segments — same contract as
@@ -781,7 +828,8 @@ class MultiIndex:
         from .reader import _facet_join
 
         cand = self.matches(
-            query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+            query_text, mode, tombstones=tombstones, scope=scope,
+            analyzed=analyzed, min_match=min_match,
         )
         return _facet_join(cand, meta, facet_col)
 
@@ -811,7 +859,12 @@ class MultiIndex:
             return empty
         fetch_terms, score_terms = _batch_term_sets(specs)
         merged_idf = self.idf_map(sorted(score_terms))
-        idfs = [{t: merged_idf[t] for t in s.score_terms} for _, s, _ in specs]
+        # per-query maps carry that query's boosts (plists stay built
+        # from the unscaled merged map — weighted specs score exact)
+        idfs = [
+            _weighted_idf({t: merged_idf[t] for t in s.score_terms}, s)
+            for _, s, _ in specs
+        ]
         kernel = _make_batch_kernel(
             [s for _, s, _ in specs],
             idfs,

@@ -36,6 +36,7 @@ from ..oracle import (
     assemble_expanded,
     classify_expansion_tokens,
     deletions1,
+    parse_query_weights,
     parse_slop,
     rank_fuzzy_candidates,
     rewrite_fuzzy,
@@ -47,9 +48,11 @@ from ..textproc import analyze_query, analyze_text
 from .build import TURN_BITS, IndexPaths
 from .kernels import (
     TermPostings,
+    _cut_topk,
     blockmax_topk,
     conjunctive_candidates,
     exact_topk,
+    msm_candidates,
     phrase_candidates,
     wand_topk,
 )
@@ -68,10 +71,12 @@ class QuerySpec:
     phrase_b: list[str] | None = None
     bool_op: str | None = None
     slop: int = 0  # phrase mode: ordered window ("a b"~N); 0 = exact
+    weights: dict[str, float] | None = None  # term boosts (`tok^2.5`)
+    min_match: int = 1  # disjunctive: require ≥ m distinct terms
 
 
 def parse_query(
-    query_text: str, mode: str, analyzed: bool = False
+    query_text: str, mode: str, analyzed: bool = False, min_match: int = 1
 ) -> QuerySpec | None:
     """Reference query parsing (QueryService.java:73-134, 80-104).
 
@@ -81,7 +86,18 @@ def parse_query(
     terms that a second Porter pass could corrupt (Porter is not
     idempotent: ``university → univers → univ``).  Only the term modes
     take pre-analyzed input; phrase/boolean positions depend on the
-    original token stream."""
+    original token stream.
+
+    Term-mode tokens may carry Lucene-style boosts (``tok^2.5``),
+    resolved here into ``QuerySpec.weights`` (largest wins on a term
+    collision); ``min_match`` (disjunctive only) requires candidates to
+    contain at least m distinct query terms (ES minimum_should_match).
+    """
+    if min_match < 1:
+        raise ValueError(f"min_match must be >= 1, got {min_match}")
+    if min_match > 1 and mode != "disjunctive":
+        raise ValueError(f"min_match needs disjunctive mode, not {mode!r}")
+    query_text, weights = parse_query_weights(query_text, mode, analyzed)
     if analyzed:
         if mode not in ("disjunctive", "conjunctive"):
             raise ValueError(
@@ -90,7 +106,9 @@ def parse_query(
         terms = query_text.split()
         if not terms:
             return None
-        return QuerySpec(mode, sorted(set(terms)))
+        return QuerySpec(
+            mode, sorted(set(terms)), weights=weights, min_match=min_match
+        )
     if mode == "boolean":
         m = OPERATOR_PATTERN.search(query_text)
         phrases = PHRASE_PATTERN.findall(query_text)
@@ -114,7 +132,9 @@ def parse_query(
     terms = analyze_query(query_text)
     if not terms:
         return None
-    return QuerySpec(mode, sorted(set(terms)))
+    return QuerySpec(
+        mode, sorted(set(terms)), weights=weights, min_match=min_match
+    )
 
 
 class Tombstones:
@@ -196,6 +216,52 @@ def _tomb_for(exclude, post_pdf: pd.DataFrame):
     return exclude.get(int(post_pdf["seg"].iloc[0]))
 
 
+def _after_for(after, post_pdf: pd.DataFrame):
+    """Kernel-side search_after cursor: a (score, cursor_doc_id) pair for
+    one index, or a per-segment dict (MultiIndex — each segment has its
+    own conv_rank space, so the cursor doc id differs per segment)."""
+    if not isinstance(after, dict):
+        return after
+    if "seg" not in post_pdf.columns or len(post_pdf) == 0:
+        return None
+    return after.get(int(post_pdf["seg"].iloc[0]))
+
+
+def _weighted_idf(idf: dict[str, float], spec: QuerySpec) -> dict[str, float]:
+    """Fold query boosts into the idf map: score = Σ (w·idf)·tf_bm25, so
+    a pre-scaled map keeps EVERY kernel — including the block-max upper
+    bounds TermPostings builds FROM this map — valid with zero kernel
+    changes (w > 0 enforced at parse; bounds scale monotonically)."""
+    if not spec.weights:
+        return idf
+    return {t: v * spec.weights.get(t, 1.0) for t, v in idf.items()}
+
+
+def _topk_after(
+    score_lists: dict,
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    cand: np.ndarray,
+    after: tuple[float, int],
+    with_ties: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deep-pagination cut (search_after): score the WHOLE candidate set
+    exactly, drop every (score, doc) at-or-before the cursor in
+    (score desc, doc asc) order, then cut top-k.  Scoring all candidates
+    is the same cost class as the offset path's page-N overfetch, but
+    the group's EMISSION stays ≤ k rows — at page 1000 the offset path
+    ships and sorts 1000·k rows per group; this ships k."""
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs, scores = exact_topk(
+        score_lists, idf, avgdl, int(cand.size), candidates=cand
+    )
+    cs, cd = float(after[0]), int(after[1])
+    keep = (scores < cs) | ((scores == cs) & (docs > cd))
+    return _cut_topk(docs[keep], scores[keep], k, with_ties)
+
+
 def _parse_batch(
     queries: list[tuple], default_k: int, analyzed: bool = False
 ) -> list[tuple[int, QuerySpec, int]]:
@@ -262,6 +328,7 @@ def _make_collapse_kernel(
     exclude=None,
     turn_bits: int = TURN_BITS,
     scoped: bool = False,
+    after=None,
 ):
     """Per-group kernel for conversation-collapsed top-k (the field-
     collapsing analog: rank CONVERSATIONS by their best matching turn).
@@ -269,7 +336,11 @@ def _make_collapse_kernel(
     — a conversation never spans groups within one index (MultiIndex
     re-collapses across segments with a window).  Scores every
     candidate exactly (no block pruning — the collapse needs each
-    conv's max, which a turn-level top-k cut could drop)."""
+    conv's max, which a turn-level top-k cut could drop).  ``after``
+    (resolved search_after cursor) filters COLLAPSED conv rows — the
+    cursor names the previous page's last conversation (its
+    representative turn), so the filter runs between collapse and cut,
+    never on raw turns."""
 
     def collapse(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
         if len(post_pdf) == 0 or (allow is not None and allow.size == 0):
@@ -281,7 +352,16 @@ def _make_collapse_kernel(
             tomb=_tomb_for(exclude, post_pdf), turn_bits=turn_bits,
             allow=allow,
         )
-        docs, scores = _collapse_convs(docs, scores, k, turn_bits, with_ties)
+        aft = _after_for(after, post_pdf)
+        if aft is None:
+            docs, scores = _collapse_convs(docs, scores, k, turn_bits, with_ties)
+        else:
+            docs, scores = _collapse_convs(
+                docs, scores, 1 << 62, turn_bits, False
+            )
+            cs, cd = float(aft[0]), int(aft[1])
+            keep = (scores < cs) | ((scores == cs) & (docs > cd))
+            docs, scores = _cut_topk(docs[keep], scores[keep], k, with_ties)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     if scoped:
@@ -387,6 +467,7 @@ class CompressedIndex:
             self._docmap = spark.read.parquet(self.paths.docmap).cache()
         self._idf_cache: dict[str, float] = {}
         self._tomb_memo: dict[tuple, Tombstones] = {}
+        self._after_memo: dict[tuple, int] = {}
         self._syn_memo: dict[str, list[str]] | None = None
         from collections import OrderedDict
 
@@ -656,6 +737,48 @@ class CompressedIndex:
             self._tomb_memo[key] = hit
         return hit
 
+    def _resolve_after(self, search_after) -> tuple[float, int] | None:
+        """(score, conv_id, turn_idx) cursor → (score, cursor_doc_id) in
+        THIS index's doc-id space (search_after deep pagination).
+
+        conv_rank assignment is order-isomorphic to conv_id (pinned by
+        tests), so "strictly after the cursor" is exactly
+        ``doc_id > cdoc`` at equal score.  A cursor conversation ABSENT
+        from the index (e.g. its docs live in another segment) still
+        cuts correctly through the boundary rank r = |{convs < conv}|:
+        every doc after the cursor has ``doc_id >= r << turn_bits``,
+        i.e. ``doc_id > (r << turn_bits) - 1``.  One small pruned-scan
+        job per distinct cursor, memoized."""
+        if search_after is None:
+            return None
+        if self.scheme != "conv_rank":
+            raise ValueError(
+                "search_after needs the conv_rank doc-id scheme (dense "
+                "streaming indexes: compact first)"
+            )
+        if self.tie_safe:
+            raise ValueError(
+                "search_after needs doc-id order isomorphic to (conv_id, "
+                "turn_idx); this index's meta records the isomorphism "
+                "broken (out-of-order extend) — compact first"
+            )
+        score, conv_id, turn_idx = search_after
+        key = (str(conv_id), int(turn_idx))
+        cdoc = self._after_memo.get(key)
+        if cdoc is None:
+            rows = (
+                self._convs.filter(F.col("conv_id") == conv_id)
+                .select("conv_rank")
+                .collect()
+            )
+            if rows:
+                cdoc = (int(rows[0][0]) << self.turn_bits) | int(turn_idx)
+            else:
+                r = self._convs.filter(F.col("conv_id") < conv_id).count()
+                cdoc = (r << self.turn_bits) - 1
+            self._after_memo[key] = cdoc
+        return (float(score), cdoc)
+
     def scope_docs(self, turns: DataFrame) -> DataFrame:
         """Resolve a metadata predicate's matching turns to kernel
         coordinates: DataFrame(conv_id, turn_idx, …) → (group, doc_id).
@@ -689,6 +812,8 @@ class CompressedIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Top-k → DataFrame(conv_id, turn_idx, score), oracle-identical.
 
@@ -701,13 +826,30 @@ class CompressedIndex:
         the corpus metadata filtered by a structured predicate: role,
         tool, a ts range) restricts RESULTS to those turns.  Scores keep
         the corpus-global stats — Lucene/Elasticsearch filter-context
-        semantics, where filters never affect ranking."""
-        if (tombstones or scope is not None) and algo == "wand":
+        semantics, where filters never affect ranking.
+
+        ``min_match`` (disjunctive) keeps only docs matching ≥ m
+        distinct query terms (ES minimum_should_match).  Term tokens
+        may carry ``^w`` boosts (``kubernetes^2 pod``) multiplying
+        their idf contribution (Lucene boost semantics).
+
+        ``search_after`` = (score, conv_id, turn_idx) of the previous
+        page's LAST row: returns the k results strictly after it in
+        (score desc, conv_id, turn_idx) rank order — offset-free deep
+        pagination.  Page N costs one candidate-scoring pass like page
+        1 (never an N·k overfetch), and each group ships ≤ k rows.
+        The cursor score must be the EXACT float the engine returned
+        (the ES search_after contract: exact sort values) — a
+        display-rounded score can land on the wrong side of the strict
+        comparison and duplicate or drop a boundary row."""
+        if (tombstones or scope is not None or search_after is not None
+                or min_match > 1) and algo == "wand":
             raise ValueError(
-                "algo='wand' cannot honor tombstones/scope (its bounded heap "
-                "has no candidate-exclusion hook); use algo='auto' or 'exact'"
+                "algo='wand' cannot honor tombstones/scope/min_match/"
+                "search_after (its bounded heap has no candidate-exclusion "
+                "hook); use algo='auto' or 'exact'"
             )
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int, score double")
         if spec is None:
             return empty
@@ -716,7 +858,7 @@ class CompressedIndex:
             | set(spec.phrase_a or [])
             | set(spec.phrase_b or [])
         )
-        idf = self.idf_map(spec.score_terms)
+        idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         avgdl = self.avgdl
         # dense (streaming/arrival-ordered) doc ids are not isomorphic to
         # the (conv_id, turn_idx) tie-break order, so group kernels must
@@ -727,6 +869,7 @@ class CompressedIndex:
             exclude=self._resolve_tomb(tombstones),
             turn_bits=getattr(self, "turn_bits", TURN_BITS),
             scoped=scope is not None,
+            after=self._resolve_after(search_after),
         )
         post = self.postings_df(fetch_terms)
         # v5: single-sided grouped kernel — the only exchange carries the
@@ -757,6 +900,8 @@ class CompressedIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Conversation-collapsed top-k → DataFrame(conv_id, turn_idx,
         score): rank CONVERSATIONS by their best-matching turn (the
@@ -766,15 +911,17 @@ class CompressedIndex:
         Exact: each group scores all candidates and collapses to its
         local top-k conversations (convs never span groups — the group
         key is a conv_id hash), so at most G·k rows reach the global
-        TakeOrdered.  Composes with tombstones/scope/analyzed like
-        :meth:`topk`."""
+        TakeOrdered.  Composes with tombstones/scope/analyzed/
+        min_match/boosts/search_after like :meth:`topk` (the
+        search_after cursor names the previous page's last CONVERSATION
+        via its representative turn)."""
         if self.scheme != "conv_rank":
             raise ValueError(
                 "topk_conversations needs the conv_rank doc-id scheme — the "
                 "kernel collapses on the rank bits (dense streaming indexes: "
                 "compact first)"
             )
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -783,12 +930,13 @@ class CompressedIndex:
         fetch_terms = sorted(
             set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
         )
-        idf = self.idf_map(spec.score_terms)
+        idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_collapse_kernel(
             spec, idf, self.avgdl, k, with_ties=self.tie_safe,
             exclude=self._resolve_tomb(tombstones),
             turn_bits=getattr(self, "turn_bits", TURN_BITS),
             scoped=scope is not None,
+            after=self._resolve_after(search_after),
         )
         post = self.postings_df(fetch_terms)
         if scope is not None:
@@ -812,12 +960,13 @@ class CompressedIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
     ) -> int:
         """Total matching documents (the reference's totalResults field,
         served by every /api/search response for pagination): size of
         the candidate set :meth:`topk` ranks, via one grouped count pass
         over the same bucket-pruned postings scan."""
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
         if spec is None:
             return 0
         fetch_terms = sorted(
@@ -850,11 +999,12 @@ class CompressedIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
     ) -> DataFrame:
         """ALL matching documents → DataFrame(conv_id, turn_idx) — the
         candidate set :meth:`match_count` sizes, materialized for
         faceting and metadata joins.  Output is O(matches)."""
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
         if spec is None:
             return empty
@@ -900,7 +1050,7 @@ class CompressedIndex:
         fetch_terms = sorted(
             set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
         )
-        idf = self.idf_map(spec.score_terms)
+        idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_scored_matches_kernel(
             spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones),
             turn_bits=getattr(self, "turn_bits", TURN_BITS),
@@ -924,6 +1074,7 @@ class CompressedIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        min_match: int = 1,
     ) -> DataFrame:
         """Matching-doc counts grouped by a metadata column → DataFrame
         (facet_col, n) — the search-facet panel (count per role, tool,
@@ -935,7 +1086,8 @@ class CompressedIndex:
         Catalyst/AQE broadcasts it when small; the metadata scan is
         column-pruned to the three needed columns."""
         cand = self.matches(
-            query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+            query_text, mode, tombstones=tombstones, scope=scope,
+            analyzed=analyzed, min_match=min_match,
         )
         return _facet_join(cand, meta, facet_col)
 
@@ -974,7 +1126,12 @@ class CompressedIndex:
             return empty
         fetch_terms, score_terms = _batch_term_sets(specs)
         merged_idf = self.idf_map(sorted(score_terms))
-        idfs = [{t: merged_idf[t] for t in s.score_terms} for _, s, _ in specs]
+        # per-query maps carry that query's boosts (plists stay built
+        # from the unscaled merged map — weighted specs score exact)
+        idfs = [
+            _weighted_idf({t: merged_idf[t] for t in s.score_terms}, s)
+            for _, s, _ in specs
+        ]
         kernel = _make_batch_kernel(
             [s for _, s, _ in specs],
             idfs,
@@ -1010,6 +1167,7 @@ def _score_spec(
     tomb: "Tombstones | None" = None,
     turn_bits: int = TURN_BITS,
     allow: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ):
     """Score ONE parsed query against a group's posting lists →
     (docs, scores) arrays.  Shared by the single-query and batch
@@ -1019,22 +1177,40 @@ def _score_spec(
     top-k cut (scores keep the as-built global stats until compaction).
     ``allow`` (sorted unique doc ids) keeps ONLY those docs — the
     kernel half of scoped search; like tombstones it restricts the
-    candidate set, never the scoring stats (filter-context semantics)."""
+    candidate set, never the scoring stats (filter-context semantics).
+    ``after`` = (cursor_score, cursor_doc_id): emit the group's top-k
+    AFTER the cursor (search_after deep pagination — see
+    :func:`_topk_after`)."""
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
-        if tomb is not None or allow is not None:
-            # tombstoned/scoped disjunctive queries always run
-            # candidates+exact (topk() rejects an explicit algo='wand'
-            # with either up front): exclusion happens on the
+        if (
+            tomb is not None
+            or allow is not None
+            or after is not None
+            or spec.min_match > 1
+        ):
+            # tombstoned/scoped/min_match/search_after disjunctive
+            # queries run candidates+exact (topk() rejects an explicit
+            # algo='wand' with these up front): exclusion happens on the
             # materialized candidate set, before the top-k cut
-            arrs = [p.doc_ids for p in score_lists.values()]
-            if not arrs:
-                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-            cand = np.unique(np.concatenate(arrs))
+            if spec.min_match > 1:
+                cand = msm_candidates(score_lists, spec.min_match)
+            else:
+                arrs = [p.doc_ids for p in score_lists.values()]
+                if not arrs:
+                    return (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64),
+                    )
+                cand = np.unique(np.concatenate(arrs))
             if allow is not None:
                 cand = np.intersect1d(cand, allow, assume_unique=True)
             if tomb is not None:
                 cand = tomb.mask(cand, turn_bits)
+            if after is not None:
+                return _topk_after(
+                    score_lists, idf, avgdl, k, cand, after, with_ties
+                )
             return exact_topk(
                 score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
             )
@@ -1069,6 +1245,8 @@ def _score_spec(
         cand = np.intersect1d(cand, allow, assume_unique=True)
     if tomb is not None:
         cand = tomb.mask(cand, turn_bits)
+    if after is not None:
+        return _topk_after(score_lists, idf, avgdl, k, cand, after, with_ties)
     return exact_topk(
         score_lists, idf, avgdl, k, candidates=cand, with_ties=with_ties
     )
@@ -1087,10 +1265,13 @@ def _candidates_spec(
     count and matches kernels so both size the identical set."""
     score_lists = {t: p for t, p in plists.items() if t in idf}
     if spec.mode == "disjunctive":
-        arrs = [p.doc_ids for p in score_lists.values()]
-        if not arrs:
-            return np.empty(0, dtype=np.int64)
-        cand = np.unique(np.concatenate(arrs))
+        if spec.min_match > 1:
+            cand = msm_candidates(score_lists, spec.min_match)
+        else:
+            arrs = [p.doc_ids for p in score_lists.values()]
+            if not arrs:
+                return np.empty(0, dtype=np.int64)
+            cand = np.unique(np.concatenate(arrs))
     elif spec.mode == "conjunctive":
         need = {t: plists[t] for t in spec.score_terms if t in plists}
         if len(need) < len(spec.score_terms):
@@ -1263,12 +1444,15 @@ def _make_group_kernel(
     exclude=None,
     turn_bits: int = TURN_BITS,
     scoped: bool = False,
+    after=None,
 ):
     """Build the per-group grouped kernel for one parsed query.
 
     ``scoped=True`` returns the COGROUP form ``(key, postings, allow)``
     — the allow side is the scope predicate's matching doc ids of the
-    same group, delivered by Spark's cogroup (never a driver collect)."""
+    same group, delivered by Spark's cogroup (never a driver collect).
+    ``after`` is the resolved search_after cursor ((score, doc_id), or a
+    per-segment dict under MultiIndex)."""
 
     def score(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
         if len(post_pdf) == 0 or (allow is not None and allow.size == 0):
@@ -1278,7 +1462,7 @@ def _make_group_kernel(
         docs, scores = _score_spec(
             spec, idf, plists, avgdl, k, algo, with_ties,
             tomb=_tomb_for(exclude, post_pdf), turn_bits=turn_bits,
-            allow=allow,
+            allow=allow, after=_after_for(after, post_pdf),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -1329,8 +1513,13 @@ def _make_batch_kernel(
         tomb = _tomb_for(exclude, post_pdf)
         frames = []
         for qid, (spec, idf, k) in enumerate(zip(specs, idfs, ks)):
+            # a boosted query's per-query idf map is SCALED, but plists
+            # (shared across the batch) carry block bounds built from
+            # the unscaled merged map — bound-dependent algos would be
+            # lossy for boosts > 1, so weighted specs score exact
+            qalgo = "exact" if spec.weights else algo
             docs, scores = _score_spec(
-                spec, idf, plists, avgdl, k, algo, with_ties,
+                spec, idf, plists, avgdl, k, qalgo, with_ties,
                 tomb=tomb, turn_bits=turn_bits, allow=allow,
             )
             if docs.size:

@@ -57,6 +57,64 @@ def parse_slop(query_text: str) -> int:
     m = SLOP_PATTERN.search(query_text)
     return int(m.group(1)) if m else 0
 
+#: Lucene boost suffix: ``tok^2.5`` multiplies every index term the
+#: token analyzes to by 2.5 in the BM25 sum (score = Σ w·idf·tf_bm25) —
+#: query-time relevance tuning, term modes only (a quoted phrase/boolean
+#: operand never carries a boost).
+_WEIGHT_TOKEN = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
+
+
+def split_weight_tokens(query_text: str) -> tuple[str, list[tuple[str, float]]]:
+    """query text → (text with ``^w`` suffixes stripped, [(raw_token, w)]).
+
+    A token carries a boost iff it ends in ``^`` + a decimal number.
+    Non-positive boosts are rejected loudly — a clause that cannot
+    contribute is a query error, not a silent drop (and a zero weight
+    would also invalidate the kernels' block upper bounds)."""
+    toks: list[str] = []
+    pairs: list[tuple[str, float]] = []
+    for tok in query_text.split():
+        m = _WEIGHT_TOKEN.match(tok)
+        if m:
+            w = float(m.group(2))
+            if w <= 0.0:
+                raise ValueError(f"non-positive boost in query token {tok!r}")
+            toks.append(m.group(1))
+            pairs.append((m.group(1), w))
+        else:
+            toks.append(tok)
+    return " ".join(toks), pairs
+
+
+def resolve_term_weights(
+    pairs: list[tuple[str, float]], analyzed: bool = False
+) -> dict[str, float]:
+    """Raw ``(token, w)`` boosts → index-term weight map: each boosted
+    token runs through the query analyzer (identity when ``analyzed``)
+    and its boost applies to every term it yields; when several boosts
+    land on the same index term the LARGEST wins (deterministic and
+    order-insensitive — the rule both engine and oracle pin)."""
+    out: dict[str, float] = {}
+    for raw, w in pairs:
+        terms = raw.split() if analyzed else analyze_query(raw)
+        for t in terms:
+            out[t] = max(out.get(t, 0.0), w)
+    return out
+
+
+def parse_query_weights(
+    query_text: str, mode: str, analyzed: bool = False
+) -> tuple[str, dict[str, float] | None]:
+    """One-call weight pre-pass shared by engine and oracle: for term
+    modes with a ``^`` present, strip boosts and resolve the term-weight
+    map; all other queries pass through untouched."""
+    if mode in ("disjunctive", "conjunctive") and "^" in query_text:
+        clean, pairs = split_weight_tokens(query_text)
+        weights = resolve_term_weights(pairs, analyzed)
+        return clean, (weights or None)
+    return query_text, None
+
+
 #: Lucene-style bound on multi-term (prefix) expansion — a wildcard may
 #: never blow a query up into the whole vocabulary.
 PREFIX_CAP = 32
@@ -146,20 +204,56 @@ def build_oracle_index(transcripts: pd.DataFrame) -> OracleIndex:
 
 
 def _score_candidates(
-    index: OracleIndex, terms: list[str], candidates: set[DocKey] | None
+    index: OracleIndex,
+    terms: list[str],
+    candidates: set[DocKey] | None,
+    weights: dict[str, float] | None = None,
 ) -> dict[DocKey, float]:
-    """BM25 over unique sorted terms; restrict to candidates if given."""
+    """BM25 over unique sorted terms; restrict to candidates if given.
+    ``weights`` multiplies a term's idf (query boosts: ``tok^2.5``)."""
     scores: dict[DocKey, float] = {}
     for t in sorted(set(terms)):
         plist = index.postings.get(t)
         if not plist:
             continue
         idf = index.idf(t)
+        if weights:
+            idf = idf * weights.get(t, 1.0)
         for key, f, _pos in plist:
             if candidates is not None and key not in candidates:
                 continue
             scores[key] = scores.get(key, 0.0) + index.tf_bm25(f, index.doclen[key]) * idf
     return scores
+
+
+def _msm_docs(index: OracleIndex, terms: list[str], m: int) -> set[DocKey]:
+    """Docs containing at least ``m`` DISTINCT query terms — the
+    ``minimum_should_match`` candidate set (ES optional-clause
+    semantics: a term absent from the index can never match)."""
+    counts: dict[DocKey, int] = {}
+    for t in sorted(set(terms)):
+        for key, _f, _p in index.postings.get(t, ()):
+            counts[key] = counts.get(key, 0) + 1
+    return {key for key, n in counts.items() if n >= m}
+
+
+def _finish(
+    scores: dict[DocKey, float], k: int, after: tuple | None
+) -> list[tuple[DocKey, float]]:
+    """Final cut shared by every oracle_topk branch: plain top-k, or —
+    with an ``after`` cursor (score, conv_id, turn_idx) — the k entries
+    strictly AFTER the cursor in (score desc, conv_id, turn_idx) order
+    (the search_after deep-pagination contract)."""
+    if after is None:
+        return _topk(scores, k)
+    cs, cc, ct = float(after[0]), str(after[1]), int(after[2])
+    ranked = _topk(scores, len(scores))
+    out = [
+        (key, s)
+        for key, s in ranked
+        if s < cs or (s == cs and key > (cc, ct))
+    ]
+    return out[:k]
 
 
 def _topk(scores: dict[DocKey, float], k: int) -> list[tuple[DocKey, float]]:
@@ -223,6 +317,8 @@ def oracle_topk(
     k: int = 10,
     scope: set[DocKey] | None = None,
     analyzed: bool = False,
+    min_match: int = 1,
+    after: tuple | None = None,
 ) -> list[tuple[DocKey, float]]:
     """Golden top-k for one query: list of ((conv_id, turn_idx), score).
 
@@ -230,7 +326,16 @@ def oracle_topk(
     filter); scores keep the corpus-global stats — the filter-context
     semantics of the engine's scoped search.  ``analyzed=True`` treats
     ``query_text`` as whitespace-joined post-analysis terms (the
-    expansion execution mode; term modes only)."""
+    expansion execution mode; term modes only).  ``min_match`` keeps
+    only docs matching ≥ m distinct query terms (disjunctive only —
+    the ES ``minimum_should_match`` contract).  ``after`` is a
+    (score, conv_id, turn_idx) cursor: return the k results strictly
+    AFTER it in rank order (``search_after`` deep pagination).  Term
+    tokens may carry ``^w`` boosts (``tok^2.5``) multiplying their
+    idf contribution."""
+    if min_match > 1 and mode != "disjunctive":
+        raise ValueError(f"min_match needs disjunctive mode, not {mode!r}")
+    query_text, weights = parse_query_weights(query_text, mode, analyzed)
     if analyzed:
         if mode not in ("disjunctive", "conjunctive"):
             raise ValueError(
@@ -249,10 +354,19 @@ def oracle_topk(
                 candidates &= scope
             if not candidates:
                 return []
-            return _topk(_score_candidates(index, terms, candidates), k)
-        return _topk(_score_candidates(index, terms, scope), k)
+            return _finish(
+                _score_candidates(index, terms, candidates, weights), k, after
+            )
+        candidates = scope
+        if min_match > 1:
+            candidates = _msm_docs(index, terms, min_match)
+            if scope is not None:
+                candidates &= scope
+        return _finish(
+            _score_candidates(index, terms, candidates, weights), k, after
+        )
     if mode == "boolean":
-        return _boolean_topk(index, query_text, k, scope)
+        return _boolean_topk(index, query_text, k, scope, after=after)
     if mode == "phrase":
         phrase = PHRASE_PATTERN.search(query_text)
         text = phrase.group(1) if phrase else query_text
@@ -260,7 +374,7 @@ def oracle_topk(
         docs = _phrase_match_docs(index, terms, parse_slop(query_text))
         if scope is not None:
             docs &= scope
-        return _topk(_score_candidates(index, terms, docs), k)
+        return _finish(_score_candidates(index, terms, docs), k, after)
 
     terms = analyze_query(query_text)
     if not terms:
@@ -275,8 +389,15 @@ def oracle_topk(
             candidates &= scope
         if not candidates:
             return []
-        return _topk(_score_candidates(index, terms, candidates), k)
-    return _topk(_score_candidates(index, terms, scope), k)
+        return _finish(
+            _score_candidates(index, terms, candidates, weights), k, after
+        )
+    candidates = scope
+    if min_match > 1:
+        candidates = _msm_docs(index, terms, min_match)
+        if scope is not None:
+            candidates &= scope
+    return _finish(_score_candidates(index, terms, candidates, weights), k, after)
 
 
 def _boolean_topk(
@@ -284,6 +405,7 @@ def _boolean_topk(
     query_text: str,
     k: int,
     scope: set[DocKey] | None = None,
+    after: tuple | None = None,
 ) -> list[tuple[DocKey, float]]:
     """Both operands quoted, exactly one AND/OR/NOT (QueryService.java:80-104)."""
     op_match = OPERATOR_PATTERN.search(query_text)
@@ -303,7 +425,7 @@ def _boolean_topk(
         docs, terms = ldocs - rdocs, lterms
     if scope is not None:
         docs &= scope
-    return _topk(_score_candidates(index, terms, docs), k)
+    return _finish(_score_candidates(index, terms, docs), k, after)
 
 
 def oracle_matches(
@@ -312,9 +434,14 @@ def oracle_matches(
     mode: str = "disjunctive",
     scope: set[DocKey] | None = None,
     analyzed: bool = False,
+    min_match: int = 1,
 ) -> set[DocKey]:
     """The full matching-document set for one query — the candidate set
-    the ranked page is drawn from — optionally restricted to ``scope``."""
+    the ranked page is drawn from — optionally restricted to ``scope``.
+    ``min_match`` keeps docs matching ≥ m distinct terms (disjunctive)."""
+    if min_match > 1 and mode != "disjunctive":
+        raise ValueError(f"min_match needs disjunctive mode, not {mode!r}")
+    query_text, _w = parse_query_weights(query_text, mode, analyzed)
     if analyzed:
         if mode not in ("disjunctive", "conjunctive"):
             raise ValueError(
@@ -329,6 +456,8 @@ def oracle_matches(
                 for t in set(terms)
             ]
             docs = set.intersection(*sets) if sets else set()
+        elif min_match > 1:
+            docs = _msm_docs(index, terms, min_match)
         else:
             docs = set(_score_candidates(index, terms, None))
         if scope is not None:
@@ -356,6 +485,8 @@ def oracle_matches(
                 {key for key, _f, _p in index.postings.get(t, [])} for t in set(terms)
             ]
             docs = set.intersection(*sets) if sets else set()
+        elif min_match > 1:
+            docs = _msm_docs(index, terms, min_match)
         else:
             docs = set(_score_candidates(index, terms, None))
     if scope is not None:
