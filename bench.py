@@ -90,6 +90,9 @@ CONTRACT_QUERIES = [
     "transcripts_weighted",
     "transcripts_min_should_match",
     "transcripts_search_after",
+    "highlight_terms",
+    "transcripts_cardinality",
+    "transcripts_match_stats",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

@@ -405,6 +405,41 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Query-term highlighting",
+            "Expected: a single narrow Project over the documents scan — "
+            "regexp_replace + length arithmetic inside WholeStageCodegen, "
+            "ReadSchema pruned to (doc_id, text), the n_hits>0 filter in the "
+            "same stage, NO shuffle and NO Python.",
+            cap(contract.QUERIES["highlight_terms"](spark, SF)),
+        )
+    )
+
+    from search_engine_spark.pipeline.aggs import cardinality, match_stats
+
+    corpus_df = spark.read.parquet(pq)
+    sections.append(
+        (
+            "Match-set cardinality (exact countDistinct)",
+            "Expected: the matches kernel over the bucket/term-pruned "
+            "postings scan emits candidate keys; ONE partial+final "
+            "HashAggregate pair on the distinct column — no corpus join at "
+            "all when the column is a match key (conv_id).",
+            cap(cardinality(idx, corpus_df, "term0001 term0002")),
+        )
+    )
+    sections.append(
+        (
+            "Match-set stats aggregation (chars per matched turn)",
+            "Expected: match-set LeftSemi join against a corpus scan with "
+            "ReadSchema pruned to (conv_id, turn_idx, text); length() inside "
+            "codegen; ONE partial+final aggregate producing the single "
+            "stats row — O(1) aggregation state.",
+            cap(match_stats(idx, corpus_df, "term0001 term0002")),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "

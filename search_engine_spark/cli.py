@@ -258,6 +258,7 @@ def cmd_search(args: argparse.Namespace) -> None:
         synonyms=getattr(args, "synonyms", False),
         recency=_recency_opts(args),
         analyzed=getattr(args, "analyzed", False),
+        highlight=getattr(args, "highlight", False),
     )
     page["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(page))
@@ -548,6 +549,37 @@ def cmd_top_hits(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_aggregate(args: argparse.Namespace) -> None:
+    """Match-set metric aggregations: cardinality / stats (pipeline/aggs.py)."""
+    from .pipeline.aggs import cardinality, match_stats
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    tr = load_transcripts(spark, args.input)
+    scope = tr.filter(args.where) if args.where else None
+    t0 = time.time()
+    out = {"query": args.query, "mode": args.mode, "agg": args.agg}
+    if args.agg == "cardinality":
+        row = cardinality(
+            idx, tr, args.query, args.col, args.mode,
+            approx=args.approx, scope=scope,
+        ).collect()[0]
+        out.update({"col": args.col, "approx": args.approx, "value": row["value"]})
+    else:
+        row = match_stats(
+            idx, tr, args.query, args.field, args.mode, scope=scope
+        ).collect()[0]
+        out.update(
+            {
+                "field": args.field,
+                **{k: row[k] for k in ("count", "min", "max", "avg", "sum")},
+            }
+        )
+    out["seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+
+
 def cmd_bench(_args: argparse.Namespace) -> None:
     import runpy
 
@@ -735,6 +767,11 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="one result per CONVERSATION (best turn as representative)",
     )
+    se.add_argument(
+        "--highlight",
+        action="store_true",
+        help="tag query-term occurrences in snippets with <em>…</em>",
+    )
     _add_rerank_args(se)
     se.set_defaults(fn=cmd_search)
 
@@ -875,6 +912,39 @@ def main(argv: list[str] | None = None) -> None:
     )
     th.add_argument("--k", type=int, default=3)
     th.set_defaults(fn=cmd_top_hits)
+
+    ag = sub.add_parser(
+        "aggregate", help="match-set metrics: cardinality / field stats"
+    )
+    ag.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    ag.add_argument("--input", required=True, help="transcripts (parquet/table:)")
+    ag.add_argument("--query", required=True)
+    ag.add_argument("--agg", default="cardinality", choices=["cardinality", "stats"])
+    ag.add_argument(
+        "--col", default="conv_id",
+        help="cardinality: column whose distinct values are counted",
+    )
+    ag.add_argument(
+        "--field", default="chars",
+        help="stats: numeric field (chars = length(text), or turn_idx)",
+    )
+    ag.add_argument(
+        "--approx", action="store_true",
+        help="cardinality via HyperLogLog++ (one pass, constant state — "
+        "the 100-TB path)",
+    )
+    ag.add_argument(
+        "--mode", default="disjunctive",
+        choices=["disjunctive", "conjunctive", "phrase", "boolean"],
+    )
+    ag.add_argument(
+        "--where",
+        help="SQL predicate over the transcripts columns scoping the match set",
+    )
+    ag.set_defaults(fn=cmd_aggregate)
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)

@@ -53,6 +53,9 @@ PRIORITY = [
     "transcripts_significant_terms",  # r4: JLH aggregation over the match set
     "transcripts_date_histogram",  # r4: per-interval match counts
     "transcripts_top_hits_by_role",  # r4: per-bucket top-k (ES top_hits)
+    "highlight_terms",  # r4: <em>-tagged term occurrences (ES highlight)
+    "transcripts_cardinality",  # r4: distinct-conv count (ES cardinality)
+    "transcripts_match_stats",  # r4: count/min/max/avg/sum (ES stats)
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -3195,6 +3198,94 @@ def transcripts_search_after(spark, sf_dir):
         "term0001 term0002 term0003", "disjunctive", 10,
         search_after=_AFTER_CURSOR,
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+# =====================================================================
+# Highlighting + match-set metric aggregations (cardinality / stats)
+# =====================================================================
+
+_HIGHLIGHT_TERMS = ["vector", "vec", "stream"]
+
+
+@q(
+    "highlight_terms",
+    __import__(
+        "search_engine_spark.operators.highlight", fromlist=["highlight_sql"]
+    ).highlight_sql("documents", _HIGHLIGHT_TERMS),
+)
+def highlight_terms(spark, sf_dir):
+    """Query-term highlighting (operators/highlight.py — the ES
+    ``highlight`` block): every case-insensitive term occurrence wrapped
+    in <em> tags via ONE regexp_replace expression (whole-stage codegen,
+    no UDF); the term list includes a prefix-overlapping pair
+    (vector/vec) so the longest-first alternation contract is checked
+    cross-engine.  n_hits derives from the length delta — no second
+    regex pass."""
+    from .operators.highlight import highlight
+
+    return highlight(load(spark, sf_dir, "documents"), _HIGHLIGHT_TERMS)
+
+
+def _cardinality_oracle_sql(query_text: str, mode: str, col: str) -> str:
+    """VALUES oracle: the independent distinct-value count
+    (oracle.oracle_cardinality — ES cardinality aggregation)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_cardinality
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    n = oracle_cardinality(idx, pdf, query_text, mode, col)
+    return f"SELECT CAST({n} AS BIGINT) AS value"
+
+
+@q(
+    "transcripts_cardinality",
+    _cardinality_oracle_sql("term0003 term0004", "disjunctive", "conv_id"),
+)
+def transcripts_cardinality(spark, sf_dir):
+    """Cardinality aggregation (pipeline/aggs.py — the ES cardinality
+    shape): distinct conversations in the query's match set.  conv_id is
+    a match-key column, so no corpus join at all; exact here (the
+    contract path), with approx_count_distinct (HLL++) as the documented
+    100-TB option."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import cardinality
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return cardinality(idx, corpus, "term0003 term0004", "conv_id", "disjunctive")
+
+
+def _stats_oracle_sql(query_text: str, mode: str) -> str:
+    """VALUES oracle: the independent ES ``stats`` aggregation
+    (oracle.oracle_match_stats) over chars-per-matched-turn."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_match_stats
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    s = oracle_match_stats(idx, pdf, query_text, mode)
+    return (
+        f"SELECT CAST({s['count']} AS BIGINT) AS count, "
+        f"CAST({s['min']} AS BIGINT) AS min, "
+        f"CAST({s['max']} AS BIGINT) AS max, "
+        f"round({float(s['avg'])!r} + 1e-9, 5) AS avg, "
+        f"CAST({s['sum']} AS BIGINT) AS sum"
+    )
+
+
+@q("transcripts_match_stats", _stats_oracle_sql("term0001 term0002", "disjunctive"))
+def transcripts_match_stats(spark, sf_dir):
+    """Stats aggregation (pipeline/aggs.py — the ES ``stats`` shape):
+    count/min/max/avg/sum of chars per matched turn; match-set semi-join
+    against a (keys, text)-pruned scan, ONE partially-aggregated global
+    agg, O(1) aggregation state."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import match_stats
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return match_stats(idx, corpus, "term0001 term0002", "chars", "disjunctive")
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1014,6 +1014,58 @@ def oracle_facet_counts(
     return out
 
 
+def _matched_rows(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str,
+) -> pd.DataFrame:
+    """Transcripts rows whose (conv_id, turn_idx) is in the match set."""
+    keys = oracle_matches(index, query_text, mode)
+    mask = [
+        (str(c), int(t)) in keys
+        for c, t in zip(transcripts["conv_id"], transcripts["turn_idx"])
+    ]
+    return transcripts[pd.Series(mask, index=transcripts.index)]
+
+
+def oracle_cardinality(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    col: str = "conv_id",
+) -> int:
+    """Golden cardinality: distinct ``col`` values among the matching
+    turns — the ES cardinality-aggregation contract the engine
+    reproduces exactly (pipeline/aggs.py, approx=False)."""
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    return int(hit[col].nunique())
+
+
+def oracle_match_stats(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    field: str = "chars",
+) -> dict:
+    """Golden ES ``stats`` aggregation over the match set: count, min,
+    max, avg (5 dp), sum of ``chars = len(text)`` (or a numeric column)
+    per matched turn (pipeline/aggs.py)."""
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    vals = hit["text"].str.len() if field == "chars" else hit[field]
+    if len(vals) == 0:
+        return {"count": 0, "min": None, "max": None, "avg": None, "sum": None}
+    return {
+        "count": int(len(vals)),
+        "min": int(vals.min()),
+        "max": int(vals.max()),
+        "avg": round(float(vals.mean()), 5),
+        "sum": int(vals.sum()),
+    }
+
+
 def golden_stats(index: OracleIndex) -> dict:
     return {
         "n_docs": index.n_docs,

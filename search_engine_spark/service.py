@@ -68,6 +68,7 @@ def search(
     synonyms: bool | dict = False,
     recency: dict | None = None,
     analyzed: bool = False,
+    highlight: bool = False,
 ) -> dict:
     """One enriched result page.
 
@@ -100,6 +101,10 @@ def search(
     ``did_you_mean`` rewrite, which is analyzed and must not be
     re-stemmed.  A zero-hit first page on a plain term query carries
     ``did_you_mean`` (the ES term suggester, suggest_mode=missing).
+
+    ``highlight=True`` tags every query-term occurrence inside each
+    snippet with ``<em>…</em>`` (the ES highlight block) — same window,
+    same surface-text term semantics, one extra JVM expression.
 
     ``recency`` ({"now": iso_ts, "scale_s": s[, "offset_s", "decay_rate"]})
     reranks by freshness-decayed BM25 (``operators/recency.py`` — the ES
@@ -211,7 +216,13 @@ def search(
     hits = transcripts.filter(F.col("conv_id").isin(convs)).filter(
         F.concat_ws("\x1f", F.col("conv_id"), F.col("turn_idx")).isin(keys)
     )
-    snip = snippets(
+    # highlight=True tags every in-window query-term occurrence with
+    # <em>…</em> (operators/highlight.py — the ES highlight block);
+    # same window, same terms, one extra regexp_replace expression.
+    snip_fn = snippets
+    if highlight:
+        from .operators.highlight import highlighted_snippets as snip_fn
+    snip = snip_fn(
         hits,
         _raw_terms(query_text, mode),
         width=width,
@@ -237,6 +248,9 @@ def search(
     titles = []
     for res in results[:MAX_TITLES]:
         snip = res["snippet"]
+        if highlight and snip:
+            # suggestions are queries, not display text: untag first
+            snip = snip.replace("<em>", "").replace("</em>", "")
         if not snip:
             continue
         words = snip.strip(".").split()

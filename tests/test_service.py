@@ -341,3 +341,30 @@ def test_search_synonyms_compose_with_prefix(spark, xs_full_setup):
         for r in page["results"]
     ]
     assert got == want
+
+
+def test_search_highlight(spark, xs_setup):
+    """highlight=True: snippets carry <em>-tagged query terms; stripping
+    the tags recovers the plain-snippet response exactly, and every
+    result's snippet tags ≥1 term (results match, so their window
+    contains a hit by construction)."""
+    idx, tr = xs_setup
+    plain = search(idx, tr, "term0001 term0002", k=5)
+    marked = search(idx, tr, "term0001 term0002", k=5, highlight=True)
+    assert [(r["conv_id"], r["turn_idx"]) for r in marked["results"]] == [
+        (r["conv_id"], r["turn_idx"]) for r in plain["results"]
+    ]
+    for mres, pres in zip(marked["results"], plain["results"]):
+        assert "<em>" in mres["snippet"]
+        stripped = mres["snippet"].replace("<em>", "").replace("</em>", "")
+        assert stripped == pres["snippet"]
+
+
+def test_search_highlight_suggestions_untagged(spark, xs_setup):
+    """Suggestions are queries, not display text: highlight=True must not
+    leak <em> tags into suggested_queries."""
+    idx, tr = xs_setup
+    plain = search(idx, tr, "term0001", k=5)
+    marked = search(idx, tr, "term0001", k=5, highlight=True)
+    assert marked["suggested_queries"] == plain["suggested_queries"]
+    assert all("<em>" not in s for s in marked["suggested_queries"])
