@@ -93,6 +93,9 @@ CONTRACT_QUERIES = [
     "highlight_terms",
     "transcripts_cardinality",
     "transcripts_match_stats",
+    "transcripts_extended_stats",
+    "transcripts_percentiles",
+    "transcripts_stats_by_role",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

@@ -416,7 +416,13 @@ def main() -> None:
         )
     )
 
-    from search_engine_spark.pipeline.aggs import cardinality, match_stats
+    from search_engine_spark.pipeline.aggs import (
+        cardinality,
+        extended_stats,
+        match_stats,
+        percentiles,
+        stats_by,
+    )
 
     corpus_df = spark.read.parquet(pq)
     sections.append(
@@ -437,6 +443,37 @@ def main() -> None:
             "codegen; ONE partial+final aggregate producing the single "
             "stats row — O(1) aggregation state.",
             cap(match_stats(idx, corpus_df, "term0001 term0002")),
+        )
+    )
+    sections.append(
+        (
+            "Match-set extended stats (variance from exact integer sums)",
+            "Expected: the same single partial+final aggregate as stats — "
+            "the six raw aggregates (count/min/max/avg/sum/sum_sq) in one "
+            "pass, variance/std_dev as post-aggregation Project expressions "
+            "over the exact longs (no second job, no streaming-moments "
+            "state).",
+            cap(extended_stats(idx, corpus_df, "term0001 term0002")),
+        )
+    )
+    sections.append(
+        (
+            "Match-set percentiles (exact contract path)",
+            "Expected: ObjectHashAggregate for SQL percentile (exact path "
+            "buffers matched values — the reason approx=True/"
+            "percentile_approx is the documented 100-TB path); input still "
+            "the (keys, text)-pruned LeftSemi scan.",
+            cap(percentiles(idx, corpus_df, "term0001 term0002")),
+        )
+    )
+    sections.append(
+        (
+            "Bucketed stats (terms + stats sub-aggregation)",
+            "Expected: ONE hash aggregation keyed on the bucket column with "
+            "map-side partial aggregation (O(buckets) state), null buckets "
+            "filtered before the agg, bucket order by sort — no window, no "
+            "per-bucket job.",
+            cap(stats_by(idx, corpus_df, "term0001 term0002")),
         )
     )
 

@@ -550,8 +550,15 @@ def cmd_top_hits(args: argparse.Namespace) -> None:
 
 
 def cmd_aggregate(args: argparse.Namespace) -> None:
-    """Match-set metric aggregations: cardinality / stats (pipeline/aggs.py)."""
-    from .pipeline.aggs import cardinality, match_stats
+    """Match-set metric aggregations (pipeline/aggs.py): cardinality /
+    stats / extended_stats / percentiles / stats_by."""
+    from .pipeline.aggs import (
+        cardinality,
+        extended_stats,
+        match_stats,
+        percentiles,
+        stats_by,
+    )
     from .sources import load_transcripts
 
     spark = _spark(args.cores)
@@ -566,16 +573,25 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
             approx=args.approx, scope=scope,
         ).collect()[0]
         out.update({"col": args.col, "approx": args.approx, "value": row["value"]})
+    elif args.agg == "percentiles":
+        pct = tuple(float(p) for p in args.percents.split(","))
+        row = percentiles(
+            idx, tr, args.query, args.field, pct, args.mode,
+            approx=args.approx, scope=scope,
+        ).collect()[0]
+        out.update({"field": args.field, "approx": args.approx, **row.asDict()})
+    elif args.agg == "stats_by":
+        rows = stats_by(
+            idx, tr, args.query, args.col, args.field, args.mode, scope=scope
+        ).collect()
+        out.update({"col": args.col, "field": args.field,
+                    "buckets": [r.asDict() for r in rows]})
     else:
-        row = match_stats(
+        fn = extended_stats if args.agg == "extended_stats" else match_stats
+        row = fn(
             idx, tr, args.query, args.field, args.mode, scope=scope
         ).collect()[0]
-        out.update(
-            {
-                "field": args.field,
-                **{k: row[k] for k in ("count", "min", "max", "avg", "sum")},
-            }
-        )
+        out.update({"field": args.field, **row.asDict()})
     out["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(out))
 
@@ -922,10 +938,19 @@ def main(argv: list[str] | None = None) -> None:
     )
     ag.add_argument("--input", required=True, help="transcripts (parquet/table:)")
     ag.add_argument("--query", required=True)
-    ag.add_argument("--agg", default="cardinality", choices=["cardinality", "stats"])
+    ag.add_argument(
+        "--agg", default="cardinality",
+        choices=["cardinality", "stats", "extended_stats", "percentiles",
+                 "stats_by"],
+    )
     ag.add_argument(
         "--col", default="conv_id",
-        help="cardinality: column whose distinct values are counted",
+        help="cardinality: column whose distinct values are counted; "
+        "stats_by: the bucket column",
+    )
+    ag.add_argument(
+        "--percents", default="1,25,50,75,99",
+        help="percentiles: comma-separated percents",
     )
     ag.add_argument(
         "--field", default="chars",

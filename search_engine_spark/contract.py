@@ -56,6 +56,9 @@ PRIORITY = [
     "highlight_terms",  # r4: <em>-tagged term occurrences (ES highlight)
     "transcripts_cardinality",  # r4: distinct-conv count (ES cardinality)
     "transcripts_match_stats",  # r4: count/min/max/avg/sum (ES stats)
+    "transcripts_extended_stats",  # r4: + sum_sq/variance/std_dev
+    "transcripts_percentiles",  # r4: exact interpolated quantiles
+    "transcripts_stats_by_role",  # r4: terms bucket + stats sub-agg
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -3286,6 +3289,128 @@ def transcripts_match_stats(spark, sf_dir):
     idx = _xs_index(spark)
     corpus = spark.createDataFrame(generate_transcripts("xs"))
     return match_stats(idx, corpus, "term0001 term0002", "chars", "disjunctive")
+
+
+def _extended_stats_oracle_sql(query_text: str, mode: str) -> str:
+    """VALUES oracle: the independent ES ``extended_stats`` aggregation
+    (oracle.oracle_extended_stats) — variance/std_dev already carry the
+    cross-engine nudge-round, so they are emitted as plain literals."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_extended_stats
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    s = oracle_extended_stats(idx, pdf, query_text, mode)
+    return (
+        f"SELECT CAST({s['count']} AS BIGINT) AS count, "
+        f"CAST({s['min']} AS BIGINT) AS min, "
+        f"CAST({s['max']} AS BIGINT) AS max, "
+        f"round({float(s['avg'])!r} + 1e-9, 5) AS avg, "
+        f"CAST({s['sum']} AS BIGINT) AS sum, "
+        f"CAST({s['sum_sq']} AS BIGINT) AS sum_sq, "
+        f"CAST({float(s['variance'])!r} AS DOUBLE) AS variance, "
+        f"CAST({float(s['std_dev'])!r} AS DOUBLE) AS std_dev"
+    )
+
+
+@q(
+    "transcripts_extended_stats",
+    _extended_stats_oracle_sql("term0003 term0004", "conjunctive"),
+)
+def transcripts_extended_stats(spark, sf_dir):
+    """Extended stats (pipeline/aggs.py — the ES ``extended_stats``
+    shape): stats + sum_sq + POPULATION variance/std_dev over chars per
+    matched turn; variance derived from the exact integer sums
+    (sum_sq/n - (sum/n)^2) so the double is engine-reproducible; same
+    single partially-aggregated plan as ``transcripts_match_stats``."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import extended_stats
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return extended_stats(idx, corpus, "term0003 term0004", "chars", "conjunctive")
+
+
+_PCT = (1.0, 25.0, 50.0, 75.0, 99.0, 99.9)
+
+
+def _percentiles_oracle_sql(query_text: str, mode: str) -> str:
+    """VALUES oracle: exact interpolated percentiles
+    (oracle.oracle_percentiles — Spark SQL ``percentile``'s arithmetic
+    written out, nudge-rounded at 5 dp)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_percentiles
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    s = oracle_percentiles(idx, pdf, query_text, mode, percents=_PCT)
+    cols = ", ".join(f"CAST({float(v)!r} AS DOUBLE) AS {k}" for k, v in s.items())
+    return f"SELECT {cols}"
+
+
+@q(
+    "transcripts_percentiles",
+    _percentiles_oracle_sql("term0001 term0002", "disjunctive"),
+)
+def transcripts_percentiles(spark, sf_dir):
+    """Percentiles aggregation (pipeline/aggs.py — the ES
+    ``percentiles`` shape, exact contract path): chars-per-matched-turn
+    quantiles at p1..p99.9 via Spark SQL ``percentile`` (linear
+    interpolation at rank p·(n-1)); ``approx=True``/``percentile_approx``
+    is the documented bounded-memory 100-TB path (ES itself is t-digest
+    approximate here)."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import percentiles
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return percentiles(
+        idx, corpus, "term0001 term0002", "chars", _PCT, "disjunctive"
+    )
+
+
+def _stats_by_oracle_sql(query_text: str, mode: str, bucket_col: str) -> str:
+    """VALUES oracle: per-bucket stats rows (oracle.oracle_stats_by —
+    the ES terms + stats sub-aggregation)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_stats_by
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_stats_by(idx, pdf, query_text, mode, bucket_col)
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES ('', 0, 0, 0, 0.0, 0)) "
+            "t(bucket, count, min, max, avg, sum) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{r['bucket']}', CAST({r['count']} AS BIGINT), "
+        f"CAST({r['min']} AS BIGINT), CAST({r['max']} AS BIGINT), "
+        f"round({float(r['avg'])!r} + 1e-9, 5), CAST({r['sum']} AS BIGINT))"
+        for r in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES\n  {values}\n) "
+        f"t(bucket, count, min, max, avg, sum)"
+    )
+
+
+@q(
+    "transcripts_stats_by_role",
+    _stats_by_oracle_sql("term0001", "disjunctive", "role"),
+)
+def transcripts_stats_by_role(spark, sf_dir):
+    """Bucketed stats (pipeline/aggs.py — the ES ``terms`` bucket
+    aggregation with a ``stats`` sub-aggregation): per-role
+    count/min/max/avg/sum of chars across the match set; one hash
+    aggregation keyed on the bucket, map-side partials, O(buckets)
+    state."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import stats_by
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return stats_by(idx, corpus, "term0001", "role", "chars", "disjunctive")
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1066,6 +1066,110 @@ def oracle_match_stats(
     }
 
 
+def _round5(x: float) -> float:
+    """The cross-engine rounding contract (functions.rnd): nudge by the
+    shared epsilon, then round at 5 dp — identical arithmetic to the
+    Spark side, so oracle and engine agree bit-for-bit."""
+    return round(float(x) + 1e-9, 5)
+
+
+def oracle_extended_stats(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    field: str = "chars",
+) -> dict:
+    """Golden ES ``extended_stats``: ``oracle_match_stats`` plus sum_sq
+    and POPULATION variance / std deviation, derived from the exact
+    integer sums exactly as pipeline/aggs.extended_stats does
+    (``sum_sq/n - (sum/n)^2`` in IEEE doubles), so the float is
+    reproducible across engines."""
+    s = oracle_match_stats(index, transcripts, query_text, mode, field)
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    vals = hit["text"].str.len() if field == "chars" else hit[field]
+    ints = [int(v) for v in vals]
+    if not ints:
+        return {**s, "sum_sq": 0, "variance": None, "std_dev": None}
+    sum_sq = sum(v * v for v in ints)
+    n = float(len(ints))
+    var = sum_sq / n - (sum(ints) / n) * (sum(ints) / n)
+    return {
+        **s,
+        "sum_sq": sum_sq,
+        "variance": _round5(var),
+        "std_dev": _round5(math.sqrt(var)),
+    }
+
+
+def oracle_percentiles(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    field: str = "chars",
+    percents: tuple = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+) -> dict:
+    """Golden ES ``percentiles``: exact linear interpolation at rank
+    ``p·(n-1)`` over the sorted matched values — the formula is written
+    out (``(hi-pos)·v[lo] + (pos-lo)·v[hi]``, Spark SQL ``percentile``'s
+    exact arithmetic) rather than delegated to numpy so both engines
+    produce the identical IEEE double.  Keys are the engine's column
+    names (p50, p99_9, …)."""
+
+    def _name(p) -> str:
+        s = f"{float(p):g}".replace(".", "_").replace("-", "m")
+        return f"p{s}"
+
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    vals = sorted(
+        int(v) for v in (hit["text"].str.len() if field == "chars" else hit[field])
+    )
+    out: dict = {}
+    for p in percents:
+        if not vals:
+            out[_name(p)] = None
+            continue
+        pos = (float(p) / 100.0) * (len(vals) - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        if lo == hi:
+            q = float(vals[lo])
+        else:
+            q = (hi - pos) * vals[lo] + (pos - lo) * vals[hi]
+        out[_name(p)] = _round5(q)
+    return out
+
+
+def oracle_stats_by(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    bucket_col: str = "role",
+    field: str = "chars",
+) -> list[dict]:
+    """Golden ES ``terms`` + ``stats`` sub-aggregation: per-bucket
+    count/min/max/avg/sum of ``field`` across the match set, buckets
+    sorted, min_doc_count=1 (pipeline/aggs.stats_by)."""
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    vals = hit["text"].str.len() if field == "chars" else hit[field]
+    rows = []
+    frame = pd.DataFrame({"bucket": hit[bucket_col].values, "v": vals.values})
+    for bucket, grp in sorted(frame.groupby("bucket"), key=lambda kv: str(kv[0])):
+        ints = [int(v) for v in grp["v"]]
+        rows.append(
+            {
+                "bucket": str(bucket),
+                "count": len(ints),
+                "min": min(ints),
+                "max": max(ints),
+                "avg": _round5(sum(ints) / len(ints)),
+                "sum": sum(ints),
+            }
+        )
+    return rows
+
+
 def golden_stats(index: OracleIndex) -> dict:
     return {
         "n_docs": index.n_docs,

@@ -112,3 +112,124 @@ def test_match_stats_empty_match_set(xs_index, xs_df):
 def test_unknown_stats_field_rejected(xs_index, xs_df):
     with pytest.raises(ValueError):
         match_stats(xs_index, xs_df, "term0001", "no_such_field")
+
+
+# ---------------------------------------------------------------------
+# extended_stats / percentiles / stats_by (ES extended_stats,
+# percentiles, terms+stats sub-aggregation)
+# ---------------------------------------------------------------------
+
+from search_engine_spark.oracle import (  # noqa: E402
+    oracle_extended_stats,
+    oracle_percentiles,
+    oracle_stats_by,
+)
+from search_engine_spark.pipeline.aggs import (  # noqa: E402
+    extended_stats,
+    percentiles,
+    stats_by,
+)
+
+
+@pytest.mark.parametrize("q,m", _QUERIES)
+def test_extended_stats_matches_oracle(xs_index, xs_df, xs_pdf, xs_oracle, q, m):
+    row = extended_stats(xs_index, xs_df, q, "chars", m).collect()[0]
+    want = oracle_extended_stats(xs_oracle, xs_pdf, q, m, "chars")
+    assert row["count"] == want["count"]
+    assert row["sum_sq"] == want["sum_sq"]
+    assert row["variance"] == pytest.approx(want["variance"], abs=2e-5)
+    assert row["std_dev"] == pytest.approx(want["std_dev"], abs=2e-5)
+
+
+def test_extended_stats_empty_match_set(xs_index, xs_df):
+    row = extended_stats(xs_index, xs_df, "zzznoterm", "chars").collect()[0]
+    assert row["count"] == 0
+    assert row["variance"] is None and row["std_dev"] is None
+
+
+def test_extended_stats_single_value_zero_variance(xs_index, xs_df, xs_pdf):
+    """A one-turn match set has variance exactly 0 (no float debris —
+    the integer-sum formula guarantees it)."""
+    # find a term matching exactly one turn via the oracle index
+    from search_engine_spark.oracle import build_oracle_index
+
+    idx = build_oracle_index(xs_pdf)
+    term = next(
+        (t for t, pl in idx.postings.items() if len(pl) == 1 and t.isalnum()),
+        None,
+    )
+    if term is None:
+        pytest.skip("xs corpus has no df=1 alnum term")
+    row = extended_stats(xs_index, xs_df, term, "chars").collect()[0]
+    assert row["count"] == 1
+    assert row["variance"] == 0.0 and row["std_dev"] == 0.0
+
+
+@pytest.mark.parametrize("q,m", _QUERIES)
+def test_percentiles_match_oracle(xs_index, xs_df, xs_pdf, xs_oracle, q, m):
+    pct = (1.0, 25.0, 50.0, 75.0, 99.0, 99.9)
+    row = percentiles(xs_index, xs_df, q, "chars", pct, m).collect()[0]
+    want = oracle_percentiles(xs_oracle, xs_pdf, q, m, "chars", pct)
+    for k, v in want.items():
+        assert row[k] == pytest.approx(v, abs=2e-5), k
+
+
+def test_percentiles_approx_brackets_exact(xs_index, xs_df, xs_pdf, xs_oracle):
+    """percentile_approx (the 100-TB path) lands within the matched
+    value range and near the exact p50 at high accuracy."""
+    q, m = "term0001 term0002", "disjunctive"
+    exact = oracle_percentiles(xs_oracle, xs_pdf, q, m, "chars", (50.0,))["p50"]
+    row = percentiles(
+        xs_index, xs_df, q, "chars", (50.0,), m, approx=True, accuracy=10000
+    ).collect()[0]
+    # GK sketch at accuracy=10000 over a few thousand values: rank error
+    # <= n/accuracy, so the value should be within a few neighbors
+    assert abs(row["p50"] - exact) <= 50
+
+
+def test_percentiles_empty_and_validation(xs_index, xs_df):
+    row = percentiles(xs_index, xs_df, "zzznoterm", "chars", (50.0,)).collect()[0]
+    assert row["p50"] is None
+    with pytest.raises(ValueError):
+        percentiles(xs_index, xs_df, "term0001", "chars", ())
+    with pytest.raises(ValueError):
+        percentiles(xs_index, xs_df, "term0001", "chars", (101.0,))
+
+
+def test_percentiles_column_naming(xs_index, xs_df):
+    df = percentiles(xs_index, xs_df, "term0001", "chars", (0.1, 50.0, 99.9))
+    assert df.columns == ["p0_1", "p50", "p99_9"]
+
+
+@pytest.mark.parametrize("q,m", _QUERIES)
+@pytest.mark.parametrize("bucket", ["role", "tool"])
+def test_stats_by_matches_oracle(xs_index, xs_df, xs_pdf, xs_oracle, q, m, bucket):
+    rows = stats_by(xs_index, xs_df, q, bucket, "chars", m).collect()
+    want = oracle_stats_by(xs_oracle, xs_pdf, q, m, bucket, "chars")
+    got = [
+        {
+            "bucket": r["bucket"], "count": r["count"], "min": r["min"],
+            "max": r["max"], "sum": r["sum"],
+        }
+        for r in rows
+    ]
+    slim = [{k: w[k] for k in ("bucket", "count", "min", "max", "sum")} for w in want]
+    assert got == slim
+    for r, w in zip(rows, want):
+        assert r["avg"] == pytest.approx(w["avg"], abs=2e-5)
+
+
+def test_stats_by_scoped(xs_index, xs_df, xs_pdf):
+    """Scope composes: per-role stats over the assistant-scoped match
+    set collapse to a single assistant bucket."""
+    q, m = "term0001 term0002", "disjunctive"
+    scope_df = xs_df.filter("role = 'assistant'")
+    rows = stats_by(xs_index, xs_df, q, "role", "chars", m, scope=scope_df).collect()
+    assert [r["bucket"] for r in rows] == ["assistant"]
+
+
+def test_stats_by_counts_sum_to_match_count(xs_index, xs_df, xs_pdf, xs_oracle):
+    q, m = "term0003 term0004", "disjunctive"
+    rows = stats_by(xs_index, xs_df, q, "role", "chars", m).collect()
+    total = oracle_match_stats(xs_oracle, xs_pdf, q, m, "chars")["count"]
+    assert sum(r["count"] for r in rows) == total
