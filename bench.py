@@ -96,6 +96,9 @@ CONTRACT_QUERIES = [
     "transcripts_extended_stats",
     "transcripts_percentiles",
     "transcripts_stats_by_role",
+    "transcripts_histogram",
+    "transcripts_range",
+    "transcripts_composite",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

@@ -554,10 +554,13 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
     stats / extended_stats / percentiles / stats_by."""
     from .pipeline.aggs import (
         cardinality,
+        composite_agg,
         extended_stats,
         match_stats,
         percentiles,
+        range_agg,
         stats_by,
+        value_histogram,
     )
     from .sources import load_transcripts
 
@@ -580,6 +583,42 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
             approx=args.approx, scope=scope,
         ).collect()[0]
         out.update({"field": args.field, "approx": args.approx, **row.asDict()})
+    elif args.agg == "histogram":
+        rows = value_histogram(
+            idx, tr, args.query, args.field, args.interval, args.mode,
+            min_doc_count=args.min_doc_count, scope=scope,
+        ).collect()
+        out.update({"field": args.field, "interval": args.interval,
+                    "buckets": [r.asDict() for r in rows]})
+    elif args.agg == "range":
+        ranges = []
+        for part in args.ranges.split(","):
+            lo, _, hi = part.partition("-")
+            ranges.append(
+                (None if lo in ("", "*") else float(lo),
+                 None if hi in ("", "*") else float(hi))
+            )
+        rows = range_agg(
+            idx, tr, args.query, ranges, args.field, args.mode, scope=scope
+        ).collect()
+        out.update({"field": args.field,
+                    "buckets": [r.asDict() for r in rows]})
+    elif args.agg == "composite":
+        sources = tuple(args.sources.split(","))
+        after = tuple(json.loads(args.after)) if args.after else None
+        rows = composite_agg(
+            idx, tr, args.query, sources, args.size, after, args.mode,
+            scope=scope,
+        ).collect()
+        buckets = [r.asDict() for r in rows]
+        out.update({
+            "sources": list(sources),
+            "buckets": buckets,
+            "after_key": (
+                [buckets[-1][c] for c in sources] if len(buckets) == args.size
+                else None  # ES: no after_key on the final page
+            ),
+        })
     elif args.agg == "stats_by":
         rows = stats_by(
             idx, tr, args.query, args.col, args.field, args.mode, scope=scope
@@ -941,7 +980,7 @@ def main(argv: list[str] | None = None) -> None:
     ag.add_argument(
         "--agg", default="cardinality",
         choices=["cardinality", "stats", "extended_stats", "percentiles",
-                 "stats_by"],
+                 "stats_by", "histogram", "range", "composite"],
     )
     ag.add_argument(
         "--col", default="conv_id",
@@ -955,6 +994,33 @@ def main(argv: list[str] | None = None) -> None:
     ag.add_argument(
         "--field", default="chars",
         help="stats: numeric field (chars = length(text), or turn_idx)",
+    )
+    ag.add_argument(
+        "--interval", type=int, default=100,
+        help="histogram: bucket width over --field",
+    )
+    ag.add_argument(
+        "--min-doc-count", type=int, default=0, dest="min_doc_count",
+        choices=[0, 1],
+        help="histogram: 0 gap-fills empty buckets between extremes (ES "
+        "default), 1 drops them",
+    )
+    ag.add_argument(
+        "--ranges", default="*-100,100-500,500-*",
+        help="range: comma-separated from-to pairs, * for an open end "
+        "(from inclusive, to exclusive; overlaps allowed)",
+    )
+    ag.add_argument(
+        "--sources", default="role",
+        help="composite: comma-separated bucket-key columns",
+    )
+    ag.add_argument(
+        "--size", type=int, default=10, help="composite: buckets per page"
+    )
+    ag.add_argument(
+        "--after",
+        help="composite: JSON array cursor — the last bucket key of the "
+        "previous page (exclusive)",
     )
     ag.add_argument(
         "--approx", action="store_true",

@@ -59,6 +59,9 @@ PRIORITY = [
     "transcripts_extended_stats",  # r4: + sum_sq/variance/std_dev
     "transcripts_percentiles",  # r4: exact interpolated quantiles
     "transcripts_stats_by_role",  # r4: terms bucket + stats sub-agg
+    "transcripts_histogram",  # r4: ES numeric histogram (gap-filled)
+    "transcripts_range",  # r4: ES range agg (overlaps, empty buckets)
+    "transcripts_composite",  # r4: ES composite paginated buckets
     "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
     "ivf_assign_cells",  # r4: k-means assignment parity
     "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
@@ -3411,6 +3414,134 @@ def transcripts_stats_by_role(spark, sf_dir):
     idx = _xs_index(spark)
     corpus = spark.createDataFrame(generate_transcripts("xs"))
     return stats_by(idx, corpus, "term0001", "role", "chars", "disjunctive")
+
+
+_HIST_INTERVAL = 150
+
+
+def _value_histogram_oracle_sql(query_text: str, mode: str) -> str:
+    """VALUES oracle: the independent ES numeric ``histogram``
+    aggregation (oracle.oracle_value_histogram, min_doc_count=0 —
+    gap-filled between the observed extremes)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_value_histogram
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_value_histogram(
+        idx, pdf, query_text, mode, interval=_HIST_INTERVAL
+    )
+    values = ",\n  ".join(
+        f"(CAST({r['bucket']} AS BIGINT), CAST({r['n']} AS BIGINT))"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES\n  {values}\n) t(bucket, n)"
+
+
+@q(
+    "transcripts_histogram",
+    _value_histogram_oracle_sql("term0001 term0002", "disjunctive"),
+)
+def transcripts_histogram(spark, sf_dir):
+    """Numeric histogram (pipeline/aggs.py — the ES ``histogram``
+    aggregation): fixed-interval buckets of chars per matched turn,
+    empty buckets between the observed extremes gap-filled by ONE
+    ``sequence``+``explode`` expression (the ES min_doc_count=0 default
+    shape); bucket key is the exact long ``v - pmod(v, interval)``."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import value_histogram
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return value_histogram(
+        idx, corpus, "term0001 term0002", "chars", _HIST_INTERVAL, "disjunctive"
+    )
+
+
+_RANGES = [(None, 200), (200, 500), (300, None)]
+
+
+def _range_oracle_sql(query_text: str, mode: str) -> str:
+    """VALUES oracle: the independent ES ``range`` aggregation
+    (oracle.oracle_range_agg — overlapping ranges each count the value,
+    empty requested buckets kept)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_range_agg
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_range_agg(idx, pdf, query_text, _RANGES, mode)
+    values = ",\n  ".join(
+        f"(CAST({r['idx']} AS INT), '{r['key']}', CAST({r['n']} AS BIGINT))"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES\n  {values}\n) t(idx, key, n)"
+
+
+@q(
+    "transcripts_range",
+    _range_oracle_sql("term0001 term0002", "disjunctive"),
+)
+def transcripts_range(spark, sf_dir):
+    """Range aggregation (pipeline/aggs.py — the ES ``range`` shape):
+    explicit [from, to) buckets over chars per matched turn — open ends,
+    an OVERLAPPING pair (200-500 and 300-*) proving a value counts in
+    every containing range, all requested buckets returned in request
+    order; one literal-array explode + broadcast-left-join plan."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import range_agg
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return range_agg(
+        idx, corpus, "term0001 term0002", _RANGES, "chars", "disjunctive"
+    )
+
+
+def _composite_oracle_sql(
+    query_text: str, mode: str, sources: tuple, size: int, after: tuple
+) -> str:
+    """VALUES oracle: the independent ES ``composite`` aggregation page
+    (oracle.oracle_composite_agg — ascending key order, exclusive
+    ``after`` cursor, null sources dropped)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_composite_agg
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_composite_agg(idx, pdf, query_text, sources, size, after, mode)
+    cols = ", ".join(sources) + ", n"
+    values = ",\n  ".join(
+        "("
+        + ", ".join(f"'{r[c]}'" for c in sources)
+        + f", CAST({r['n']} AS BIGINT))"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES\n  {values}\n) t({cols})"
+
+
+@q(
+    "transcripts_composite",
+    _composite_oracle_sql(
+        "term0001", "disjunctive", ("role", "tool"), 2, ("tool", "bash")
+    ),
+)
+def transcripts_composite(spark, sf_dir):
+    """Composite aggregation (pipeline/aggs.py — the ES ``composite``
+    paginated-bucket surface): page 2 of the (role, tool) buckets over
+    the match set — exclusive after-cursor via an ordered-struct
+    comparison pushed below the final TakeOrdered, size-bounded, null
+    sources dropped (missing_bucket=false)."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import composite_agg
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return composite_agg(
+        idx, corpus, "term0001", ("role", "tool"), 2, ("tool", "bash"),
+        "disjunctive",
+    )
+
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1170,6 +1170,97 @@ def oracle_stats_by(
     return rows
 
 
+def _field_ints(hit: pd.DataFrame, field: str) -> list[int]:
+    """Matched rows' numeric field as exact ints (pipeline/aggs._FIELDS)."""
+    vals = hit["text"].str.len() if field == "chars" else hit[field]
+    return [int(v) for v in vals]
+
+
+def oracle_value_histogram(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    field: str = "chars",
+    interval: int = 100,
+    min_doc_count: int = 0,
+) -> list[dict]:
+    """Golden ES numeric ``histogram``: fixed-interval buckets of the
+    matched values, gap-filled between the observed extremes when
+    ``min_doc_count=0`` (pipeline/aggs.value_histogram).  Bucket key is
+    the exact integer ``v - (v mod interval)`` with a nonnegative mod —
+    the same floor multiple for any sign."""
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    counts: dict[int, int] = {}
+    for v in _field_ints(hit, field):
+        key = v - (v % interval)  # Python % is nonnegative for interval>0
+        counts[key] = counts.get(key, 0) + 1
+    if not counts:
+        return []
+    if min_doc_count == 1:
+        keys = sorted(counts)
+    else:
+        keys = list(range(min(counts), max(counts) + 1, interval))
+    return [{"bucket": k, "n": counts.get(k, 0)} for k in keys]
+
+
+def oracle_range_agg(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    ranges: list,
+    mode: str = "disjunctive",
+    field: str = "chars",
+) -> list[dict]:
+    """Golden ES ``range`` aggregation: one row per requested range in
+    request order — ``from`` inclusive, ``to`` exclusive, open ends,
+    overlaps counted in every containing range, empty buckets kept
+    (pipeline/aggs.range_agg)."""
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    vals = _field_ints(hit, field)
+    rows = []
+    for i, (lo, hi) in enumerate(ranges):
+        fmt = lambda v: "*" if v is None else f"{v:g}"  # noqa: E731
+        n = sum(
+            1
+            for v in vals
+            if (lo is None or v >= lo) and (hi is None or v < hi)
+        )
+        rows.append({"idx": i, "key": f"{fmt(lo)}-{fmt(hi)}", "n": n})
+    return rows
+
+
+def oracle_composite_agg(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    sources: tuple = ("role",),
+    size: int = 10,
+    after: tuple | None = None,
+    mode: str = "disjunctive",
+) -> list[dict]:
+    """Golden ES ``composite`` aggregation: ascending-key buckets over
+    the match set, strictly after the exclusive ``after`` tuple, first
+    ``size`` rows; null source values drop the row (missing_bucket
+    false) — pipeline/aggs.composite_agg."""
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    counts: dict[tuple, int] = {}
+    for _, row in hit.iterrows():
+        key = tuple(row[c] for c in sources)
+        if any(pd.isna(v) for v in key):
+            continue
+        key = tuple(str(v) if isinstance(v, str) else v for v in key)
+        counts[key] = counts.get(key, 0) + 1
+    keys = sorted(counts)
+    if after is not None:
+        keys = [k for k in keys if k > tuple(after)]
+    return [
+        {**{c: k[i] for i, c in enumerate(sources)}, "n": counts[k]}
+        for k in keys[:size]
+    ]
+
+
+
 def golden_stats(index: OracleIndex) -> dict:
     return {
         "n_docs": index.n_docs,

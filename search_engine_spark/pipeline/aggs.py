@@ -24,6 +24,19 @@ pipeline/significant.py):
 - ``stats_by`` — a terms bucket aggregation with a stats SUB-aggregation
   (ES ``terms`` + ``stats``): per-bucket count/min/max/avg/sum of a
   numeric field across the match set.
+- ``value_histogram`` — the ES numeric ``histogram`` aggregation:
+  fixed-interval buckets of a numeric field, gap-filled between the
+  observed extremes when ``min_doc_count=0`` (the ES default shape —
+  the fill is a ``sequence`` expression, never a driver loop).
+- ``range_agg`` — the ES ``range`` aggregation: explicit
+  ``[from, to)`` buckets (open ends allowed, overlaps allowed — a value
+  counts in EVERY range containing it), all requested buckets returned
+  even when empty, in the requested order.
+- ``composite_agg`` — the ES ``composite`` aggregation: the paginated
+  bucket surface.  Buckets keyed by one or more metadata columns in
+  ascending key order, an exclusive ``after`` cursor, ``size`` buckets
+  per page — how a caller walks MILLIONS of buckets without one giant
+  response (the bucket scan itself aggregates once per page, like ES).
 
 Plan shape, all: the match set is query-bounded (``index.matches``),
 semi/inner-joined to a column-pruned transcripts scan (only the keys +
@@ -277,3 +290,178 @@ def stats_by(
         )
         .orderBy("bucket")
     )
+
+
+def value_histogram(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    field: str = "chars",
+    interval: int = 100,
+    mode: str = "disjunctive",
+    min_doc_count: int = 0,
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+) -> DataFrame:
+    """ES numeric ``histogram`` aggregation over the match set →
+    (bucket long, n long) ascending.  ``bucket = v - (v mod interval)``
+    — ``pmod`` keeps the arithmetic exact in LONGs for any sign, the
+    same ``floor(v/interval)·interval`` contract as ES with offset 0.
+
+    ``min_doc_count=0`` (the ES default) gap-fills empty buckets
+    between the observed min and max keys via ONE ``sequence`` +
+    ``explode`` over the two-value aggregate — no driver-side loop, and
+    the fill is bounded by the key span, not the match count.
+    ``min_doc_count=1`` drops empty buckets (the ``date_histogram``
+    shape).  Oracle: ``oracle.oracle_value_histogram``."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    if min_doc_count not in (0, 1):
+        raise ValueError("min_doc_count must be 0 or 1 (the ES-useful pair)")
+    vals = _matched_values(
+        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+    )
+    key = (F.col("v") - F.pmod(F.col("v"), F.lit(interval))).alias("bucket")
+    counts = vals.groupBy(key).agg(F.count("*").alias("n"))
+    if min_doc_count == 1:
+        return counts.orderBy("bucket")
+    # gap-fill: all interval multiples between the observed extremes
+    grid = (
+        counts.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .filter(F.col("lo").isNotNull())
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(int(interval)))
+            ).alias("bucket")
+        )
+    )
+    return (
+        grid.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def _range_key(lo, hi) -> str:
+    """ES range-bucket key: ``*-100``, ``100-500``, ``500-*``."""
+    fmt = lambda v: "*" if v is None else f"{v:g}"  # noqa: E731
+    return f"{fmt(lo)}-{fmt(hi)}"
+
+
+def range_agg(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    ranges: list,
+    field: str = "chars",
+    mode: str = "disjunctive",
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+) -> DataFrame:
+    """ES ``range`` aggregation over the match set → one row PER
+    REQUESTED RANGE in request order: (idx int, key string, n long).
+
+    ``ranges`` is a list of ``(from, to)`` pairs — ``from`` inclusive,
+    ``to`` exclusive, ``None`` for an open end (the ES contract).
+    Ranges may overlap: a value counts in every range containing it, so
+    the implementation explodes a LITERAL array of range structs per
+    matched value (state O(#ranges), the per-row fanout is the #ranges
+    constant) rather than a single ``when`` chain that could only
+    assign one bucket.  Empty requested buckets come back with n=0 via
+    the left join from the literal range frame.  Oracle:
+    ``oracle.oracle_range_agg``."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    specs = []
+    for i, (lo, hi) in enumerate(ranges):
+        if lo is None and hi is None:
+            raise ValueError(f"range {i} is unbounded on both ends")
+        if lo is not None and hi is not None and not lo < hi:
+            raise ValueError(f"range {i}: from {lo!r} must be < to {hi!r}")
+        specs.append((i, _range_key(lo, hi), lo, hi))
+    vals = _matched_values(
+        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+    )
+    lit_specs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.lit(k).alias("key"),
+                F.lit(lo).cast("double").alias("lo"),
+                F.lit(hi).cast("double").alias("hi"),
+            )
+            for i, k, lo, hi in specs
+        ]
+    )
+    hits = (
+        vals.select("v", F.explode(lit_specs).alias("r"))
+        .filter(
+            (F.col("r.lo").isNull() | (F.col("v") >= F.col("r.lo")))
+            & (F.col("r.hi").isNull() | (F.col("v") < F.col("r.hi")))
+        )
+        .groupBy(F.col("r.idx").alias("idx"))
+        .agg(F.count("*").alias("n"))
+    )
+    spark = transcripts.sparkSession
+    frame = spark.createDataFrame(
+        [(i, k) for i, k, _, _ in specs], "idx int, key string"
+    )
+    return (
+        frame.join(F.broadcast(hits), "idx", "left")
+        .select("idx", "key", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("idx")
+    )
+
+
+def composite_agg(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    sources: tuple = ("role",),
+    size: int = 10,
+    after: tuple | None = None,
+    mode: str = "disjunctive",
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+) -> DataFrame:
+    """ES ``composite`` aggregation: paginated buckets over the match
+    set → ``size`` rows of (``*sources``, n long) in ascending source
+    order, strictly AFTER the exclusive ``after`` key tuple.
+
+    The pagination cursor is a struct comparison (Spark orders structs
+    lexicographically by field), pushed BELOW the final sort — at page
+    N the plan still aggregates every bucket once (exactly ES's cost
+    model: composite re-walks the shards per page) but ships only
+    buckets past the cursor into the TakeOrdered cut, so a caller walks
+    millions of buckets in constant-size pages with no offset blowup.
+    Rows with a null source value are dropped (ES
+    ``missing_bucket: false``, the default).  Oracle:
+    ``oracle.oracle_composite_agg``."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if after is not None and len(after) != len(sources):
+        raise ValueError(
+            f"after key arity {len(after)} != sources arity {len(sources)}"
+        )
+    matched = index.matches(
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+    )
+    cols = ["conv_id", "turn_idx", *[c for c in sources if c not in
+            ("conv_id", "turn_idx")]]
+    src = transcripts.select(*cols).join(
+        matched, ["conv_id", "turn_idx"], "leftsemi"
+    )
+    for c in sources:
+        src = src.filter(F.col(c).isNotNull())
+    buckets = src.groupBy(*sources).agg(F.count("*").alias("n"))
+    if after is not None:
+        cursor = F.struct(*[F.col(c) for c in sources]) > F.struct(
+            *[F.lit(v) for v in after]
+        )
+        buckets = buckets.filter(cursor)
+    return buckets.orderBy(*sources).limit(size)

@@ -233,3 +233,180 @@ def test_stats_by_counts_sum_to_match_count(xs_index, xs_df, xs_pdf, xs_oracle):
     rows = stats_by(xs_index, xs_df, q, "role", "chars", m).collect()
     total = oracle_match_stats(xs_oracle, xs_pdf, q, m, "chars")["count"]
     assert sum(r["count"] for r in rows) == total
+
+
+# ---------------------------------------------------------------- histogram
+
+from search_engine_spark.oracle import (  # noqa: E402
+    oracle_composite_agg,
+    oracle_range_agg,
+    oracle_value_histogram,
+)
+from search_engine_spark.pipeline.aggs import (  # noqa: E402
+    composite_agg,
+    range_agg,
+    value_histogram,
+)
+
+
+@pytest.mark.parametrize("q,m", _QUERIES)
+@pytest.mark.parametrize("interval", [100, 150])
+def test_value_histogram_matches_oracle(
+    xs_index, xs_df, xs_pdf, xs_oracle, q, m, interval
+):
+    got = [
+        r.asDict()
+        for r in value_histogram(xs_index, xs_df, q, "chars", interval, m).collect()
+    ]
+    assert got == oracle_value_histogram(
+        xs_oracle, xs_pdf, q, m, "chars", interval
+    )
+
+
+def test_value_histogram_gap_fill(xs_index, xs_df, xs_pdf, xs_oracle):
+    """min_doc_count=0 (ES default) fills empty buckets between the
+    extremes; min_doc_count=1 drops them — and the phrase query's char
+    distribution actually has gaps at interval=200, so the two shapes
+    differ."""
+    q, m = '"phrase alpha beta"', "phrase"
+    full = [
+        r.asDict()
+        for r in value_histogram(xs_index, xs_df, q, "chars", 200, m, 0).collect()
+    ]
+    sparse = [
+        r.asDict()
+        for r in value_histogram(xs_index, xs_df, q, "chars", 200, m, 1).collect()
+    ]
+    assert full == oracle_value_histogram(xs_oracle, xs_pdf, q, m, "chars", 200, 0)
+    assert sparse == oracle_value_histogram(xs_oracle, xs_pdf, q, m, "chars", 200, 1)
+    assert len(full) > len(sparse)  # the fixture genuinely has gaps
+    assert all(b["n"] == 0 for b in full if b not in sparse)
+    # contiguous grid: consecutive keys differ by exactly the interval
+    keys = [b["bucket"] for b in full]
+    assert all(b - a == 200 for a, b in zip(keys, keys[1:]))
+
+
+def test_value_histogram_conserves_match_count(xs_index, xs_df, xs_pdf, xs_oracle):
+    q, m = "term0001 term0002", "disjunctive"
+    rows = value_histogram(xs_index, xs_df, q, "chars", 100, m).collect()
+    total = oracle_match_stats(xs_oracle, xs_pdf, q, m, "chars")["count"]
+    assert sum(r["n"] for r in rows) == total
+
+
+def test_value_histogram_empty_and_validation(xs_index, xs_df):
+    assert (
+        value_histogram(xs_index, xs_df, "zzznope", "chars", 100).count() == 0
+    )
+    with pytest.raises(ValueError, match="interval"):
+        value_histogram(xs_index, xs_df, "term0001", "chars", 0)
+    with pytest.raises(ValueError, match="min_doc_count"):
+        value_histogram(xs_index, xs_df, "term0001", "chars", 100, min_doc_count=2)
+
+
+# -------------------------------------------------------------------- range
+
+_R = [(None, 200.0), (200.0, 500.0), (300.0, None)]
+
+
+@pytest.mark.parametrize("q,m", _QUERIES[:2])
+def test_range_agg_matches_oracle(xs_index, xs_df, xs_pdf, xs_oracle, q, m):
+    got = [r.asDict() for r in range_agg(xs_index, xs_df, q, _R, "chars", m).collect()]
+    assert got == oracle_range_agg(xs_oracle, xs_pdf, q, _R, m)
+
+
+def test_range_agg_overlaps_and_empty_buckets(xs_index, xs_df, xs_pdf, xs_oracle):
+    """Overlapping ranges each count the value; an impossible range
+    still comes back (n=0, ES keeps every requested bucket); request
+    order is preserved."""
+    q, m = "term0001 term0002", "disjunctive"
+    ranges = [(None, 100000.0), (0.0, 100000.0), (99998.0, 99999.0)]
+    got = [r.asDict() for r in range_agg(xs_index, xs_df, q, ranges, "chars", m).collect()]
+    assert got == oracle_range_agg(xs_oracle, xs_pdf, q, ranges, m)
+    assert got[0]["n"] == got[1]["n"] > 0  # same values counted twice
+    assert got[2]["n"] == 0  # empty requested bucket survives
+    assert [r["idx"] for r in got] == [0, 1, 2]
+
+
+def test_range_agg_boundary_semantics(xs_index, xs_df, xs_pdf, xs_oracle):
+    """from is inclusive, to is exclusive: splitting at an observed
+    value keeps the total exactly conserved with no double count."""
+    q, m = "term0001 term0002", "disjunctive"
+    hit = oracle_match_stats(xs_oracle, xs_pdf, q, m, "chars")
+    edge = float(hit["min"])  # an actually-observed value
+    ranges = [(None, edge), (edge, None)]
+    got = [r.asDict() for r in range_agg(xs_index, xs_df, q, ranges, "chars", m).collect()]
+    assert got == oracle_range_agg(xs_oracle, xs_pdf, q, ranges, m)
+    assert got[0]["n"] + got[1]["n"] == hit["count"]
+    assert got[1]["n"] > 0  # the min itself lands in [edge, *)
+
+
+def test_range_agg_validation(xs_index, xs_df):
+    with pytest.raises(ValueError, match="non-empty"):
+        range_agg(xs_index, xs_df, "term0001", [])
+    with pytest.raises(ValueError, match="unbounded"):
+        range_agg(xs_index, xs_df, "term0001", [(None, None)])
+    with pytest.raises(ValueError, match="must be <"):
+        range_agg(xs_index, xs_df, "term0001", [(5.0, 5.0)])
+
+
+# ---------------------------------------------------------------- composite
+
+def test_composite_matches_oracle_first_page(xs_index, xs_df, xs_pdf, xs_oracle):
+    got = [
+        r.asDict()
+        for r in composite_agg(
+            xs_index, xs_df, "term0001", ("role", "tool"), 10
+        ).collect()
+    ]
+    assert got == oracle_composite_agg(
+        xs_oracle, xs_pdf, "term0001", ("role", "tool"), 10
+    )
+    # missing_bucket=false: only role='tool' rows carry a tool value
+    assert all(r["role"] == "tool" for r in got)
+
+
+def test_composite_page_chain_equals_full_walk(xs_index, xs_df, xs_pdf, xs_oracle):
+    """Walking size-1 pages through the after cursor reproduces the
+    full bucket list exactly — the ES composite pagination contract."""
+    q, sources = "term0001 term0002", ("role",)
+    full = oracle_composite_agg(xs_oracle, xs_pdf, q, sources, 100)
+    walked, after = [], None
+    for _ in range(len(full) + 1):
+        page = [
+            r.asDict()
+            for r in composite_agg(xs_index, xs_df, q, sources, 1, after).collect()
+        ]
+        if not page:
+            break
+        walked.extend(page)
+        after = tuple(page[-1][c] for c in sources)
+    assert walked == full
+    assert len(full) > 1  # the chain actually paginated
+
+
+def test_composite_after_and_validation(xs_index, xs_df, xs_pdf, xs_oracle):
+    q = "term0001"
+    got = [
+        r.asDict()
+        for r in composite_agg(
+            xs_index, xs_df, q, ("role", "tool"), 2, ("tool", "bash")
+        ).collect()
+    ]
+    assert got == oracle_composite_agg(
+        xs_oracle, xs_pdf, q, ("role", "tool"), 2, ("tool", "bash")
+    )
+    with pytest.raises(ValueError, match="sources"):
+        composite_agg(xs_index, xs_df, q, ())
+    with pytest.raises(ValueError, match="size"):
+        composite_agg(xs_index, xs_df, q, ("role",), 0)
+    with pytest.raises(ValueError, match="arity"):
+        composite_agg(xs_index, xs_df, q, ("role",), 5, ("a", "b"))
+
+
+def test_composite_scoped(xs_index, xs_df, xs_pdf):
+    """Scope composes: user-scoped match set yields only user buckets."""
+    scope_df = xs_df.filter("role = 'user'")
+    got = composite_agg(
+        xs_index, xs_df, "term0001 term0002", ("role",), 10, scope=scope_df
+    ).collect()
+    assert [r["role"] for r in got] == ["user"]
