@@ -363,6 +363,49 @@ def cmd_query(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_explain(args: argparse.Namespace) -> None:
+    """Per-term score breakdown of one (conv_id, turn_idx) for a query
+    — the ES ``_explain`` analog.  ``matched`` is false (no rows) when
+    the doc is outside the query's match set."""
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    t0 = time.time()
+    rows = idx.explain(
+        args.query, args.conv_id, args.turn_idx, args.mode,
+        tombstones=_load_tombstones(args.tombstones),
+        min_match=getattr(args, "min_match", 1),
+    ).collect()
+    total = 0.0
+    for r in sorted(rows, key=lambda r: r["term"]):
+        total += r["contribution"]
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "mode": args.mode,
+                "conv_id": args.conv_id,
+                "turn_idx": args.turn_idx,
+                "matched": bool(rows),
+                "score": total,
+                "seconds": round(time.time() - t0, 3),
+                "terms": [
+                    {
+                        "term": r["term"],
+                        "df": r["df"],
+                        "idf": r["idf"],
+                        "weight": r["weight"],
+                        "tf": r["tf"],
+                        "dl": r["dl"],
+                        "partial": r["partial"],
+                        "contribution": r["contribution"],
+                    }
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
 def cmd_query_batch(args: argparse.Namespace) -> None:
     """Many queries, ONE Spark job (topk_batch) — the unit of work a
     Spark engine should serve; ~6x faster than per-query jobs on the
@@ -870,6 +913,30 @@ def main(argv: list[str] | None = None) -> None:
     )
     _add_rerank_args(q)
     q.set_defaults(fn=cmd_query)
+
+    exq = sub.add_parser(
+        "explain",
+        help="per-term score breakdown of one (conv_id, turn_idx) for a "
+        "query (the Elasticsearch _explain analog)",
+    )
+    exq.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    exq.add_argument("--query", required=True)
+    exq.add_argument("--conv-id", required=True, dest="conv_id")
+    exq.add_argument("--turn-idx", required=True, type=int, dest="turn_idx")
+    exq.add_argument("--mode", default="disjunctive",
+                     choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+    exq.add_argument(
+        "--tombstones",
+        help="JSONL of {conv_id[, turn_idx]} rows to exclude (deleted docs)",
+    )
+    exq.add_argument(
+        "--min-match", type=int, default=1,
+        help="disjunctive: require ≥ m distinct query terms per match",
+    )
+    exq.set_defaults(fn=cmd_explain)
 
     qb = sub.add_parser(
         "query-batch", help="many BM25 queries in one job (JSONL of {query_text, mode, k})"

@@ -36,6 +36,7 @@ ORACLES: dict[str, str] = {}
 #: any truncation at the tail.
 PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
+    "transcripts_explain",  # r4: ES _explain per-term score breakdown
     "transcripts_weighted",  # r4: per-term query boosts (tok^w)
     "transcripts_min_should_match",  # r4: ES minimum_should_match
     "transcripts_search_after",  # r4: offset-free deep pagination
@@ -2285,6 +2286,57 @@ def transcripts_bm25_wand(spark, sf_dir):
     idx = _xs_index(spark)
     return idx.topk("term0001 term0002", "disjunctive", 10, algo="wand").select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+_EXPLAIN_QT = "term0001^2 term0002 term0003"
+
+
+def _transcripts_explain_oracle() -> tuple[str, tuple[str, int]]:
+    """(VALUES-literal oracle SQL, target doc key) for the explain entry:
+    the pure-Python ``oracle_explain`` breakdown of the query's TOP doc
+    (chosen by the oracle itself, so the entry is deterministic)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_explain, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    key, _score = oracle_topk(idx, _EXPLAIN_QT, "disjunctive", 1)[0]
+    rows = oracle_explain(idx, _EXPLAIN_QT, key[0], key[1])
+    values = ",\n  ".join(
+        f"('{t}', {df}, {idf!r}, {w!r}, {tf}, {dl}, {p!r}, {c!r})"
+        for t, df, idf, w, tf, dl, p, c in rows
+    )
+    sql = (
+        "SELECT term, df::BIGINT AS df, round(idf + 1e-9, 5) AS idf, "
+        "round(weight + 1e-9, 5) AS weight, tf::BIGINT AS tf, "
+        "dl::BIGINT AS dl, round(partial + 1e-9, 5) AS partial, "
+        "round(contribution + 1e-9, 5) AS contribution FROM (VALUES\n  "
+        f"{values}\n) t(term, df, idf, weight, tf, dl, partial, contribution)"
+    )
+    return sql, key
+
+
+_EXPLAIN_SQL, _EXPLAIN_KEY = _transcripts_explain_oracle()
+
+
+@q("transcripts_explain", _EXPLAIN_SQL)
+def transcripts_explain(spark, sf_dir):
+    """ES ``_explain`` analog: per-term (df, idf, boost weight, tf, dl,
+    BM25 partial, contribution) breakdown of how one turn scored for a
+    boosted query — contributions sum to the engine's topk score
+    bit-for-bit (tests/test_explain.py); here each component is checked
+    against the independent pure-Python oracle's breakdown."""
+    idx = _xs_index(spark)
+    e = idx.explain(_EXPLAIN_QT, _EXPLAIN_KEY[0], _EXPLAIN_KEY[1])
+    return e.select(
+        "term",
+        "df",
+        rnd(F.col("idf"), 5).alias("idf"),
+        rnd(F.col("weight"), 5).alias("weight"),
+        "tf",
+        "dl",
+        rnd(F.col("partial"), 5).alias("partial"),
+        rnd(F.col("contribution"), 5).alias("contribution"),
     )
 
 

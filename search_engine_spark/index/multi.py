@@ -190,6 +190,7 @@ class MultiIndex:
             ],
         ).cache()
         self._idf_cache: dict[str, float] = {}
+        self._df_cache: dict[str, int] = {}
         self._tomb_memo: dict[tuple, dict] = {}
         self._after_memo: dict[tuple, dict] = {}
         from collections import OrderedDict
@@ -370,10 +371,18 @@ class MultiIndex:
             corr = self._shadow_df_counts(missing)
             for t in missing:
                 df = found.get(t, 0) - corr.get(t, 0)
+                self._df_cache[t] = df
                 self._idf_cache[t] = (
                     math.log((1.0 + self.n_docs) / (1.0 + df)) + 1.0
                 )
         return {t: self._idf_cache[t] for t in uniq}
+
+    def df_map(self, terms: list[str]) -> dict[str, int]:
+        """Per-term GLOBAL document frequency (segment dfs summed minus
+        shadow-superseded copies — same scan and cache as
+        :meth:`idf_map`); absent terms get df=0."""
+        self.idf_map(terms)
+        return {t: self._df_cache[t] for t in sorted(set(terms))}
 
     def _postings(self, terms: list[str]) -> DataFrame:
         return reduce(
@@ -810,6 +819,55 @@ class MultiIndex:
                 _with_seg(kernel), schema="seg int, " + RESULT_SCHEMA
             )
         return self._label(cand)
+
+    def explain(
+        self,
+        query_text: str,
+        conv_id: str,
+        turn_idx: int,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+        analyzed: bool = False,
+        min_match: int = 1,
+    ) -> DataFrame:
+        """Per-term score breakdown of ONE document across segments —
+        same contract as :meth:`CompressedIndex.explain`, with GLOBAL
+        statistics: idf/df merged across segments (shadow-corrected),
+        avgdl the corrected global mean — so contributions sum to the
+        MultiIndex :meth:`topk` score bit-for-bit.
+
+        A (conv_id, turn_idx) has at most one LIVE occurrence across
+        segments (the MultiIndex invariant; earlier copies are shadow-
+        superseded), so segments probe newest-first: the conversation's
+        segments each pay one convs lookup, but only the owner runs the
+        group-pruned postings kernel.  Shadowed or tombstoned
+        occurrences explain as absent — the ES ``matched: false``."""
+        from .reader import EXPLAIN_SCHEMA, _assemble_explain
+
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        empty = self.spark.createDataFrame([], EXPLAIN_SCHEMA)
+        if spec is None:
+            return empty
+        idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
+        excl = self._effective_exclude(tombstones)
+        for i in reversed(range(len(self.segments))):
+            seg = self.segments[i]
+            coords = seg._doc_coords(conv_id, turn_idx)
+            if coords is None:
+                continue
+            group, doc_id = coords
+            tomb = excl.get(i) if excl else None
+            if tomb is not None and not tomb.keep_mask(
+                np.asarray([doc_id], dtype=np.int64), self.turn_bits
+            )[0]:
+                continue  # shadow-superseded (or user-tombstoned) here
+            rows = seg._explain_rows(spec, idf, self.avgdl, group, doc_id)
+            if rows:
+                return _assemble_explain(
+                    self.spark, rows, self.idf_map(spec.score_terms),
+                    self.df_map(spec.score_terms), spec, self.avgdl,
+                )
+        return empty
 
     def facet_counts(
         self,

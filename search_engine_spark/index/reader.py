@@ -466,6 +466,7 @@ class CompressedIndex:
             # streaming/dense builds carry an explicit per-doc map
             self._docmap = spark.read.parquet(self.paths.docmap).cache()
         self._idf_cache: dict[str, float] = {}
+        self._df_cache: dict[str, int] = {}
         self._tomb_memo: dict[tuple, Tombstones] = {}
         self._after_memo: dict[tuple, int] = {}
         self._syn_memo: dict[str, list[str]] | None = None
@@ -536,14 +537,20 @@ class CompressedIndex:
                 self._idf.filter(
                     F.col("bucket").isin(buckets) & F.col("term").isin(missing)
                 )
-                .select("term", "idf")
+                .select("term", "idf", "df")
                 .collect()
             )
-            found = {r["term"]: float(r["idf"]) for r in rows}
+            found = {r["term"]: (float(r["idf"]), int(r["df"])) for r in rows}
             absent = math.log((1.0 + self.n_docs) / 1.0) + 1.0
             for t in missing:
-                self._idf_cache[t] = found.get(t, absent)
+                self._idf_cache[t], self._df_cache[t] = found.get(t, (absent, 0))
         return {t: self._idf_cache[t] for t in uniq}
+
+    def df_map(self, terms: list[str]) -> dict[str, int]:
+        """Per-term document frequency (same bucket-pruned scan as
+        :meth:`idf_map`, shared cache); absent terms get df=0."""
+        self.idf_map(terms)
+        return {t: self._df_cache[t] for t in sorted(set(terms))}
 
     def postings_df(self, terms: list[str]) -> DataFrame:
         buckets = self._buckets(terms)
@@ -1065,6 +1072,103 @@ class CompressedIndex:
             grouped = post.groupBy("group")
         return self._label(grouped.applyInPandas(kernel, schema=RESULT_SCHEMA))
 
+    def _doc_coords(self, conv_id: str, turn_idx: int) -> tuple[int, int] | None:
+        """(group, doc_id) of one (conv_id, turn_idx), or None when the
+        conversation is absent from this index — one pruned lookup job
+        on the thin convs/docmap table (diagnostic path, not cached)."""
+        if self.scheme == "conv_rank":
+            rows = (
+                self._convs.filter(F.col("conv_id") == conv_id)
+                .select("conv_rank", "group")
+                .collect()
+            )
+            if not rows:
+                return None
+            return int(rows[0]["group"]), (
+                (int(rows[0]["conv_rank"]) << self.turn_bits) | int(turn_idx)
+            )
+        rows = (
+            self._docmap.filter(
+                (F.col("conv_id") == conv_id) & (F.col("turn_idx") == int(turn_idx))
+            )
+            .select("group", "doc_id")
+            .collect()
+        )
+        if not rows:
+            return None
+        return int(rows[0]["group"]), int(rows[0]["doc_id"])
+
+    def _explain_rows(
+        self, spec: QuerySpec, idf: dict[str, float], avgdl: float,
+        group: int, doc_id: int,
+    ) -> list:
+        """Collected (term, tf, dl) rows of ONE doc for one query — the
+        distributed half of :meth:`explain`: a bucket-pruned,
+        group-filtered postings scan feeding a single-group kernel that
+        checks candidate membership (same ``_candidates_spec`` dispatch
+        every count/matches kernel runs — one group's pruned postings,
+        1/num_groups of a query's kernel work).  Empty when the doc does
+        not match the query."""
+        fetch_terms = sorted(
+            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        )
+        kernel = _make_explain_kernel(
+            spec, idf, avgdl, doc_id, getattr(self, "turn_bits", TURN_BITS)
+        )
+        post = self.postings_df(fetch_terms).filter(F.col("group") == group)
+        return post.groupBy("group").applyInPandas(
+            kernel, schema=EXPLAIN_KERNEL_SCHEMA
+        ).collect()
+
+    def explain(
+        self,
+        query_text: str,
+        conv_id: str,
+        turn_idx: int,
+        mode: str = "disjunctive",
+        tombstones: list | None = None,
+        analyzed: bool = False,
+        min_match: int = 1,
+    ) -> DataFrame:
+        """Per-term score breakdown of ONE document for one query — the
+        Elasticsearch ``_explain`` analog (an extension; the reference
+        exposes no scoring introspection).  One row per query term with
+        tf > 0 in the doc, term-ascending::
+
+            (term, df, idf, weight, tf, dl, partial, contribution)
+
+        ``contribution = (idf · weight) · partial`` uses the exact float
+        sequence of the scoring kernels, so the contributions sum
+        (lexicographic term order) to the doc's :meth:`topk` score
+        bit-for-bit (pinned by tests).  Empty when the doc is not in the
+        query's match set (conjunctive missing a term, phrase absent,
+        NOT excluded, tombstoned, below ``min_match``) — the ES
+        ``matched: false`` case.
+
+        Cost: one convs lookup + one bucket-pruned, group-filtered
+        postings scan — the membership check runs the tested
+        ``_candidates_spec`` dispatch over ONE group's pruned postings,
+        so the kernel work is 1/num_groups of a full query's."""
+        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        empty = self.spark.createDataFrame([], EXPLAIN_SCHEMA)
+        if spec is None:
+            return empty
+        coords = self._doc_coords(conv_id, turn_idx)
+        if coords is None:
+            return empty
+        group, doc_id = coords
+        tomb = self._resolve_tomb(tombstones)
+        if tomb is not None and not tomb.keep_mask(
+            np.asarray([doc_id], dtype=np.int64), self.turn_bits
+        )[0]:
+            return empty
+        idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
+        rows = self._explain_rows(spec, idf, self.avgdl, group, doc_id)
+        return _assemble_explain(
+            self.spark, rows, self.idf_map(spec.score_terms),
+            self.df_map(spec.score_terms), spec, self.avgdl,
+        )
+
     def facet_counts(
         self,
         query_text: str,
@@ -1372,6 +1476,100 @@ def _make_matches_kernel(
             return emit(post_pdf, None)
 
     return kernel
+
+
+EXPLAIN_KERNEL_SCHEMA = "term string, tf long, dl long"
+EXPLAIN_SCHEMA = (
+    "term string, df long, idf double, weight double, tf long, dl long, "
+    "partial double, contribution double"
+)
+
+
+def _make_explain_kernel(
+    spec: QuerySpec,
+    idf: dict[str, float],
+    avgdl: float,
+    target_doc: int,
+    turn_bits: int = TURN_BITS,
+):
+    """Kernel emitting (term, tf, dl) of ONE target doc — the
+    distributed half of ``explain``.  Candidate membership runs the
+    same ``_candidates_spec`` dispatch as the count/matches kernels
+    with the allow set pinned to the target doc, so match semantics
+    (conjunctive all-terms, phrase positions, boolean set ops,
+    min_match) are exactly the query path's; per-term tf/dl come from
+    :meth:`TermPostings.lookup`, which decodes only the blocks
+    containing the doc."""
+
+    def kernel(key: tuple, post_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype="int64"),
+                "dl": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(post_pdf) == 0:
+            return empty
+        plists = _build_plists(post_pdf, idf, avgdl)
+        doc = np.asarray([target_doc], dtype=np.int64)
+        cand = _candidates_spec(spec, idf, plists, None, turn_bits, allow=doc)
+        if cand.size == 0:
+            return empty
+        rows = []
+        for t in sorted(plists):
+            if t not in idf:
+                continue  # predicate-only terms (NOT's right phrase) never score
+            tf, dl, ok = plists[t].lookup(doc)
+            if ok[0] and tf[0] > 0:
+                rows.append((t, int(tf[0]), int(dl[0])))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["term", "tf", "dl"])
+
+    return kernel
+
+
+def _assemble_explain(
+    spark: SparkSession,
+    rows: list,
+    raw_idf: dict[str, float],
+    df_map: dict[str, int],
+    spec: QuerySpec,
+    avgdl: float,
+) -> DataFrame:
+    """(term, tf, dl) kernel rows + driver-held stats → the explain
+    DataFrame.  ``partial`` recomputes through the kernels' own
+    ``_partial`` (same numpy float sequence), so
+    ``(idf·weight)·partial`` is bit-identical to the scoring kernels'
+    per-term contribution."""
+    from .kernels import _partial
+
+    w = spec.weights or {}
+    out = []
+    for r in sorted(rows, key=lambda r: r["term"]):
+        t = r["term"]
+        partial = float(
+            _partial(
+                np.asarray([r["tf"]], dtype=np.int64),
+                np.asarray([float(r["dl"])], dtype=np.float64),
+                avgdl,
+            )[0]
+        )
+        wt = float(w.get(t, 1.0))
+        out.append(
+            (
+                t,
+                int(df_map.get(t, 0)),
+                float(raw_idf[t]),
+                wt,
+                int(r["tf"]),
+                int(r["dl"]),
+                partial,
+                (raw_idf[t] * wt) * partial,
+            )
+        )
+    return spark.createDataFrame(out, EXPLAIN_SCHEMA)
 
 
 def _make_scored_matches_kernel(

@@ -525,6 +525,60 @@ def oracle_match_count(
     return len(oracle_matches(index, query_text, mode, scope))
 
 
+def oracle_explain(
+    index: OracleIndex,
+    query_text: str,
+    conv_id: str,
+    turn_idx: int,
+    mode: str = "disjunctive",
+    analyzed: bool = False,
+    min_match: int = 1,
+) -> list[tuple[str, int, float, float, int, int, float, float]]:
+    """Per-term score breakdown of ONE document for one query — the
+    Elasticsearch ``_explain`` analog (an extension; the reference
+    exposes no scoring introspection).  Rows, term-ascending::
+
+        (term, df, idf, weight, tf, dl, partial, contribution)
+
+    with ``contribution = (idf * weight) * partial`` and
+    ``sum(contributions) == oracle_topk score`` of the doc, bit-for-bit
+    (the oracle sums in the same lexicographic term order).  Empty when
+    the doc is NOT in the query's match set (conjunctive missing a term,
+    phrase not present, NOT excluded) — matching the engine, where a
+    non-candidate contributes no result row, and ES, which reports
+    ``matched: false`` with no score details.  Only terms with tf > 0
+    in the doc produce rows (a zero-tf term contributes zero)."""
+    key: DocKey = (str(conv_id), int(turn_idx))
+    if key not in oracle_matches(
+        index, query_text, mode, analyzed=analyzed, min_match=min_match
+    ):
+        return []
+    clean, weights = parse_query_weights(query_text, mode, analyzed)
+    if mode == "boolean":
+        op_match = OPERATOR_PATTERN.search(clean)
+        phrases = PHRASE_PATTERN.findall(clean)
+        op = op_match.group(1)
+        terms = analyze_text(phrases[0])
+        if op != "NOT":
+            terms = terms + analyze_text(phrases[1])
+    elif mode == "phrase":
+        phrase = PHRASE_PATTERN.search(clean)
+        terms = analyze_text(phrase.group(1) if phrase else clean)
+    else:
+        terms = clean.split() if analyzed else analyze_query(clean)
+    dl = index.doclen[key]
+    out = []
+    for t in sorted(set(terms)):
+        tf = next((f for k2, f, _p in index.postings.get(t, ()) if k2 == key), 0)
+        if tf == 0:
+            continue
+        w = weights.get(t, 1.0) if weights else 1.0
+        idf = index.idf(t)
+        partial = index.tf_bm25(tf, dl)
+        out.append((t, index.df(t), idf, w, tf, dl, partial, (idf * w) * partial))
+    return out
+
+
 #: More-like-this: max source-doc terms kept for the derived query
 #: (Elasticsearch `more_like_this.max_query_terms` default).
 MLT_MAX_TERMS = 25
