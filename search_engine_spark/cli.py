@@ -544,9 +544,24 @@ def cmd_histogram(args: argparse.Namespace) -> None:
     tr = load_transcripts(spark, args.input)
     scope = tr.filter(args.where) if args.where else None
     t0 = time.time()
-    rows = date_histogram(
-        idx, tr, args.query, args.mode, args.interval, scope=scope
-    ).collect()
+    if getattr(args, "pipeline", False):
+        from .pipeline.histogram import date_histogram_pipeline
+
+        rows = date_histogram_pipeline(
+            idx, tr, args.query, args.mode, args.interval,
+            window=args.window, min_doc_count=args.min_doc_count, scope=scope,
+        ).collect()
+        buckets = [
+            {"bucket": str(r["bucket"]), "n": r["n"],
+             "cumulative_sum": r["cumulative_sum"],
+             "derivative": r["derivative"], "moving_avg": r["moving_avg"]}
+            for r in rows
+        ]
+    else:
+        rows = date_histogram(
+            idx, tr, args.query, args.mode, args.interval, scope=scope
+        ).collect()
+        buckets = [{"bucket": str(r["bucket"]), "n": r["n"]} for r in rows]
     print(
         json.dumps(
             {
@@ -554,7 +569,7 @@ def cmd_histogram(args: argparse.Namespace) -> None:
                 "mode": args.mode,
                 "interval": args.interval,
                 "seconds": round(time.time() - t0, 3),
-                "buckets": [{"bucket": str(r["bucket"]), "n": r["n"]} for r in rows],
+                "buckets": buckets,
             }
         )
     )
@@ -662,6 +677,14 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
                 else None  # ES: no after_key on the final page
             ),
         })
+    elif args.agg == "percentile_ranks":
+        from .pipeline.aggs import percentile_ranks
+
+        vals = tuple(float(v) for v in args.values.split(","))
+        row = percentile_ranks(
+            idx, tr, args.query, vals, args.field, args.mode, scope=scope
+        ).collect()[0]
+        out.update({"field": args.field, **row.asDict()})
     elif args.agg == "stats_by":
         rows = stats_by(
             idx, tr, args.query, args.col, args.field, args.mode, scope=scope
@@ -1016,6 +1039,21 @@ def main(argv: list[str] | None = None) -> None:
         choices=["minute", "hour", "day", "week", "month", "year"],
     )
     hg.add_argument("--where", help="SQL predicate scoping the match set")
+    hg.add_argument(
+        "--pipeline", action="store_true",
+        help="add ES pipeline metrics per bucket (cumulative_sum, "
+        "derivative, trailing moving_avg)",
+    )
+    hg.add_argument(
+        "--window", type=int, default=3,
+        help="pipeline: moving-average window (trailing, incl. current)",
+    )
+    hg.add_argument(
+        "--min-doc-count", type=int, default=1, dest="min_doc_count",
+        choices=[0, 1],
+        help="pipeline: 0 gap-fills the calendar grid so derivative "
+        "measures true rate-of-change",
+    )
     hg.set_defaults(fn=cmd_histogram)
 
     th = sub.add_parser(
@@ -1047,7 +1085,12 @@ def main(argv: list[str] | None = None) -> None:
     ag.add_argument(
         "--agg", default="cardinality",
         choices=["cardinality", "stats", "extended_stats", "percentiles",
-                 "stats_by", "histogram", "range", "composite"],
+                 "percentile_ranks", "stats_by", "histogram", "range",
+                 "composite"],
+    )
+    ag.add_argument(
+        "--values", default="50,100,300",
+        help="percentile_ranks: comma-separated probe values",
     )
     ag.add_argument(
         "--col", default="conv_id",

@@ -53,6 +53,8 @@ PRIORITY = [
     "transcripts_did_you_mean",  # r4: spelling correction (ES term suggester)
     "transcripts_significant_terms",  # r4: JLH aggregation over the match set
     "transcripts_date_histogram",  # r4: per-interval match counts
+    "transcripts_histogram_pipeline",  # r4: ES pipeline aggs (deriv/cumsum/moving)
+    "transcripts_percentile_ranks",  # r4: ES percentile_ranks (empirical CDF)
     "transcripts_top_hits_by_role",  # r4: per-bucket top-k (ES top_hits)
     "highlight_terms",  # r4: <em>-tagged term occurrences (ES highlight)
     "transcripts_cardinality",  # r4: distinct-conv count (ES cardinality)
@@ -3100,6 +3102,104 @@ def transcripts_date_histogram(spark, sf_dir):
         idx, corpus, "term0003 term0004", "conjunctive", "hour"
     ).select(
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"), "n"
+    )
+
+
+def _hist_pipeline_oracle_sql(
+    query_text: str, mode: str, interval: str, window: int, min_doc_count: int
+) -> str:
+    """VALUES oracle for the pipeline aggregations: the independent
+    oracle's (bucket, n, cumulative_sum, derivative, moving_avg) rows."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_date_histogram_pipeline
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_date_histogram_pipeline(
+        idx, pdf, query_text, mode, interval, window, min_doc_count
+    )
+    cols = "bucket, n, cumulative_sum, derivative, moving_avg"
+    if not rows:
+        return (
+            f"SELECT {cols} FROM (VALUES ('', 0, 0, 0, 0.0)) "
+            f"t({cols}) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{b.strftime('%Y-%m-%d %H:%M:%S')}', {n}, {c}, "
+        f"{'NULL' if d is None else d}, {ma!r})"
+        for b, n, c, d, ma in rows
+    )
+    return (
+        "SELECT bucket, n::BIGINT AS n, cumulative_sum::BIGINT AS "
+        "cumulative_sum, derivative::BIGINT AS derivative, "
+        "round(moving_avg + 1e-9, 5) AS moving_avg FROM (VALUES\n  "
+        f"{values}\n) t({cols})"
+    )
+
+
+@q(
+    "transcripts_histogram_pipeline",
+    _hist_pipeline_oracle_sql("term0003 term0004", "conjunctive", "minute", 3, 0),
+)
+def transcripts_histogram_pipeline(spark, sf_dir):
+    """ES pipeline aggregations (cumulative_sum / derivative /
+    moving_fn) over the gap-filled date histogram
+    (pipeline/histogram.py date_histogram_pipeline): running total,
+    adjacent-bucket difference (NULL first), trailing-3 moving average
+    — window functions over O(buckets) rows, never O(matches)."""
+    from .corpus import generate_transcripts
+    from .pipeline.histogram import date_histogram_pipeline
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return date_histogram_pipeline(
+        idx, corpus, "term0003 term0004", "conjunctive", "minute",
+        window=3, min_doc_count=0,
+    ).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        "cumulative_sum",
+        "derivative",
+        rnd(F.col("moving_avg"), 5).alias("moving_avg"),
+    )
+
+
+_RANK_VALUES = (50.0, 120.5, 300.0)
+
+
+def _rank_oracle_sql(query_text: str, mode: str, values: tuple) -> str:
+    """One-row VALUES oracle from the independent empirical-CDF ranks."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_percentile_ranks
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    d = oracle_percentile_ranks(idx, pdf, query_text, values, mode)
+    names = list(d)
+    vals = ", ".join("NULL" if d[k] is None else repr(d[k]) for k in names)
+    sel = ", ".join(f"round({k} + 1e-9, 5) AS {k}" for k in names)
+    return (
+        f"SELECT {sel} FROM (VALUES ({vals})) t({', '.join(names)})"
+    )
+
+
+@q(
+    "transcripts_percentile_ranks",
+    _rank_oracle_sql("term0001 term0002", "disjunctive", _RANK_VALUES),
+)
+def transcripts_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks over the match set (pipeline/aggs.py):
+    exact empirical-CDF percent of matched turn lengths at or below
+    each probe — one partially-aggregated indicator-avg pass, O(1)
+    state per probe (the 100-TB shape; ES itself t-digest-approximates
+    this exact quantity)."""
+    from .corpus import generate_transcripts
+    from .pipeline.aggs import percentile_ranks
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return percentile_ranks(
+        idx, corpus, "term0001 term0002", _RANK_VALUES
     )
 
 

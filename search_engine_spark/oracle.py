@@ -822,6 +822,80 @@ def oracle_date_histogram(
     return out
 
 
+def oracle_date_histogram_pipeline(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    interval: str = "hour",
+    window: int = 3,
+    min_doc_count: int = 1,
+) -> list[tuple[pd.Timestamp, int, int, int | None, float]]:
+    """Golden ES pipeline aggregations over the date histogram:
+    (bucket, n, cumulative_sum, derivative, moving_avg·5dp) per bucket,
+    ascending — cumulative running total, adjacent-bucket difference
+    (None for the first bucket), unweighted trailing-``window`` mean
+    including the current bucket (partial leading windows average what
+    they have).  ``min_doc_count=0`` gap-fills the calendar grid between
+    the first and last bucket with zero-count rows; NULL-ts turns are
+    excluded (ES ignores documents missing the field).  Matches
+    ``pipeline.histogram.date_histogram_pipeline``."""
+    rows = [
+        (b, n)
+        for b, n in oracle_date_histogram(index, transcripts, query_text, mode, interval)
+        if b is not None
+    ]
+    if min_doc_count == 0 and rows:
+        freq = {
+            "minute": "min", "hour": "h", "day": "D",
+            "week": "W-MON", "month": "MS", "year": "YS",
+        }[interval]
+        grid = pd.date_range(rows[0][0], rows[-1][0], freq=freq)
+        have = dict(rows)
+        rows = [(b, int(have.get(b, 0))) for b in grid]
+    out = []
+    cum = 0
+    for i, (b, n) in enumerate(rows):
+        cum += n
+        deriv = None if i == 0 else n - rows[i - 1][1]
+        wvals = [x[1] for x in rows[max(0, i - window + 1) : i + 1]]
+        out.append((b, n, cum, deriv, _round5(sum(wvals) / len(wvals))))
+    return out
+
+
+def oracle_percentile_ranks(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    values: tuple,
+    mode: str = "disjunctive",
+    field: str = "chars",
+) -> dict:
+    """Golden ES ``percentile_ranks``: exact empirical CDF percent
+    ``100 · count(v <= x) / n`` per probe value — the quantity the ES
+    t-digest approximates.  Keys are the engine's column names (r100,
+    r2_5, …); empty match set → None (the ES null response).  The
+    float sequence (count/n, then ·100, then round) is the Spark
+    ``avg(indicator)·100`` arithmetic exactly."""
+
+    def _name(x) -> str:
+        s = f"{float(x):g}".replace(".", "_").replace("-", "m")
+        return f"r{s}"
+
+    hit = _matched_rows(index, transcripts, query_text, mode)
+    vals = [
+        int(v) for v in (hit["text"].str.len() if field == "chars" else hit[field])
+    ]
+    out: dict = {}
+    for x in values:
+        if not vals:
+            out[_name(x)] = None
+            continue
+        c = sum(1.0 for v in vals if v <= float(x))
+        out[_name(x)] = _round5((c / len(vals)) * 100.0)
+    return out
+
+
 def oracle_top_hits_by(
     index: OracleIndex,
     transcripts: pd.DataFrame,

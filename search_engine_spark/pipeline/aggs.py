@@ -247,6 +247,50 @@ def percentiles(
     )
 
 
+def percentile_ranks(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    values: tuple,
+    field: str = "chars",
+    mode: str = "disjunctive",
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation over the match set → one row,
+    one double·5dp column per probe value (``r100``, ``r2_5``, …): the
+    percent of matched ``field`` values at or below the probe — the
+    inverse of :func:`percentiles`.
+
+    Computed as the EXACT empirical CDF, ``100 · count(v <= x) / n``,
+    in one partially-aggregated pass with O(1) state per probe (an
+    avg over a 0/1 indicator — pure JVM, the shape that holds at
+    100 TB).  ES itself t-digest-approximates and interpolates between
+    centroids; this is the exact quantity that approximation estimates
+    (documented divergence, same convention as the exact
+    :func:`percentiles` path).  Empty match set → NULL ranks (the ES
+    null response)."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    vals = _matched_values(
+        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+    )
+
+    def _name(x) -> str:
+        s = f"{float(x):g}".replace(".", "_").replace("-", "m")
+        return f"r{s}"
+
+    return vals.agg(
+        *[
+            rnd(
+                F.avg((F.col("v") <= F.lit(float(x))).cast("double")) * 100.0, 5
+            ).alias(_name(x))
+            for x in values
+        ]
+    )
+
+
 def stats_by(
     index,
     transcripts: DataFrame,

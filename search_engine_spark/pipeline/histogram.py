@@ -16,7 +16,7 @@ plus a count shuffle of at most |buckets| groups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: Calendar intervals date_trunc understands, narrowed to the useful set.
 INTERVALS = ("minute", "hour", "day", "week", "month", "year")
@@ -45,5 +45,84 @@ def date_histogram(
         .join(matched, ["conv_id", "turn_idx"], "leftsemi")
         .groupBy(F.date_trunc(interval, F.col("ts")).alias("bucket"))
         .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def date_histogram_pipeline(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    interval: str = "hour",
+    window: int = 3,
+    min_doc_count: int = 1,
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+) -> DataFrame:
+    """ES PIPELINE aggregations over the date histogram →
+    DataFrame(bucket, n, cumulative_sum, derivative, moving_avg·5dp),
+    ascending by bucket:
+
+    * ``cumulative_sum`` — running total of ``n`` (ES ``cumulative_sum``);
+    * ``derivative``     — ``n - lag(n)``, NULL for the first bucket (the
+      ES ``derivative`` contract: no value where there is no prior
+      bucket);
+    * ``moving_avg``     — unweighted mean of the trailing ``window``
+      buckets INCLUDING the current one (ES ``moving_fn`` +
+      ``MovingFunctions.unweightedAvg`` with ``shift: 1``; leading
+      partial windows average the buckets they have).
+
+    ``min_doc_count=0`` gap-fills the calendar grid between the first
+    and last non-empty bucket (``sequence(min, max, interval 1 u)`` —
+    one JVM explode, no UDF) so the derivative measures true
+    rate-of-change; the default 1 keeps only non-empty buckets (the
+    base histogram's shape) and is documented as ES ``gap_policy:
+    skip`` — adjacent-bucket differences regardless of calendar gaps.
+    Turns with a NULL ``ts`` are excluded here (ES ignores documents
+    missing the field): a running sum over an unplaceable bucket is
+    meaningless, unlike the base histogram where the NULL bucket is a
+    useful data-quality count.
+
+    Scale shape: everything up to the histogram is the distributed
+    match-set aggregation; the pipeline metrics run as window functions
+    over the BUCKET rows only — |buckets| is bounded by time-span /
+    interval (a number, not a data volume), so the single-partition
+    ordered window is O(buckets), never O(matches)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_doc_count not in (0, 1):
+        raise ValueError(f"min_doc_count must be 0 or 1, got {min_doc_count}")
+    hist = date_histogram(
+        index, transcripts, query_text, mode, interval,
+        tombstones=tombstones, scope=scope, analyzed=analyzed,
+    ).filter(F.col("bucket").isNotNull())
+    if min_doc_count == 0:
+        grid = (
+            hist.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+            .select(
+                F.explode(
+                    F.sequence("lo", "hi", F.expr(f"interval 1 {interval}"))
+                ).alias("bucket")
+            )
+        )
+        hist = grid.join(hist, "bucket", "left").select(
+            "bucket", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    w = Window.orderBy("bucket")
+    from ..functions import rnd
+
+    return (
+        hist.select(
+            "bucket",
+            "n",
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cumulative_sum"),
+            (F.col("n") - F.lag("n").over(w)).alias("derivative"),
+            rnd(
+                F.avg("n").over(w.rowsBetween(-(window - 1), 0)), 5
+            ).alias("moving_avg"),
+        )
         .orderBy("bucket")
     )

@@ -410,3 +410,52 @@ def test_composite_scoped(xs_index, xs_df, xs_pdf):
         xs_index, xs_df, "term0001 term0002", ("role",), 10, scope=scope_df
     ).collect()
     assert [r["role"] for r in got] == ["user"]
+
+
+# -- percentile_ranks (ES inverse percentiles) ------------------------
+
+from search_engine_spark.oracle import oracle_percentile_ranks  # noqa: E402
+from search_engine_spark.pipeline.aggs import percentile_ranks  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "q,m",
+    [
+        ("term0001 term0002", "disjunctive"),
+        ("term0003 term0004", "conjunctive"),
+        ('"phrase alpha beta"', "phrase"),
+    ],
+)
+def test_percentile_ranks_match_oracle(xs_index, xs_df, xs_pdf, xs_oracle, q, m):
+    vals = (50.0, 120.5, 300.0)
+    row = percentile_ranks(xs_index, xs_df, q, vals, mode=m).collect()[0]
+    want = oracle_percentile_ranks(xs_oracle, xs_pdf, q, vals, m)
+    assert row.asDict() == want
+
+
+def test_percentile_ranks_monotone_and_bounded(xs_index, xs_df):
+    vals = (10.0, 50.0, 100.0, 200.0, 400.0, 10000.0)
+    row = percentile_ranks(xs_index, xs_df, "term0001", vals).collect()[0]
+    ranks = [row[f"r{f'{v:g}'.replace('.', '_')}"] for v in vals]
+    assert ranks == sorted(ranks)
+    assert all(0.0 <= r <= 100.0 + 1e-9 for r in ranks)
+    assert ranks[-1] == pytest.approx(100.0, abs=1e-6)  # beyond max value
+
+
+def test_percentile_ranks_inverse_of_percentiles(xs_index, xs_df, xs_pdf, xs_oracle):
+    """rank(quantile(p)) >= p: the empirical CDF at the interpolated
+    p-quantile covers at least p percent of the values."""
+    from search_engine_spark.oracle import oracle_percentiles
+
+    q50 = oracle_percentiles(
+        xs_oracle, xs_pdf, "term0001", "disjunctive", percents=(50.0,)
+    )["p50"]
+    row = percentile_ranks(xs_index, xs_df, "term0001", (q50,)).collect()[0]
+    assert row[0] >= 50.0 - 1e-6
+
+
+def test_percentile_ranks_empty_and_validation(xs_index, xs_df):
+    with pytest.raises(ValueError, match="non-empty"):
+        percentile_ranks(xs_index, xs_df, "term0001", ())
+    row = percentile_ranks(xs_index, xs_df, "zzznomatchterm", (50.0,)).collect()[0]
+    assert row[0] is None

@@ -85,3 +85,78 @@ def test_histogram_null_ts_bucket(spark, xs_index, xs_pdf, xs_oracle):
     assert got == want
     if any(b is None for b, _n in want):  # first conv matched the query
         assert got[0][0] is None
+
+
+# -- ES pipeline aggregations over the histogram ----------------------
+
+from search_engine_spark.oracle import oracle_date_histogram_pipeline  # noqa: E402
+from search_engine_spark.pipeline.histogram import (  # noqa: E402
+    date_histogram_pipeline,
+)
+
+_PIPE_CASES = [
+    ("term0001", "disjunctive", "minute", 3, 1),
+    ("term0001", "disjunctive", "minute", 3, 0),
+    ("term0003 term0004", "conjunctive", "minute", 5, 0),
+    ("term0003 term0004", "conjunctive", "hour", 1, 0),
+    ('"phrase alpha beta"', "phrase", "day", 2, 0),
+    ("term0001", "disjunctive", "month", 3, 0),
+]
+
+
+@pytest.mark.parametrize("q,m,iv,w,mdc", _PIPE_CASES)
+def test_pipeline_matches_oracle(xs_index, xs_df, xs_pdf, xs_oracle, q, m, iv, w, mdc):
+    got = [
+        (str(r.bucket), r.n, r.cumulative_sum, r.derivative, r.moving_avg)
+        for r in date_histogram_pipeline(
+            xs_index, xs_df, q, m, iv, window=w, min_doc_count=mdc
+        ).collect()
+    ]
+    want = [
+        (str(b), n, c, d, ma)
+        for b, n, c, d, ma in oracle_date_histogram_pipeline(
+            xs_oracle, xs_pdf, q, m, iv, w, mdc
+        )
+    ]
+    assert got == want and got
+
+
+def test_pipeline_invariants(xs_index, xs_df):
+    rows = date_histogram_pipeline(
+        xs_index, xs_df, "term0001", "disjunctive", "minute",
+        window=3, min_doc_count=0,
+    ).collect()
+    # first bucket has no derivative; every later one is the n delta
+    assert rows[0].derivative is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.derivative == cur.n - prev.n
+        assert cur.cumulative_sum == prev.cumulative_sum + cur.n
+    # the running total ends at the match count (nothing lost)
+    assert rows[-1].cumulative_sum == xs_index.match_count("term0001")
+    # gap-filled grid is contiguous minutes
+    import datetime as dt
+
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.bucket - prev.bucket == dt.timedelta(minutes=1)
+
+
+def test_pipeline_window_one_is_identity(xs_index, xs_df):
+    rows = date_histogram_pipeline(
+        xs_index, xs_df, "term0001", "disjunctive", "minute",
+        window=1, min_doc_count=1,
+    ).collect()
+    for r in rows:
+        assert r.moving_avg == pytest.approx(float(r.n), abs=1e-9)
+
+
+def test_pipeline_validation_and_empty(xs_index, xs_df):
+    with pytest.raises(ValueError, match="window"):
+        date_histogram_pipeline(xs_index, xs_df, "term0001", window=0)
+    with pytest.raises(ValueError, match="min_doc_count"):
+        date_histogram_pipeline(xs_index, xs_df, "term0001", min_doc_count=2)
+    assert (
+        date_histogram_pipeline(
+            xs_index, xs_df, "zzznomatchterm", min_doc_count=0
+        ).count()
+        == 0
+    )
