@@ -99,6 +99,10 @@ CONTRACT_QUERIES = [
     "transcripts_histogram",
     "transcripts_range",
     "transcripts_composite",
+    "transcripts_explain",
+    "transcripts_histogram_pipeline",
+    "transcripts_percentile_ranks",
+    "transcripts_sort_by_ts",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

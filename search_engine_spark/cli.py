@@ -298,6 +298,45 @@ def cmd_query(args: argparse.Namespace) -> None:
             raise SystemExit(
                 f'--search-after must be JSON [score, "conv_id", turn_idx]: {e}'
             )
+    if getattr(args, "sort_field", None):
+        if getattr(args, "collapse", False) or _recency_opts(args) or (
+            search_after is not None
+        ):
+            raise SystemExit(
+                "--sort-field does not compose with --collapse/--recency-now/"
+                "--search-after (field order has no score cursor)"
+            )
+        if not args.input:
+            raise SystemExit("--sort-field needs --input (the transcripts table)")
+        from .operators.fieldsort import topk_by_field
+        from .sources import load_transcripts
+
+        tr = load_transcripts(spark, args.input)
+        rows = topk_by_field(
+            idx, tr, query_text, args.sort_field, args.sort_asc, args.k,
+            args.mode, tombstones=_load_tombstones(args.tombstones),
+            scope=scope, analyzed=analyzed, min_match=min_match,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "query": args.query,
+                    "mode": args.mode,
+                    "sort": {"field": args.sort_field,
+                             "order": "asc" if args.sort_asc else "desc"},
+                    "seconds": round(time.time() - t0, 3),
+                    "results": [
+                        {
+                            "conv_id": r["conv_id"],
+                            "turn_idx": r["turn_idx"],
+                            args.sort_field: str(r[args.sort_field]),
+                        }
+                        for r in rows
+                    ],
+                }
+            )
+        )
+        return
     recency = _recency_opts(args)
     if recency:
         if getattr(args, "collapse", False):
@@ -933,6 +972,15 @@ def main(argv: list[str] | None = None) -> None:
         help='cursor JSON [score, "conv_id", turn_idx] — the previous '
         "page's LAST row (exact score, not a rounded display value); "
         "returns the k results strictly after it (offset-free paging)",
+    )
+    q.add_argument(
+        "--sort-field", dest="sort_field",
+        help="order matches by this metadata column instead of score "
+        "(ES sort clause; missing values last) — needs --input",
+    )
+    q.add_argument(
+        "--sort-asc", dest="sort_asc", action="store_true",
+        help="ascending field sort (default: descending, i.e. latest first)",
     )
     _add_rerank_args(q)
     q.set_defaults(fn=cmd_query)

@@ -54,6 +54,7 @@ PRIORITY = [
     "transcripts_significant_terms",  # r4: JLH aggregation over the match set
     "transcripts_date_histogram",  # r4: per-interval match counts
     "transcripts_histogram_pipeline",  # r4: ES pipeline aggs (deriv/cumsum/moving)
+    "transcripts_sort_by_ts",  # r4: ES field-sort retrieval (latest matches)
     "transcripts_percentile_ranks",  # r4: ES percentile_ranks (empirical CDF)
     "transcripts_top_hits_by_role",  # r4: per-bucket top-k (ES top_hits)
     "highlight_terms",  # r4: <em>-tagged term occurrences (ES highlight)
@@ -3161,6 +3162,55 @@ def transcripts_histogram_pipeline(spark, sf_dir):
         "cumulative_sum",
         "derivative",
         rnd(F.col("moving_avg"), 5).alias("moving_avg"),
+    )
+
+
+def _fieldsort_oracle_sql(query_text: str, mode: str, ascending: bool, k: int) -> str:
+    """VALUES oracle from the independent field-sort reference."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk_by_field
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    keys = oracle_topk_by_field(idx, pdf, query_text, "ts", ascending, k, mode)
+    ts_of = {
+        (str(c), int(t)): v
+        for c, t, v in zip(pdf["conv_id"], pdf["turn_idx"], pdf["ts"])
+    }
+    if not keys:
+        return (
+            "SELECT conv_id, turn_idx, ts FROM (VALUES ('', 0, '')) "
+            "t(conv_id, turn_idx, ts) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{c}', {t}, '{ts_of[(c, t)].strftime('%Y-%m-%d %H:%M:%S')}')"
+        for c, t in keys
+    )
+    return (
+        "SELECT conv_id, turn_idx, ts FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, ts)"
+    )
+
+
+@q(
+    "transcripts_sort_by_ts",
+    _fieldsort_oracle_sql("term0001 term0002", "disjunctive", False, 10),
+)
+def transcripts_sort_by_ts(spark, sf_dir):
+    """ES field-sort retrieval (operators/fieldsort.py): the 10 LATEST
+    turns matching the query — match-set semi-join to a (keys, ts)
+    pruned scan, TakeOrderedAndProject cut, missing-last null order,
+    (conv_id, turn_idx) tie-break."""
+    from .corpus import generate_transcripts
+    from .operators.fieldsort import topk_by_field
+
+    idx = _xs_index(spark)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    return topk_by_field(
+        idx, corpus, "term0001 term0002", "ts", ascending=False, k=10
+    ).select(
+        "conv_id", "turn_idx",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
 
 

@@ -896,6 +896,45 @@ def oracle_percentile_ranks(
     return out
 
 
+def oracle_topk_by_field(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    sort_col: str = "ts",
+    ascending: bool = False,
+    k: int = 10,
+    mode: str = "disjunctive",
+    min_match: int = 1,
+) -> list[tuple[str, int]]:
+    """Golden ES field-sort retrieval ("latest matches"): the match
+    set's top k by ``sort_col`` (missing values LAST in either
+    direction — the ES ``missing: _last`` default), ties broken by
+    (conv_id, turn_idx) ascending.  Matches
+    ``operators.fieldsort.topk_by_field``."""
+    keys = oracle_matches(index, query_text, mode, min_match=min_match)
+    hit = transcripts[
+        pd.Series(
+            [
+                (str(c), int(t)) in keys
+                for c, t in zip(transcripts["conv_id"], transcripts["turn_idx"])
+            ],
+            index=transcripts.index,
+        )
+    ]
+    present, absent = [], []
+    for c, t, v in zip(hit["conv_id"], hit["turn_idx"], hit[sort_col]):
+        key = (str(c), int(t))
+        if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+            absent.append(key)
+        else:
+            present.append((v, key))
+    # two stable passes: tie-break key ascending, then value; missing
+    # values LAST in either direction (the ES `missing: _last` default)
+    present.sort(key=lambda r: r[1])
+    present.sort(key=lambda r: r[0], reverse=not ascending)
+    return ([key for _v, key in present] + sorted(absent))[:k]
+
+
 def oracle_top_hits_by(
     index: OracleIndex,
     transcripts: pd.DataFrame,
