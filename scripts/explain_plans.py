@@ -477,6 +477,88 @@ def main() -> None:
         )
     )
 
+    from search_engine_spark.pipeline.aggs import percentile_ranks
+
+    sections.append(
+        (
+            "Percentile ranks (exact empirical CDF)",
+            "Expected: ONE partial+final aggregate over the (keys, text)-"
+            "pruned LeftSemi scan — each probe is an avg of a 0/1 indicator "
+            "inside codegen, O(1) aggregation state per probe; no value "
+            "buffering (contrast the exact-percentiles ObjectHashAggregate).",
+            cap(percentile_ranks(idx, corpus_df, "term0001 term0002", (50.0, 300.0))),
+        )
+    )
+
+    from search_engine_spark.pipeline.histogram import date_histogram_pipeline
+
+    sections.append(
+        (
+            "Pipeline aggregations over the gap-filled date histogram",
+            "Expected: the distributed match-set histogram runs EXACTLY "
+            "ONCE (materialized — chart-sized bucket rows), so this plan is "
+            "local: Scan ExistingRDD for the buckets, the calendar grid "
+            "from ONE sequence/Generate (JVM, no UDF) left-joined back, the "
+            "three pipeline metrics as Window functions over a SINGLE "
+            "ordered partition — O(buckets) everywhere, and no second "
+            "execution of the match-kernel lineage (the naive lazy "
+            "composition showed two FlatMapGroupsInPandas subtrees here).",
+            cap(
+                date_histogram_pipeline(
+                    idx, corpus_df, "term0001 term0002", interval="minute",
+                    window=3, min_doc_count=0,
+                )
+            ),
+        )
+    )
+
+    from search_engine_spark.operators.fieldsort import topk_by_field
+
+    sections.append(
+        (
+            "Field-sorted retrieval (ES sort clause, latest matches)",
+            "Expected: the matches kernel (candidates only — no scoring) "
+            "over the bucket/term-pruned postings scan; LeftSemi join "
+            "against a corpus scan with ReadSchema pruned to (conv_id, "
+            "turn_idx, ts); TakeOrderedAndProject with ts DESC NULLS LAST — "
+            "distributed per-partition top-k, never a full sort.",
+            cap(topk_by_field(idx, corpus_df, "term0001 term0002", "ts", False, 10)),
+        )
+    )
+
+    from search_engine_spark.index.reader import (
+        EXPLAIN_KERNEL_SCHEMA,
+        _make_explain_kernel,
+        _weighted_idf,
+        parse_query,
+    )
+
+    spec = parse_query("term0001 term0002", "disjunctive")
+    idf_map = _weighted_idf(idx.idf_map(spec.score_terms), spec)
+    conv0 = idx._convs.select("conv_id").orderBy("conv_id").first()["conv_id"]
+    group0, doc0 = idx._doc_coords(conv0, 0)
+    explain_kernel = _make_explain_kernel(
+        spec, idf_map, idx.avgdl, doc0, idx.turn_bits
+    )
+    sections.append(
+        (
+            "Per-doc score explain (ES _explain analog) — the distributed half",
+            "Expected: a postings scan with PartitionFilters on `bucket`, "
+            "PushedFilters on `term` AND the pushed `group` equality — the "
+            "scan is pruned to the target doc's group before the SINGLE-"
+            "group FlatMapGroupsInPandas kernel (membership check + "
+            "block-selective tf/dl lookup); everything downstream is "
+            "driver-side assembly of |terms| rows from the collected "
+            "kernel output.",
+            cap(
+                idx.postings_df(sorted(spec.score_terms))
+                .filter(F.col("group") == group0)
+                .groupBy("group")
+                .applyInPandas(explain_kernel, schema=EXPLAIN_KERNEL_SCHEMA)
+            ),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "

@@ -86,18 +86,25 @@ def date_histogram_pipeline(
     useful data-quality count.
 
     Scale shape: everything up to the histogram is the distributed
-    match-set aggregation; the pipeline metrics run as window functions
-    over the BUCKET rows only — |buckets| is bounded by time-span /
-    interval (a number, not a data volume), so the single-partition
-    ordered window is O(buckets), never O(matches)."""
+    match-set aggregation, and it runs EXACTLY ONCE — the bucket rows
+    are materialized (|buckets| is bounded by time-span / interval, a
+    chart-sized number, not a data volume) so the grid join and the
+    window pass run over a literal local frame instead of re-executing
+    the match-kernel lineage per branch (the naive lazy composition
+    recomputes the full match scan for the min/max branch AND the join
+    branch — visible in .explain as two FlatMapGroupsInPandas
+    subtrees).  The single-partition ordered window is O(buckets),
+    never O(matches)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if min_doc_count not in (0, 1):
         raise ValueError(f"min_doc_count must be 0 or 1, got {min_doc_count}")
-    hist = date_histogram(
+    base = date_histogram(
         index, transcripts, query_text, mode, interval,
         tombstones=tombstones, scope=scope, analyzed=analyzed,
     ).filter(F.col("bucket").isNotNull())
+    spark = transcripts.sparkSession
+    hist = spark.createDataFrame(base.collect(), schema=base.schema)
     if min_doc_count == 0:
         grid = (
             hist.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
