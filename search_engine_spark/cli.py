@@ -516,6 +516,46 @@ def cmd_mlt(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_percolate(args: argparse.Namespace) -> None:
+    """Reverse search: match a transcript table (a backfill or a new
+    arrival batch) against a registry of saved queries in one Arrow
+    pass; optionally score matches with an index's global BM25 stats
+    and/or write the full match table to parquet."""
+    from pyspark.sql import functions as F
+
+    from .operators.percolate import percolate, register, scoring_stats
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    with open(args.queries) as f:
+        registry = [json.loads(line) for line in f if line.strip()]
+    saved = register(registry)
+    stats = None
+    if args.index:
+        stats = scoring_stats(_open_index(spark, args.index), saved)
+    tr = load_transcripts(spark, args.input)
+    t0 = time.time()
+    out = percolate(tr, saved, stats)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+    counts = {
+        r["query_id"]: r["n"]
+        for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "registered": len(saved),
+                "matches": {sq.query_id: counts.get(sq.query_id, 0) for sq in saved},
+                "scored": stats is not None,
+                "out": args.out,
+                "seconds": round(time.time() - t0, 3),
+            }
+        )
+    )
+
+
 def cmd_correct(args: argparse.Namespace) -> None:
     """Did-you-mean: per unmatched query term, the highest-df
     edit-distance-<=1 vocabulary neighbor; optionally run the corrected
@@ -1049,6 +1089,21 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--run", action="store_true", help="also run the corrected query")
     co.add_argument("--k", type=int, default=10)
     co.set_defaults(fn=cmd_correct)
+
+    pc = sub.add_parser(
+        "percolate",
+        help="reverse search: match transcripts against saved queries "
+        "(JSONL registry of {query_id, query_text[, mode, min_match]})",
+    )
+    pc.add_argument("--input", required=True, help="transcript parquet path")
+    pc.add_argument("--queries", required=True, help="saved-query registry JSONL")
+    pc.add_argument(
+        "--index",
+        help="optional index root (or base,delta,...) whose global BM25 "
+        "stats score each match",
+    )
+    pc.add_argument("--out", help="optional parquet path for the match table")
+    pc.set_defaults(fn=cmd_percolate)
 
     sg = sub.add_parser(
         "significant", help="terms overrepresented in the match set (ES JLH)"

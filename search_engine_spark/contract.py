@@ -36,6 +36,7 @@ ORACLES: dict[str, str] = {}
 #: any truncation at the tail.
 PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
+    "transcripts_percolate",  # r4: reverse search (ES percolator analog)
     "transcripts_explain",  # r4: ES _explain per-term score breakdown
     "transcripts_weighted",  # r4: per-term query boosts (tok^w)
     "transcripts_min_should_match",  # r4: ES minimum_should_match
@@ -3744,6 +3745,59 @@ def transcripts_composite(spark, sf_dir):
         "disjunctive",
     )
 
+
+
+# ---------------------------------------------------------------- percolate
+
+_PERC_REGISTRY = [
+    ("q_dis", "term0001 term0002", "disjunctive"),
+    ("q_msm", "term0001 term0002 term0003", "disjunctive", 2),
+    ("q_con", "term0003 term0004", "conjunctive"),
+    ("q_phr", '"phrase alpha beta"', "phrase"),
+    ("q_not", '"term0001" NOT "term0002"', "boolean"),
+]
+
+
+def _transcripts_percolate_oracle() -> str:
+    """VALUES-literal oracle for the percolator: every (saved query,
+    matching doc) pair with its BM25 score from the INDEPENDENT
+    pure-Python scorer (``oracle_topk`` with k > corpus size ranks the
+    full match set; the percolator verifies per doc over its own token
+    stream — no shared match logic beyond the tokenizer)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    vals = []
+    for entry in _PERC_REGISTRY:
+        qid, qt, mode = entry[0], entry[1], entry[2]
+        mm = entry[3] if len(entry) > 3 else 1
+        for key, score in oracle_topk(idx, qt, mode, 10**6, min_match=mm):
+            vals.append(f"('{qid}', '{key[0]}', {key[1]}, {float(score)!r})")
+    body = ",\n  ".join(vals)
+    return (
+        "SELECT query_id, conv_id, turn_idx, round(score + 1e-9, 5) AS score"
+        f" FROM (VALUES\n  {body}\n) t(query_id, conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_percolate", _transcripts_percolate_oracle())
+def transcripts_percolate(spark, sf_dir):
+    """Reverse search (operators/percolate.py — the ES percolator
+    analog): ONE Arrow pass over the corpus matches every turn against
+    the registered saved queries (all modes + min_match) and scores
+    each match with the index's global BM25 stats; match sets AND
+    scores must equal the forward oracle for every query."""
+    from .corpus import generate_transcripts
+    from .operators.percolate import percolate, register, scoring_stats
+
+    idx = _xs_index(spark)
+    saved = register(_PERC_REGISTRY)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    out = percolate(corpus, saved, scoring_stats(idx, saved))
+    return out.select(
+        "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,272 @@
+"""Percolation — reverse search over the transcript firehose.
+
+The forward engine indexes documents and answers ad-hoc queries; a
+percolator inverts that: queries are REGISTERED once and every new
+document is checked against all of them in one pass — the primitive
+behind saved-search alerting ("tell me when a turn matching X
+arrives").  This is the Elasticsearch percolator analog; the reference
+engine has no equivalent (its crawler/indexer loop re-runs forward
+queries), so this operator is an extension in the same spirit as the
+streaming ingest stack.
+
+Spark-first design (the 100-TB story):
+
+- **Saved queries are config-sized** (like the synonyms sidecar): parsed
+  once driver-side through the reader's own :func:`parse_query` — so a
+  registered query means exactly what the same string means to ``topk``
+  on every mode (disjunctive with min_match/boosts, conjunctive, exact
+  and sloppy phrase, quoted boolean) — and broadcast to executors.
+- **ONE Arrow ``mapInPandas`` pass over the incoming documents**: each
+  text is tokenized exactly once (the index build's analyzer, with the
+  same per-batch stem memo) and verified against candidate queries.
+  No shuffle, no index, no driver loop: cost is O(docs·tokens +
+  matches) and embarrassingly parallel — the operator composes with a
+  streaming micro-batch or a 100-TB backfill scan equally.
+- **Candidate pruning**: an inverted trigger-term → queries map, built
+  once per executor from the broadcast, makes per-doc work proportional
+  to the queries that SHARE a term with the doc, not to registry size
+  (the classic percolator optimization).  Conjunctive/phrase/boolean
+  queries register only a single representative term per required
+  phrase — any match must contain it — while disjunctive queries
+  register every term.
+- **Optional BM25 scoring** of each (doc, query) match against a
+  reference index's global statistics (broadcast idf/avgdl — the ES
+  percolator's ``track_scores``).  tf and dl are recomputed from the
+  incoming text with the build analyzer, so for a document that is
+  already indexed the percolate score equals the forward ``topk`` score
+  bit-for-bit (pinned by tests/test_percolate.py).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import BM25_B, BM25_K1
+from ..index.reader import QuerySpec, parse_query
+from ..textproc import analyze_text
+
+MATCH_SCHEMA = "conv_id string, turn_idx int, query_id string"
+SCORED_SCHEMA = MATCH_SCHEMA + ", score double"
+
+
+@dataclass(frozen=True)
+class SavedQuery:
+    """One registered query: its id plus the parsed spec (the spec is
+    what ``topk`` would execute for the same string — shared parser)."""
+
+    query_id: str
+    spec: QuerySpec
+
+
+@dataclass(frozen=True)
+class ScoringStats:
+    """Frozen global BM25 statistics for match scoring: per-term idf
+    (absent terms already defaulted — see ``scoring_stats``) + avgdl."""
+
+    idf: dict
+    avgdl: float
+
+
+def register(queries) -> list[SavedQuery]:
+    """Parse a registry of saved queries driver-side.
+
+    ``queries``: iterable of dicts (``query_id``, ``query_text``,
+    optional ``mode`` / ``min_match``) or tuples
+    ``(query_id, query_text[, mode[, min_match]])``.  Queries that
+    analyze to nothing (stopword-only) match no document and are
+    dropped, mirroring ``topk`` returning empty for them.
+    """
+    out: list[SavedQuery] = []
+    seen: set[str] = set()
+    for q in queries:
+        if isinstance(q, dict):
+            qid = str(q["query_id"])
+            qt = q["query_text"]
+            mode = q.get("mode", "disjunctive")
+            mm = int(q.get("min_match", 1))
+        else:
+            qid = str(q[0])
+            qt = q[1]
+            mode = q[2] if len(q) > 2 else "disjunctive"
+            mm = int(q[3]) if len(q) > 3 else 1
+        if qid in seen:
+            raise ValueError(f"duplicate query_id {qid!r}")
+        seen.add(qid)
+        spec = parse_query(qt, mode, min_match=mm)
+        if spec is not None:
+            out.append(SavedQuery(qid, spec))
+    return out
+
+
+def scoring_stats(index, saved: list[SavedQuery]) -> ScoringStats:
+    """Collect the reference index's global stats for every term any
+    saved query scores — ONE bucket-pruned idf lookup (the registry is
+    config-sized, so this is a tiny driver-side job), frozen for
+    broadcast.  ``index`` is a CompressedIndex or MultiIndex."""
+    terms: set[str] = set()
+    for sq in saved:
+        terms |= set(sq.spec.score_terms)
+    return ScoringStats(index.idf_map(sorted(terms)), float(index.avgdl))
+
+
+def _trigger_map(saved: list[SavedQuery]) -> dict:
+    """term → tuple of saved-query indexes that the term can trigger.
+
+    Disjunctive: any query term may be the only one present → all terms
+    trigger.  Conjunctive: every term must be present → one
+    representative suffices.  Phrase: all phrase terms required → one
+    representative.  Boolean: each side is a required phrase for the
+    ways it can match — AND triggers on a left representative (both
+    sides needed), OR on one representative per side, NOT on a left
+    representative (the right side only excludes).
+    """
+    trig: dict[str, list[int]] = {}
+
+    def add(term: str, i: int) -> None:
+        trig.setdefault(term, []).append(i)
+
+    for i, sq in enumerate(saved):
+        s = sq.spec
+        if s.mode == "disjunctive":
+            for t in s.score_terms:
+                add(t, i)
+        elif s.mode == "conjunctive":
+            add(s.score_terms[0], i)
+        elif s.mode == "phrase":
+            add((s.phrase_a or [""])[0], i)
+        else:  # boolean — sides are exact phrases
+            add((s.phrase_a or [""])[0], i)
+            if s.bool_op == "OR":
+                add((s.phrase_b or [""])[0], i)
+    return {t: tuple(v) for t, v in trig.items()}
+
+
+def _phrase_in_doc(pos: dict, terms: list, slop: int) -> bool:
+    """Ordered occurrence of ``terms`` within ``slop`` extra gaps in one
+    document's position lists — the same greedy earliest-successor
+    existence argument as the index kernel and the pure-Python oracle,
+    implemented independently over the doc's own token stream."""
+    if not terms:  # a side that analyzed to nothing matches no document
+        return False
+    lists = [pos.get(t) for t in terms]
+    if any(x is None for x in lists):
+        return False
+    if len(terms) == 1:
+        return True
+    if slop == 0:
+        rest = [set(x) for x in lists[1:]]
+        return any(
+            all((p + j + 1) in r for j, r in enumerate(rest)) for p in lists[0]
+        )
+    n1 = len(terms) - 1
+    for p in lists[0]:
+        cur = p
+        for arr in lists[1:]:
+            j = bisect.bisect_right(arr, cur)
+            if j == len(arr):
+                cur = None
+                break
+            cur = arr[j]
+        if cur is not None and (cur - p - n1) <= slop:
+            return True
+    return False
+
+
+def _matches(pos: dict, spec: QuerySpec) -> bool:
+    """Does one document (term → ascending positions) satisfy ``spec``?
+    Semantics mirror the forward kernels mode-for-mode
+    (index/kernels.py msm/conjunctive/phrase candidates; boolean set
+    ops at index/reader.py)."""
+    if spec.mode == "conjunctive":
+        return all(t in pos for t in spec.score_terms)
+    if spec.mode == "phrase":
+        return _phrase_in_doc(pos, spec.phrase_a or [], spec.slop)
+    if spec.mode == "boolean":
+        left = _phrase_in_doc(pos, spec.phrase_a or [], 0)
+        if spec.bool_op == "AND":
+            return left and _phrase_in_doc(pos, spec.phrase_b or [], 0)
+        if spec.bool_op == "OR":
+            return left or _phrase_in_doc(pos, spec.phrase_b or [], 0)
+        return left and not _phrase_in_doc(pos, spec.phrase_b or [], 0)
+    n = sum(1 for t in spec.score_terms if t in pos)
+    return n >= spec.min_match
+
+
+def _score(pos: dict, spec: QuerySpec, dl: int, stats: ScoringStats) -> float:
+    """BM25 of the doc for the spec's score terms under the reference
+    index's global stats — the same formula as kernels._partial
+    (IndexerService.java:1069-1070), with per-term boosts applied the
+    way the reader pre-scales idf."""
+    w = spec.weights or {}
+    score = 0.0
+    for t in spec.score_terms:
+        plist = pos.get(t)
+        if plist is None:
+            continue
+        tf = float(len(plist))
+        partial = (
+            tf
+            * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / stats.avgdl))
+        )
+        score += w.get(t, 1.0) * stats.idf.get(t, 0.0) * partial
+    return score
+
+
+def percolate(
+    docs: DataFrame,
+    saved: list[SavedQuery],
+    stats: ScoringStats | None = None,
+) -> DataFrame:
+    """Match every incoming document against the saved-query registry.
+
+    Returns ``(conv_id, turn_idx, query_id)`` rows — one per (document,
+    matching query) pair — plus ``score`` when ``stats`` is given.
+    One column-pruned scan, one Arrow kernel, no shuffle; candidate
+    queries per doc come from the trigger map, so registry size beyond
+    the shared-term set costs nothing per document.
+    """
+    if not saved:
+        schema = SCORED_SCHEMA if stats is not None else MATCH_SCHEMA
+        return docs.sparkSession.createDataFrame([], schema)
+    payload = docs.sparkSession.sparkContext.broadcast((tuple(saved), stats))
+    scored = stats is not None
+    schema = SCORED_SCHEMA if scored else MATCH_SCHEMA
+    cols = ["conv_id", "turn_idx", "query_id"] + (["score"] if scored else [])
+
+    def kernel(batches):
+        saved_l, st = payload.value
+        trig = _trigger_map(list(saved_l))
+        stem_cache: dict = {}
+        for pdf in batches:
+            out: list[tuple] = []
+            for conv, turn, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                toks = analyze_text(
+                    text if isinstance(text, str) else "", _stem_cache=stem_cache
+                )
+                if not toks:
+                    continue
+                pos: dict = {}
+                for i, t in enumerate(toks):
+                    pos.setdefault(t, []).append(i)
+                cand: set = set()
+                for t in pos:
+                    cand.update(trig.get(t, ()))
+                for qi in sorted(cand):
+                    sq = saved_l[qi]
+                    if _matches(pos, sq.spec):
+                        row = (conv, int(turn), sq.query_id)
+                        if st is not None:
+                            row += (_score(pos, sq.spec, len(toks), st),)
+                        out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select("conv_id", "turn_idx", "text").mapInPandas(
+        kernel, schema=schema
+    )
