@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import BM25_B, BM25_K1, BuildConfig
 from .operators import docs_bm25
-from .functions import rnd
+from .functions import rnd, rnd_sql
 from .pipeline import dedup, multimodal, sharding, similarity, textstats
 
 QUERIES: dict = {}
@@ -36,6 +36,7 @@ ORACLES: dict[str, str] = {}
 #: any truncation at the tail.
 PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
+    "transcripts_rank_eval",  # r4: IR quality metrics (ES _rank_eval)
     "transcripts_percolate",  # r4: reverse search (ES percolator analog)
     "transcripts_explain",  # r4: ES _explain per-term score breakdown
     "transcripts_weighted",  # r4: per-term query boosts (tok^w)
@@ -2411,6 +2412,87 @@ def transcripts_bm25_batch(spark, sf_dir):
     idx = _xs_index(spark)
     return idx.topk_batch(_BATCH_QUERIES).select(
         "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+_RANKEVAL_QUERIES = [
+    ("term0001 term0002", "disjunctive"),
+    ("term0003 term0004", "conjunctive"),
+]
+_RANKEVAL_K = 5
+
+
+def _rankeval_judgments() -> list[tuple[int, str, int, int]]:
+    """Deterministic relevance judgments over the xs corpus: each
+    query's pure-Python-oracle top-8 rated 3,3,2,2,1,1,0,0 (two rating-0
+    rows exercise the unjudged-as-0 default) plus one deep relevant doc
+    outside the top-k so recall < 1."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = []
+    for qid, (qt, mode) in enumerate(_RANKEVAL_QUERIES):
+        ranked = oracle_topk(idx, qt, mode, 8)
+        for (key, _), r in zip(ranked, [3, 3, 2, 2, 1, 1, 0, 0]):
+            rows.append((qid, key[0], int(key[1]), r))
+        deep = oracle_topk(idx, qt, mode, 50)
+        if len(deep) > 20:
+            key = deep[20][0]
+            rows.append((qid, key[0], int(key[1]), 2))
+    return rows
+
+
+def _rankeval_oracle_sql() -> str:
+    """VALUES oracle: the pure-Python `oracle_rank_eval` (independent
+    metric implementation over the pure-Python scorer's rankings)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_rank_eval
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    metrics = oracle_rank_eval(
+        idx, _RANKEVAL_QUERIES, _rankeval_judgments(), k=_RANKEVAL_K
+    )
+    values = ",\n  ".join(
+        "({query_id}, {precision_at_k!r}, {recall_at_k!r}, {mrr!r}, {ndcg!r}, "
+        "{n_retrieved}, {n_relevant})".format(**{**m, **{
+            k: float(m[k])
+            for k in ("precision_at_k", "recall_at_k", "mrr", "ndcg")
+        }})
+        for m in metrics
+    )
+    cols = "query_id, precision_at_k, recall_at_k, mrr, ndcg, n_retrieved, n_relevant"
+    rounded = ", ".join(
+        rnd_sql(c, 5) + f" AS {c}"
+        for c in ("precision_at_k", "recall_at_k", "mrr", "ndcg")
+    )
+    return (
+        f"SELECT query_id, {rounded}, n_retrieved, n_relevant "
+        f"FROM (VALUES\n  {values}\n) t({cols})"
+    )
+
+
+@q("transcripts_rank_eval", _rankeval_oracle_sql())
+def transcripts_rank_eval(spark, sf_dir):
+    """Retrieval-quality evaluation (ES _rank_eval analog): the engine's
+    batched rankings scored with precision@k/recall@k/MRR/NDCG@k against
+    a deterministic judgment table — all metric math is JVM-side
+    window/aggregate expressions (pipeline/rankeval.py); the oracle is
+    an independent pure-Python metric implementation over the
+    pure-Python scorer's rankings (oracle.oracle_rank_eval)."""
+    from .pipeline.rankeval import JUDGMENT_COLS, rank_eval
+
+    idx = _xs_index(spark)
+    judgments = spark.createDataFrame(_rankeval_judgments(), list(JUDGMENT_COLS))
+    per_query = rank_eval(idx, _RANKEVAL_QUERIES, judgments, k=_RANKEVAL_K)
+    return per_query.select(
+        "query_id",
+        *[
+            rnd(F.col(c), 5).alias(c)
+            for c in ("precision_at_k", "recall_at_k", "mrr", "ndcg")
+        ],
+        "n_retrieved",
+        "n_relevant",
     )
 
 

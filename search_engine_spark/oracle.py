@@ -1428,6 +1428,50 @@ def oracle_composite_agg(
 
 
 
+def oracle_rank_eval(
+    index: OracleIndex,
+    queries: list[tuple[str, str]],
+    judgment_rows: list[tuple[int, str, int, int]],
+    k: int = 10,
+) -> list[dict]:
+    """Golden ES ``_rank_eval``: precision@k / recall@k / MRR / NDCG@k
+    per query, computed over the pure-Python scorer's rankings with the
+    exponential-gain DCG and unjudged-hits-count-as-0 semantics of
+    pipeline/rankeval.rank_eval.  ``judgment_rows`` is
+    (query_id, conv_id, turn_idx, rating)."""
+    out = []
+    for qid, (qt, mode) in enumerate(queries):
+        ranked = [key for key, _ in oracle_topk(index, qt, mode, k)]
+        judged = {
+            (c, t): r for (q, c, t, r) in judgment_rows if q == qid
+        }
+        rel_retrieved = sum(1 for d in ranked if judged.get(d, 0) > 0)
+        n_relevant = sum(1 for r in judged.values() if r > 0)
+        mrr = 0.0
+        for i, d in enumerate(ranked):
+            if judged.get(d, 0) > 0:
+                mrr = 1.0 / (i + 1)
+                break
+        dcg = sum(
+            (2 ** judged.get(d, 0) - 1) / math.log2(i + 2)
+            for i, d in enumerate(ranked)
+        )
+        ideal = sorted((r for r in judged.values() if r > 0), reverse=True)[:k]
+        idcg = sum((2**r - 1) / math.log2(i + 2) for i, r in enumerate(ideal))
+        out.append(
+            {
+                "query_id": qid,
+                "precision_at_k": rel_retrieved / len(ranked) if ranked else 0.0,
+                "recall_at_k": rel_retrieved / n_relevant if n_relevant else 0.0,
+                "mrr": mrr,
+                "ndcg": dcg / idcg if idcg > 0 else 0.0,
+                "n_retrieved": len(ranked),
+                "n_relevant": n_relevant,
+            }
+        )
+    return out
+
+
 def golden_stats(index: OracleIndex) -> dict:
     return {
         "n_docs": index.n_docs,
