@@ -103,6 +103,10 @@ CONTRACT_QUERIES = [
     "transcripts_histogram_pipeline",
     "transcripts_percentile_ranks",
     "transcripts_sort_by_ts",
+    "transcripts_percolate",
+    "transcripts_rank_eval",
+    "transcripts_hybrid_rrf",
+    "transcripts_hybrid_linear",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

@@ -556,6 +556,54 @@ def cmd_percolate(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_hybrid(args: argparse.Namespace) -> None:
+    """Hybrid retrieval: BM25 top-depth ∪ embedding-cosine top-depth,
+    fused by RRF or min-max linear — the ES/OpenSearch hybrid-search
+    analog.  Embeddings come from --embeddings (a (conv_id, turn_idx,
+    embedding) parquet) or are hash-embedded on the fly from --input."""
+    from .pipeline.hybrid import hash_embed, hybrid_topk
+    from .sources import load_transcripts
+
+    if not args.embeddings and not args.input:
+        raise SystemExit("hybrid needs --embeddings or --input")
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    if args.embeddings:
+        emb = spark.read.parquet(args.embeddings)
+    else:
+        emb = hash_embed(load_transcripts(spark, args.input), args.dim)
+    t0 = time.time()
+    rows = hybrid_topk(
+        idx,
+        emb,
+        args.query,
+        k=args.k,
+        depth=args.depth,
+        method=args.method,
+        mode=args.mode,
+        w_lex=args.w_lex,
+        w_sem=args.w_sem,
+        dim=args.dim,
+    ).collect()
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "method": args.method,
+                "seconds": round(time.time() - t0, 3),
+                "results": [
+                    {
+                        "conv_id": r["conv_id"],
+                        "turn_idx": r["turn_idx"],
+                        "score": r["score"],
+                    }
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
 def cmd_correct(args: argparse.Namespace) -> None:
     """Did-you-mean: per unmatched query term, the highest-df
     edit-distance-<=1 vocabulary neighbor; optionally run the corrected
@@ -1077,6 +1125,27 @@ def main(argv: list[str] | None = None) -> None:
         help="top tf*idf source terms kept for the derived query",
     )
     ml.set_defaults(fn=cmd_mlt)
+
+    hy = sub.add_parser(
+        "hybrid", help="hybrid retrieval: BM25 + vector cosine fused by RRF/linear"
+    )
+    hy.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    hy.add_argument("--input", help="transcripts (parquet/table:) to hash-embed")
+    hy.add_argument(
+        "--embeddings", help="(conv_id, turn_idx, embedding) parquet (overrides --input)"
+    )
+    hy.add_argument("--query", required=True)
+    hy.add_argument("--mode", default="disjunctive")
+    hy.add_argument("--method", choices=["rrf", "linear"], default="rrf")
+    hy.add_argument("--k", type=int, default=10)
+    hy.add_argument("--depth", type=int, default=50, help="per-list retrieval depth")
+    hy.add_argument("--w-lex", type=float, default=1.0)
+    hy.add_argument("--w-sem", type=float, default=1.0)
+    hy.add_argument("--dim", type=int, default=64, help="hash-embedding dimension")
+    hy.set_defaults(fn=cmd_hybrid)
 
     co = sub.add_parser(
         "correct", help="did-you-mean: spelling suggestions for unmatched terms"

@@ -36,6 +36,8 @@ ORACLES: dict[str, str] = {}
 #: any truncation at the tail.
 PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
+    "transcripts_hybrid_rrf",  # r4: hybrid BM25+vector, RRF fusion
+    "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
     "transcripts_rank_eval",  # r4: IR quality metrics (ES _rank_eval)
     "transcripts_percolate",  # r4: reverse search (ES percolator analog)
     "transcripts_explain",  # r4: ES _explain per-term score breakdown
@@ -2494,6 +2496,63 @@ def transcripts_rank_eval(spark, sf_dir):
         "n_retrieved",
         "n_relevant",
     )
+
+
+_HYBRID_DIM = 16
+_HYBRID_QUERY = "term0001 term0002"
+
+
+def _hybrid_oracle_sql(method: str) -> str:
+    """VALUES oracle: pure-Python hybrid fusion (oracle_hybrid_topk) —
+    BM25 rankings from the independent scorer, cosine from the shared
+    hashing-trick embedder, fused driver-side."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_hybrid_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    ranked = oracle_hybrid_topk(
+        idx, _HYBRID_QUERY, k=10, depth=20, method=method, dim=_HYBRID_DIM
+    )
+    values = ",\n  ".join(
+        f"({c!r}, {t}, {float(s)!r})" for (c, t), s in ranked
+    )
+    return (
+        f"SELECT conv_id, turn_idx, {rnd_sql('score', 5)} AS score "
+        f"FROM (VALUES\n  {values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+def _hybrid_entry(spark, method: str):
+    from .pipeline.hybrid import hash_embed, hybrid_topk
+
+    idx = _xs_index(spark)
+    emb = hash_embed(
+        spark.read.parquet(
+            os.path.join(os.path.dirname(_XS_INDEX["path"]), "transcripts.parquet")
+        ),
+        _HYBRID_DIM,
+    )
+    return hybrid_topk(
+        idx, emb, _HYBRID_QUERY, k=10, depth=20, method=method, dim=_HYBRID_DIM
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+@q("transcripts_hybrid_rrf", _hybrid_oracle_sql("rrf"))
+def transcripts_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval, RRF fusion (the ES ``rank.rrf`` retriever
+    analog): BM25 top-20 ∪ hashing-trick-embedding cosine top-20 fused
+    by Σ w/(60 + rank) (pipeline/hybrid.hybrid_topk); the oracle is the
+    pure-Python twin over the independent BM25 scorer and the SHARED
+    embed_tokens kernel (oracle.oracle_hybrid_topk)."""
+    return _hybrid_entry(spark, "rrf")
+
+
+@q("transcripts_hybrid_linear", _hybrid_oracle_sql("linear"))
+def transcripts_hybrid_linear(spark, sf_dir):
+    """Hybrid retrieval, min-max linear fusion (the OpenSearch
+    normalization-processor analog): per-list (s−min)/(max−min) then a
+    weight-normalized sum, missing-from-list = 0."""
+    return _hybrid_entry(spark, "linear")
 
 
 def _xs_incremental_index(spark):

@@ -1472,6 +1472,84 @@ def oracle_rank_eval(
     return out
 
 
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-fold dot product — mirrors the engine's F.aggregate
+    summation order exactly so near-tie cosine ranks cannot diverge
+    by floating-point association."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def oracle_semantic_topk(
+    index: OracleIndex, query_vec: list[float], depth: int, dim: int = 64
+) -> list[tuple[DocKey, float]]:
+    """Golden cosine top-`depth` over the hashing-trick embeddings of
+    every doc (pipeline/hybrid.embed_tokens — the SAME shared kernel
+    the engine's hash_embed uses, so the vectors are bit-identical).
+    Zero-norm docs are excluded, ties break by doc key ascending."""
+    from .pipeline.hybrid import embed_tokens
+
+    scored = []
+    for key, toks in index.tokens.items():
+        v = embed_tokens(toks, dim)
+        n = math.sqrt(_fold_dot(v, v))
+        if n > 0.0:
+            scored.append((key, _fold_dot(v, query_vec) / n))
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    return scored[:depth]
+
+
+def oracle_hybrid_topk(
+    index: OracleIndex,
+    query_text: str,
+    k: int = 10,
+    depth: int = 50,
+    method: str = "rrf",
+    rrf_k: int = 60,
+    w_lex: float = 1.0,
+    w_sem: float = 1.0,
+    mode: str = "disjunctive",
+    dim: int = 64,
+) -> list[tuple[DocKey, float]]:
+    """Golden hybrid retrieval: BM25 (oracle_topk, rank-identical to
+    the engine) ∪ hashing-trick cosine (oracle_semantic_topk), fused by
+    RRF (Σ w/(rrf_k + rank)) or min-max linear (Σ w·norm / Σ w,
+    missing-from-list = 0, constant list → 1.0) — the exact semantics
+    of pipeline/hybrid.hybrid_topk."""
+    from .pipeline.hybrid import embed_query
+
+    qv = embed_query(query_text, dim)
+    lists: list[list[tuple[DocKey, float]]] = []
+    weights: list[float] = []
+    lists.append(oracle_topk(index, query_text, mode, depth))
+    weights.append(w_lex)
+    if any(v != 0.0 for v in qv):
+        lists.append(oracle_semantic_topk(index, qv, depth, dim))
+        weights.append(w_sem)
+    fused: dict[DocKey, float] = {}
+    if method == "rrf":
+        for ranked, w in zip(lists, weights):
+            for i, (key, _s) in enumerate(ranked):
+                fused[key] = fused.get(key, 0.0) + w / (rrf_k + (i + 1))
+    elif method == "linear":
+        total_w = sum(weights)
+        for ranked, w in zip(lists, weights):
+            if not ranked:
+                continue
+            scores = [s for _k2, s in ranked]
+            lo, hi = min(scores), max(scores)
+            for key, s in ranked:
+                norm = (s - lo) / (hi - lo) if hi > lo else 1.0
+                fused[key] = fused.get(key, 0.0) + w * norm
+        fused = {key: s / total_w for key, s in fused.items()}
+    else:
+        raise ValueError(f"unknown fusion method {method!r}")
+    out = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out[:k]
+
+
 def golden_stats(index: OracleIndex) -> dict:
     return {
         "n_docs": index.n_docs,

@@ -1,0 +1,268 @@
+"""Hybrid retrieval — lexical BM25 fused with embedding similarity, the
+Elasticsearch/OpenSearch *hybrid search* analog (`knn` + `query` with
+reciprocal-rank-fusion or min-max score normalization).
+
+The reference repo ranks by lexical signals only (RankerService.java's
+tf-idf + PageRank blend); a modern deployment of the same corpus runs
+BM25 and a vector query side by side and fuses the two rankings.  Both
+standard fusion modes are implemented:
+
+- **RRF** (`method="rrf"`): ``score = Σ_i w_i / (rrf_k + rank_i)`` over
+  the lists a doc appears in — rank-based, scale-free, the ES
+  ``rank.rrf`` retriever.  ``rrf_k`` defaults to 60 (the constant from
+  Cormack/Clarke/Buettcher's original RRF paper and the ES default).
+- **Linear** (`method="linear"`): per-list min-max normalization to
+  [0, 1] then a weighted sum — the OpenSearch normalization-processor
+  (``min_max`` + ``arithmetic_mean``) semantics.  A doc missing from a
+  list contributes 0 for that list; a constant-score list normalizes
+  to 1.0.
+
+Scale shape: the fusion operates on the **already-retrieved top-`depth`
+lists** (≤ a few hundred rows each), never the corpus — the expensive
+work is the two retrievals, each of which is the engine's own scale
+path (partition-pruned BM25 kernel; brute-force or LSH/IVF ANN).  The
+single-partition rank window inside the fusion therefore touches
+O(depth) rows by construction.
+
+The embedder (:func:`hash_embed`) is the classic feature-hashing
+(hashing-trick) bag-of-words embedding — Weinberger et al., ICML 2009:
+each analyzed term adds ±1 at ``xxh64(term) % dim`` (sign from an
+independent hash bit), L2-normalized.  Deterministic, vocabulary-free,
+and embarrassingly parallel (one ``mapInPandas`` pass, no shuffle), so
+the same code embeds 100 TB of transcripts or a 12-row test corpus.  A
+learned-model embedding drops in by replacing :func:`embed_tokens`; all
+fusion/ranking machinery is embedding-agnostic (any
+(conv_id, turn_idx, embedding) table works).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import rnd
+from ..index.xxhash import xxh64
+from ..textproc.pipeline import analyze_text
+
+ROUND = 5
+RRF_K = 60  # Cormack/Clarke/Buettcher 2009 constant; the ES default
+EMBED_SCHEMA = "conv_id string, turn_idx int, embedding array<double>"
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing embedder (shared kernel: Spark mapInPandas AND the
+# pure-Python oracle import THIS function, so parity is structural)
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(tokens: list[str], dim: int = 64) -> list[float]:
+    """Hashing-trick embedding of an analyzed token list.
+
+    index = xxh64(term) % dim, sign from hash bit 62 (independent of the
+    index bits for dim ≤ 2^32); accumulate, then L2-normalize.  An empty
+    token list (or total cancellation) returns the zero vector — callers
+    treat zero-norm vectors as "no semantic signal".
+    """
+    v = np.zeros(dim, dtype=np.float64)
+    for t in tokens:
+        h = xxh64(t.encode("utf-8"))
+        sign = 1.0 if (h >> 62) & 1 == 0 else -1.0
+        v[h % dim] += sign
+    n = math.sqrt(float((v * v).sum()))
+    if n > 0.0:
+        v /= n
+    return [float(x) for x in v]
+
+
+def embed_query(query_text: str, dim: int = 64) -> list[float]:
+    """Embed raw query text through the same analyzer + hasher as docs
+    (symmetric dual-encoder semantics: one embedding space)."""
+    return embed_tokens(analyze_text(query_text), dim)
+
+
+def hash_embed(transcripts: DataFrame, dim: int = 64) -> DataFrame:
+    """(conv_id, turn_idx, embedding): per-turn hashing-trick embeddings.
+
+    One Arrow-batched ``mapInPandas`` pass over (conv_id, turn_idx,
+    text) — no shuffle, no driver state; output partitioning inherits
+    the input's, so a downstream ANN index build sees the same layout
+    as any other embedding table.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, str] = {}
+        for b in batches:
+            embs = [
+                embed_tokens(
+                    analyze_text(t if isinstance(t, str) else "", cache), dim
+                )
+                for t in b["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": b["conv_id"],
+                    "turn_idx": b["turn_idx"],
+                    "embedding": embs,
+                }
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        kernel, EMBED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# fusion
+# ---------------------------------------------------------------------------
+
+#: deterministic doc tie-break, shared by every ranking below
+_KEYS = ("conv_id", "turn_idx")
+
+
+def _with_rank(df: DataFrame, score_col: str) -> DataFrame:
+    """1-based rank by (score desc, conv_id, turn_idx).  Single-partition
+    window — safe because every input is an already-LIMITed top-depth
+    list (see module docstring), never a corpus-sized relation."""
+    w = Window.orderBy(F.desc(score_col), *[F.asc(k) for k in _KEYS])
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    lists: list[tuple[DataFrame, str, float]],
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists.
+
+    ``lists`` is [(df, score_col, weight)]; each df carries conv_id /
+    turn_idx / its score column and is already truncated to retrieval
+    depth.  Returns (conv_id, turn_idx, score) — score = Σ w/(rrf_k +
+    rank) over the lists the doc appears in — top-k, ties broken by
+    doc key.
+    """
+    parts = [
+        _with_rank(df.select(*_KEYS, score_col), score_col).select(
+            *_KEYS,
+            (F.lit(float(w)) / (F.lit(float(rrf_k)) + F.col("rank"))).alias(
+                "contrib"
+            ),
+        )
+        for df, score_col, w in lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(*_KEYS)
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), *[F.asc(c) for c in _KEYS])
+        .limit(k)
+    )
+
+
+def linear_fuse(
+    lists: list[tuple[DataFrame, str, float]],
+    k: int = 10,
+) -> DataFrame:
+    """Min-max-normalized weighted-sum fusion (OpenSearch ``min_max`` +
+    ``arithmetic_mean``): each list's scores map to [0, 1] via
+    (s - min)/(max - min) (constant list → 1.0), then
+    score = Σ wᵢ·normᵢ / Σ wᵢ with missing-from-list = 0."""
+    total_w = sum(w for _, _, w in lists)
+    parts = []
+    for df, score_col, w in lists:
+        s = F.col(score_col).cast("double")
+        # per-list min/max over ≤ depth rows: an unpartitioned window is
+        # the cheapest correct plan at this cardinality
+        wspec = Window.partitionBy()
+        lo, hi = F.min(s).over(wspec), F.max(s).over(wspec)
+        norm = F.when(hi > lo, (s - lo) / (hi - lo)).otherwise(F.lit(1.0))
+        parts.append(
+            df.select(*_KEYS, (F.lit(float(w)) * norm).alias("contrib"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(*_KEYS)
+        .agg((F.sum("contrib") / F.lit(float(total_w))).alias("score"))
+        .orderBy(F.desc("score"), *[F.asc(c) for c in _KEYS])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end hybrid query
+# ---------------------------------------------------------------------------
+
+
+def _dot_fold(a, b):
+    """Left-fold dot product (F.aggregate) — the oracle mirrors this
+    exact summation order so near-tie ranks can't diverge by ulps."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def semantic_topk(
+    embeddings: DataFrame, query_vec: list[float], depth: int
+) -> DataFrame:
+    """(conv_id, turn_idx, cos): exact cosine top-`depth` over a
+    (conv_id, turn_idx, embedding) table.  Zero-norm vectors (empty
+    docs) are excluded — they carry no semantic signal.  One narrow
+    scan + TakeOrderedAndProject; the LSH/IVF indexes in
+    pipeline/similarity.py are the drop-in scale path."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    e = F.col("embedding")
+    nrm = F.sqrt(_dot_fold(e, e))
+    return (
+        embeddings.select(
+            *_KEYS,
+            F.when(nrm > 0.0, _dot_fold(e, q) / nrm).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+        .orderBy(F.desc("cos"), *[F.asc(c) for c in _KEYS])
+        .limit(depth)
+    )
+
+
+def hybrid_topk(
+    index,
+    embeddings: DataFrame,
+    query_text: str,
+    k: int = 10,
+    depth: int = 50,
+    method: str = "rrf",
+    rrf_k: int = RRF_K,
+    w_lex: float = 1.0,
+    w_sem: float = 1.0,
+    mode: str = "disjunctive",
+    query_vec: list[float] | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """BM25 ∪ vector top-k, fused → (conv_id, turn_idx, score).
+
+    Two top-`depth` retrievals — the index's own lexical path
+    (``index.topk``) and :func:`semantic_topk` over ``embeddings`` —
+    fused by ``method`` ("rrf" or "linear").  ``query_vec`` defaults to
+    :func:`embed_query` of the query text (dual-encoder symmetry); pass
+    an external vector to search someone else's embedding space.  The
+    query vector is a driver-side constant folded into the plan — no
+    extra job, no shuffle beyond the two retrievals' own.
+    """
+    if method not in ("rrf", "linear"):
+        raise ValueError(f"unknown fusion method {method!r}")
+    qv = query_vec if query_vec is not None else embed_query(query_text, dim)
+    lex = index.topk(query_text, mode, depth).select(*_KEYS, "score")
+    lists: list[tuple[DataFrame, str, float]] = [(lex, "score", w_lex)]
+    if any(v != 0.0 for v in qv):
+        lists.append((semantic_topk(embeddings, qv, depth), "cos", w_sem))
+    if method == "rrf":
+        fused = rrf_fuse(lists, k, rrf_k)
+    else:
+        fused = linear_fuse(lists, k)
+    return fused.select(*_KEYS, F.col("score").cast("double").alias("score"))

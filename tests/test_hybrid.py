@@ -1,0 +1,160 @@
+"""Hybrid retrieval (pipeline/hybrid.py) vs the pure-Python oracle.
+
+The embedder is checked bit-exactly (the Spark mapInPandas kernel and
+the oracle share embed_tokens, so any divergence is plumbing); the
+fused rankings (RRF and min-max linear, symmetric and asymmetric
+weights) are checked against oracle_hybrid_topk, whose lexical side is
+the rank-identical pure-Python BM25 scorer and whose cosine side
+mirrors the engine's left-fold summation order.  Edge cases: a
+stopword-only query (zero query vector → lexical-only fusion) and a
+query with no lexical hits (semantic-only ranking still returns).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.config import BuildConfig
+from search_engine_spark.corpus import generate_transcripts
+from search_engine_spark.index.build import build_index
+from search_engine_spark.index.reader import CompressedIndex
+from search_engine_spark.oracle import (
+    build_oracle_index,
+    oracle_hybrid_topk,
+    oracle_semantic_topk,
+)
+from search_engine_spark.pipeline.hybrid import (
+    embed_query,
+    embed_tokens,
+    hash_embed,
+    hybrid_topk,
+    semantic_topk,
+)
+
+DIM = 16
+
+QUERIES = [
+    ("term0001 term0002", "disjunctive"),
+    ("term0003 term0004", "conjunctive"),
+    ("term0010", "disjunctive"),
+]
+
+
+@pytest.fixture(scope="module")
+def xs_pdf():
+    return generate_transcripts("xs")
+
+
+@pytest.fixture(scope="module")
+def xs_df(spark, xs_pdf):
+    return spark.createDataFrame(xs_pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def xs_index(spark, xs_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("hybrid") / "idx")
+    build_index(spark, xs_df, out, BuildConfig(num_groups=2))
+    return CompressedIndex(spark, out)
+
+
+@pytest.fixture(scope="module")
+def xs_oracle(xs_pdf):
+    return build_oracle_index(xs_pdf)
+
+
+@pytest.fixture(scope="module")
+def xs_emb(spark, xs_df):
+    return hash_embed(xs_df, DIM).cache()
+
+
+def _rows(df) -> list[tuple]:
+    return [(r.conv_id, r.turn_idx, round(r.score, 9)) for r in df.collect()]
+
+
+def _want(oracle, q, mode, **kw) -> list[tuple]:
+    return [
+        (c, t, round(s, 9))
+        for (c, t), s in oracle_hybrid_topk(oracle, q, mode=mode, dim=DIM, **kw)
+    ]
+
+
+def test_embedder_parity(xs_emb, xs_oracle):
+    """Spark kernel embeddings are bit-identical to the shared
+    embed_tokens over the oracle's analyzed token lists."""
+    got = {(r.conv_id, r.turn_idx): list(r.embedding) for r in xs_emb.collect()}
+    assert set(got) == set(xs_oracle.tokens)
+    for key, toks in xs_oracle.tokens.items():
+        assert got[key] == embed_tokens(toks, DIM), key
+
+
+def test_embedder_unit_norm(xs_oracle):
+    for toks in list(xs_oracle.tokens.values())[:20]:
+        v = embed_tokens(toks, DIM)
+        n = math.sqrt(sum(x * x for x in v))
+        assert n == 0.0 or abs(n - 1.0) < 1e-12
+
+
+def test_semantic_topk_parity(xs_emb, xs_oracle):
+    qv = embed_query("term0001 term0002", DIM)
+    got = [(r.conv_id, r.turn_idx, round(r.cos, 9)) for r in
+           semantic_topk(xs_emb, qv, 15).collect()]
+    want = [(c, t, round(s, 9))
+            for (c, t), s in oracle_semantic_topk(xs_oracle, qv, 15, DIM)]
+    assert got == want
+
+
+@pytest.mark.parametrize("q,mode", QUERIES)
+def test_rrf_parity(xs_index, xs_emb, xs_oracle, q, mode):
+    got = _rows(hybrid_topk(xs_index, xs_emb, q, k=10, depth=20,
+                            method="rrf", mode=mode, dim=DIM))
+    assert got == _want(xs_oracle, q, mode, k=10, depth=20, method="rrf")
+
+
+@pytest.mark.parametrize("q,mode", QUERIES[:2])
+def test_linear_parity(xs_index, xs_emb, xs_oracle, q, mode):
+    got = _rows(hybrid_topk(xs_index, xs_emb, q, k=10, depth=20,
+                            method="linear", mode=mode, dim=DIM))
+    assert got == _want(xs_oracle, q, mode, k=10, depth=20, method="linear")
+
+
+def test_asymmetric_weights(xs_index, xs_emb, xs_oracle):
+    q, mode = QUERIES[0]
+    got = _rows(hybrid_topk(xs_index, xs_emb, q, k=10, depth=20, method="rrf",
+                            mode=mode, dim=DIM, w_lex=2.0, w_sem=0.5))
+    assert got == _want(xs_oracle, q, mode, k=10, depth=20, method="rrf",
+                        w_lex=2.0, w_sem=0.5)
+    # and the weights actually matter: all-lexical ≠ balanced on this corpus
+    balanced = _rows(hybrid_topk(xs_index, xs_emb, q, k=10, depth=20,
+                                 method="rrf", mode=mode, dim=DIM))
+    assert got != balanced
+
+
+def test_stopword_only_query_is_lexical_only(xs_index, xs_emb, xs_oracle):
+    """'the' analyzes to nothing → zero query vector → the semantic list
+    is dropped and the fusion degrades to pure-lexical RRF; with no
+    lexical hits either, the result is empty rather than an error."""
+    assert embed_query("the", DIM) == [0.0] * DIM
+    assert _rows(hybrid_topk(xs_index, xs_emb, "the", k=5, dim=DIM)) == []
+
+
+def test_no_lexical_hits_still_ranks_semantically(xs_index, xs_emb, xs_oracle):
+    """An out-of-vocabulary term has zero BM25 hits but a nonzero hash
+    embedding — hybrid still returns the semantic neighbors."""
+    q = "zzqunknownword"
+    got = _rows(hybrid_topk(xs_index, xs_emb, q, k=5, depth=10, dim=DIM))
+    assert got == _want(xs_oracle, q, "disjunctive", k=5, depth=10, method="rrf")
+    assert len(got) == 5
+
+
+def test_unknown_method_raises(xs_index, xs_emb):
+    with pytest.raises(ValueError):
+        hybrid_topk(xs_index, xs_emb, "term0001", method="nope", dim=DIM)
+
+
+def test_determinism(xs_index, xs_emb):
+    q, mode = QUERIES[0]
+    a = _rows(hybrid_topk(xs_index, xs_emb, q, mode=mode, dim=DIM))
+    b = _rows(hybrid_topk(xs_index, xs_emb, q, mode=mode, dim=DIM))
+    assert a == b and len(a) == 10
