@@ -107,6 +107,7 @@ CONTRACT_QUERIES = [
     "transcripts_rank_eval",
     "transcripts_hybrid_rrf",
     "transcripts_hybrid_linear",
+    "transcripts_term_vectors",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

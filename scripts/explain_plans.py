@@ -559,6 +559,51 @@ def main() -> None:
         )
     )
 
+    from search_engine_spark.pipeline.hybrid import hash_embed, hybrid_topk
+
+    emb = hash_embed(spark.read.parquet(pq), 16)
+    sections.append(
+        (
+            "Hybrid retrieval (BM25 ∪ embedding cosine, RRF fusion)",
+            "Expected: TWO independent retrieval branches — the lexical "
+            "branch keeps its bucket PartitionFilters + pushed term filter "
+            "and grouped kernel; the semantic branch is ONE narrow "
+            "mapInPandas embed pass + JVM zip_with/aggregate cosine with "
+            "TakeOrderedAndProject (query vector folded as literals, no "
+            "shuffle) — then rank windows over the two ≤depth-row lists, a "
+            "union, and ONE hash aggregate for the RRF sum. The only "
+            "single-partition operators touch O(depth) rows by "
+            "construction.",
+            cap(hybrid_topk(idx, emb, "term0001 term0002", k=10, depth=20, dim=16)),
+        )
+    )
+    from search_engine_spark.pipeline.rankeval import rank_eval
+
+    judg = spark.createDataFrame(
+        [(0, "conv-000001", 0, 3), (1, "conv-000002", 1, 2)],
+        "query_id int, conv_id string, turn_idx int, rating int",
+    )
+    sections.append(
+        (
+            "Retrieval-quality evaluation (_rank_eval analog)",
+            "Expected: ONE batched retrieval job (union-pruned postings "
+            "scan shared across the query set), then pure JVM metric math — "
+            "a per-query rank window over ≤ queries·k rows, a broadcast-able "
+            "join to the judgment table, and partial+final hash aggregates "
+            "for DCG/precision/recall; the ideal-DCG branch windows the "
+            "judgments alone. No Python anywhere downstream of retrieval.",
+            cap(
+                rank_eval(
+                    idx,
+                    [("term0001 term0002", "disjunctive"),
+                     ("term0003", "disjunctive")],
+                    judg,
+                    k=5,
+                )
+            ),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "

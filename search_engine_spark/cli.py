@@ -604,6 +604,38 @@ def cmd_hybrid(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_term_vectors(args: argparse.Namespace) -> None:
+    """Per-doc term vector (ES _termvectors): re-analyze one turn and
+    join the index's live df/idf stats."""
+    from .operators.termvectors import term_vectors
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    tr = load_transcripts(spark, args.input)
+    t0 = time.time()
+    rows = term_vectors(idx, tr, args.conv, args.turn).collect()
+    print(
+        json.dumps(
+            {
+                "doc": {"conv_id": args.conv, "turn_idx": args.turn},
+                "doc_count": idx.n_docs,
+                "seconds": round(time.time() - t0, 3),
+                "terms": [
+                    {
+                        "term": r["term"],
+                        "tf": r["tf"],
+                        "positions": r["positions"],
+                        "df": r["df"],
+                        "idf": round(r["idf"], 6),
+                    }
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
 def cmd_correct(args: argparse.Namespace) -> None:
     """Did-you-mean: per unmatched query term, the highest-df
     edit-distance-<=1 vocabulary neighbor; optionally run the corrected
@@ -1146,6 +1178,18 @@ def main(argv: list[str] | None = None) -> None:
     hy.add_argument("--w-sem", type=float, default=1.0)
     hy.add_argument("--dim", type=int, default=64, help="hash-embedding dimension")
     hy.set_defaults(fn=cmd_hybrid)
+
+    tv = sub.add_parser(
+        "term-vectors", help="per-doc term stats: tf/positions/df/idf (ES _termvectors)"
+    )
+    tv.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    tv.add_argument("--input", required=True, help="transcripts (parquet/table:)")
+    tv.add_argument("--conv", required=True, help="target conv_id")
+    tv.add_argument("--turn", type=int, required=True, help="target turn_idx")
+    tv.set_defaults(fn=cmd_term_vectors)
 
     co = sub.add_parser(
         "correct", help="did-you-mean: spelling suggestions for unmatched terms"

@@ -39,6 +39,7 @@ PRIORITY = [
     "transcripts_hybrid_rrf",  # r4: hybrid BM25+vector, RRF fusion
     "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
     "transcripts_rank_eval",  # r4: IR quality metrics (ES _rank_eval)
+    "transcripts_term_vectors",  # r4: per-doc term stats (ES _termvectors)
     "transcripts_percolate",  # r4: reverse search (ES percolator analog)
     "transcripts_explain",  # r4: ES _explain per-term score breakdown
     "transcripts_weighted",  # r4: per-term query boosts (tok^w)
@@ -2553,6 +2554,44 @@ def transcripts_hybrid_linear(spark, sf_dir):
     normalization-processor analog): per-list (s−min)/(max−min) then a
     weight-normalized sum, missing-from-list = 0."""
     return _hybrid_entry(spark, "linear")
+
+
+_TV_DOC = ("conv-000003", 2)
+
+
+def _tv_oracle_sql() -> str:
+    """VALUES oracle: the pure-Python oracle's term vector (tf/positions
+    from its OWN posting lists, df/idf from its corpus stats)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_term_vectors
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_term_vectors(idx, *_TV_DOC)
+    values = ",\n  ".join(
+        f"({t!r}, {f}, {ps!r}, {d}, {float(i)!r}, {n})"
+        for (t, f, ps, d, i, n) in rows
+    )
+    return (
+        f"SELECT term, tf, positions, df, {rnd_sql('idf', 5)} AS idf, doc_count "
+        f"FROM (VALUES\n  {values}\n) t(term, tf, positions, df, idf, doc_count)"
+    )
+
+
+@q("transcripts_term_vectors", _tv_oracle_sql())
+def transcripts_term_vectors(spark, sf_dir):
+    """Per-doc term vector (ES _termvectors analog): on-the-fly
+    re-analysis of one turn + the index's live bucket-pruned df/idf
+    stats (operators/termvectors.py); the oracle reads tf/positions
+    from its own independently built posting lists."""
+    from .operators.termvectors import term_vectors
+
+    idx = _xs_index(spark)
+    tr = spark.read.parquet(
+        os.path.join(os.path.dirname(_XS_INDEX["path"]), "transcripts.parquet")
+    )
+    return term_vectors(idx, tr, *_TV_DOC).select(
+        "term", "tf", "positions", "df", rnd(F.col("idf"), 5).alias("idf"), "doc_count"
+    )
 
 
 def _xs_incremental_index(spark):

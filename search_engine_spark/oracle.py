@@ -1550,6 +1550,25 @@ def oracle_hybrid_topk(
     return out[:k]
 
 
+def oracle_term_vectors(
+    index: OracleIndex, conv_id: str, turn_idx: int
+) -> list[tuple]:
+    """Golden ES ``_termvectors``: (term, tf, positions_csv, df, idf,
+    doc_count) per distinct analyzed term of one doc, term-ordered.
+    tf/positions come from the oracle's OWN posting lists (built by its
+    own indexing loop, independent of the operator's re-analysis path);
+    df/idf/doc_count are its corpus stats."""
+    key = (str(conv_id), int(turn_idx))
+    out = []
+    for t in sorted(set(index.tokens.get(key, []))):
+        plist = index.postings.get(t, [])
+        f, ps = next((f, ps) for (k, f, ps) in plist if k == key)
+        out.append(
+            (t, f, ",".join(str(p) for p in ps), len(plist), index.idf(t), index.n_docs)
+        )
+    return out
+
+
 def golden_stats(index: OracleIndex) -> dict:
     return {
         "n_docs": index.n_docs,

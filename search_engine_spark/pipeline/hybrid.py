@@ -59,19 +59,32 @@ EMBED_SCHEMA = "conv_id string, turn_idx int, embedding array<double>"
 # ---------------------------------------------------------------------------
 
 
-def embed_tokens(tokens: list[str], dim: int = 64) -> list[float]:
+def embed_tokens(
+    tokens: list[str],
+    dim: int = 64,
+    _hash_cache: dict[str, tuple[int, float]] | None = None,
+) -> list[float]:
     """Hashing-trick embedding of an analyzed token list.
 
     index = xxh64(term) % dim, sign from hash bit 62 (independent of the
     index bits for dim ≤ 2^32); accumulate, then L2-normalize.  An empty
     token list (or total cancellation) returns the zero vector — callers
     treat zero-norm vectors as "no semantic signal".
+
+    ``_hash_cache`` memoizes term → (index, sign) across calls (the
+    corpus vocabulary is Zipf — a few thousand distinct terms cover
+    millions of occurrences); purely an evaluation cache, identical
+    output with or without.
     """
+    c = _hash_cache if _hash_cache is not None else {}
     v = np.zeros(dim, dtype=np.float64)
     for t in tokens:
-        h = xxh64(t.encode("utf-8"))
-        sign = 1.0 if (h >> 62) & 1 == 0 else -1.0
-        v[h % dim] += sign
+        e = c.get(t)
+        if e is None:
+            h = xxh64(t.encode("utf-8"))
+            e = (h % dim, 1.0 if (h >> 62) & 1 == 0 else -1.0)
+            c[t] = e
+        v[e[0]] += e[1]
     n = math.sqrt(float((v * v).sum()))
     if n > 0.0:
         v /= n
@@ -95,10 +108,13 @@ def hash_embed(transcripts: DataFrame, dim: int = 64) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, str] = {}
+        hcache: dict[str, tuple[int, float]] = {}
         for b in batches:
             embs = [
                 embed_tokens(
-                    analyze_text(t if isinstance(t, str) else "", cache), dim
+                    analyze_text(t if isinstance(t, str) else "", cache),
+                    dim,
+                    hcache,
                 )
                 for t in b["text"]
             ]
