@@ -38,6 +38,7 @@ PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
     "transcripts_hybrid_rrf",  # r4: hybrid BM25+vector, RRF fusion
     "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
+    "transcripts_hybrid_scoped",  # r4: filtered-kNN hybrid (scope both legs)
     "transcripts_rank_eval",  # r4: IR quality metrics (ES _rank_eval)
     "transcripts_term_vectors",  # r4: per-doc term stats (ES _termvectors)
     "transcripts_percolate",  # r4: reverse search (ES percolator analog)
@@ -2546,6 +2547,50 @@ def transcripts_hybrid_rrf(spark, sf_dir):
     pure-Python twin over the independent BM25 scorer and the SHARED
     embed_tokens kernel (oracle.oracle_hybrid_topk)."""
     return _hybrid_entry(spark, "rrf")
+
+
+def _hybrid_scoped_oracle_sql() -> str:
+    """VALUES oracle: scope = role='user', applied to BOTH legs
+    (filter-context lexical + filtered-kNN semantic) in the pure-Python
+    twin."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_hybrid_topk
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    scope = set(
+        zip(pdf[pdf.role == "user"].conv_id, (int(t) for t in pdf[pdf.role == "user"].turn_idx))
+    )
+    ranked = oracle_hybrid_topk(
+        idx, _HYBRID_QUERY, k=10, depth=20, method="rrf", dim=_HYBRID_DIM,
+        scope=scope,
+    )
+    values = ",\n  ".join(
+        f"({c!r}, {t}, {float(s)!r})" for (c, t), s in ranked
+    )
+    return (
+        f"SELECT conv_id, turn_idx, {rnd_sql('score', 5)} AS score "
+        f"FROM (VALUES\n  {values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_hybrid_scoped", _hybrid_scoped_oracle_sql())
+def transcripts_hybrid_scoped(spark, sf_dir):
+    """Hybrid retrieval under a metadata filter (the ES filtered-kNN +
+    filter-context combination): scope = role='user' restricts BOTH
+    legs before ranking, so the fused top-k is over exactly the
+    in-scope docs."""
+    from .pipeline.hybrid import hash_embed, hybrid_topk
+
+    idx = _xs_index(spark)
+    tr = spark.read.parquet(
+        os.path.join(os.path.dirname(_XS_INDEX["path"]), "transcripts.parquet")
+    )
+    emb = hash_embed(tr, _HYBRID_DIM)
+    return hybrid_topk(
+        idx, emb, _HYBRID_QUERY, k=10, depth=20, method="rrf",
+        dim=_HYBRID_DIM, scope=tr.filter(F.col("role") == "user"),
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
 
 
 @q("transcripts_hybrid_linear", _hybrid_oracle_sql("linear"))

@@ -1483,16 +1483,23 @@ def _fold_dot(a: list[float], b: list[float]) -> float:
 
 
 def oracle_semantic_topk(
-    index: OracleIndex, query_vec: list[float], depth: int, dim: int = 64
+    index: OracleIndex,
+    query_vec: list[float],
+    depth: int,
+    dim: int = 64,
+    scope: set[DocKey] | None = None,
 ) -> list[tuple[DocKey, float]]:
     """Golden cosine top-`depth` over the hashing-trick embeddings of
     every doc (pipeline/hybrid.embed_tokens — the SAME shared kernel
     the engine's hash_embed uses, so the vectors are bit-identical).
-    Zero-norm docs are excluded, ties break by doc key ascending."""
+    Zero-norm docs are excluded, ties break by doc key ascending.
+    ``scope`` restricts candidates BEFORE ranking (filtered-kNN)."""
     from .pipeline.hybrid import embed_tokens
 
     scored = []
     for key, toks in index.tokens.items():
+        if scope is not None and key not in scope:
+            continue
         v = embed_tokens(toks, dim)
         n = math.sqrt(_fold_dot(v, v))
         if n > 0.0:
@@ -1512,21 +1519,22 @@ def oracle_hybrid_topk(
     w_sem: float = 1.0,
     mode: str = "disjunctive",
     dim: int = 64,
+    scope: set[DocKey] | None = None,
 ) -> list[tuple[DocKey, float]]:
     """Golden hybrid retrieval: BM25 (oracle_topk, rank-identical to
     the engine) ∪ hashing-trick cosine (oracle_semantic_topk), fused by
     RRF (Σ w/(rrf_k + rank)) or min-max linear (Σ w·norm / Σ w,
     missing-from-list = 0, constant list → 1.0) — the exact semantics
-    of pipeline/hybrid.hybrid_topk."""
+    of pipeline/hybrid.hybrid_topk.  ``scope`` filters both legs."""
     from .pipeline.hybrid import embed_query
 
     qv = embed_query(query_text, dim)
     lists: list[list[tuple[DocKey, float]]] = []
     weights: list[float] = []
-    lists.append(oracle_topk(index, query_text, mode, depth))
+    lists.append(oracle_topk(index, query_text, mode, depth, scope=scope))
     weights.append(w_lex)
     if any(v != 0.0 for v in qv):
-        lists.append(oracle_semantic_topk(index, qv, depth, dim))
+        lists.append(oracle_semantic_topk(index, qv, depth, dim, scope=scope))
         weights.append(w_sem)
     fused: dict[DocKey, float] = {}
     if method == "rrf":

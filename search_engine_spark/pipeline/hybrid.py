@@ -225,13 +225,28 @@ def _dot_fold(a, b):
 
 
 def semantic_topk(
-    embeddings: DataFrame, query_vec: list[float], depth: int
+    embeddings: DataFrame,
+    query_vec: list[float],
+    depth: int,
+    scope: DataFrame | None = None,
 ) -> DataFrame:
     """(conv_id, turn_idx, cos): exact cosine top-`depth` over a
     (conv_id, turn_idx, embedding) table.  Zero-norm vectors (empty
     docs) are excluded — they carry no semantic signal.  One narrow
     scan + TakeOrderedAndProject; the LSH/IVF indexes in
-    pipeline/similarity.py are the drop-in scale path."""
+    pipeline/similarity.py are the drop-in scale path.
+
+    ``scope`` (a DataFrame with conv_id/turn_idx — typically the corpus
+    metadata filtered by a structured predicate) is the ES *filtered
+    kNN* semantics: the filter applies DURING search, so the k results
+    are the best among matching docs, not a post-filter of an unscoped
+    top-k.  Executed as a semi-join BEFORE the cosine math — scores are
+    never computed for out-of-scope vectors, and cost tracks filter
+    selectivity."""
+    if scope is not None:
+        embeddings = embeddings.join(
+            scope.select(*_KEYS).dropDuplicates(list(_KEYS)), list(_KEYS), "left_semi"
+        )
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     e = F.col("embedding")
     nrm = F.sqrt(_dot_fold(e, e))
@@ -259,6 +274,7 @@ def hybrid_topk(
     mode: str = "disjunctive",
     query_vec: list[float] | None = None,
     dim: int = 64,
+    scope: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ∪ vector top-k, fused → (conv_id, turn_idx, score).
 
@@ -269,14 +285,19 @@ def hybrid_topk(
     an external vector to search someone else's embedding space.  The
     query vector is a driver-side constant folded into the plan — no
     extra job, no shuffle beyond the two retrievals' own.
+
+    ``scope`` applies the same metadata filter to BOTH legs (the
+    reader's filter-context scope on the lexical side, the filtered-kNN
+    semi-join on the semantic side), so the fused ranking is over
+    exactly the in-scope docs.
     """
     if method not in ("rrf", "linear"):
         raise ValueError(f"unknown fusion method {method!r}")
     qv = query_vec if query_vec is not None else embed_query(query_text, dim)
-    lex = index.topk(query_text, mode, depth).select(*_KEYS, "score")
+    lex = index.topk(query_text, mode, depth, scope=scope).select(*_KEYS, "score")
     lists: list[tuple[DataFrame, str, float]] = [(lex, "score", w_lex)]
     if any(v != 0.0 for v in qv):
-        lists.append((semantic_topk(embeddings, qv, depth), "cos", w_sem))
+        lists.append((semantic_topk(embeddings, qv, depth, scope=scope), "cos", w_sem))
     if method == "rrf":
         fused = rrf_fuse(lists, k, rrf_k)
     else:

@@ -24,7 +24,7 @@ from search_engine_spark.oracle import (
     build_oracle_index,
     oracle_hybrid_topk,
     oracle_semantic_topk,
-)
+)  # noqa: F401  (oracle_semantic_topk used by the scoped tests)
 from search_engine_spark.pipeline.hybrid import (
     embed_query,
     embed_tokens,
@@ -146,6 +146,48 @@ def test_no_lexical_hits_still_ranks_semantically(xs_index, xs_emb, xs_oracle):
     got = _rows(hybrid_topk(xs_index, xs_emb, q, k=5, depth=10, dim=DIM))
     assert got == _want(xs_oracle, q, "disjunctive", k=5, depth=10, method="rrf")
     assert len(got) == 5
+
+
+def test_scoped_semantic_topk(xs_df, xs_emb, xs_oracle, xs_pdf):
+    """Filtered kNN: the scope restricts candidates BEFORE ranking, so
+    results are the best among in-scope docs — not a post-filter."""
+    from pyspark.sql import functions as F
+
+    qv = embed_query("term0001 term0002", DIM)
+    scope_df = xs_df.filter(F.col("role") == "user")
+    scope = set(
+        zip(xs_pdf[xs_pdf.role == "user"].conv_id,
+            xs_pdf[xs_pdf.role == "user"].turn_idx)
+    )
+    got = [(r.conv_id, r.turn_idx, round(r.cos, 9)) for r in
+           semantic_topk(xs_emb, qv, 10, scope=scope_df).collect()]
+    want = [(c, t, round(s, 9)) for (c, t), s in
+            oracle_semantic_topk(xs_oracle, qv, 10, DIM, scope=scope)]
+    assert got == want
+    # and it differs from post-filtering the unscoped list
+    unscoped = semantic_topk(xs_emb, qv, 10).collect()
+    post = [(r.conv_id, r.turn_idx) for r in unscoped
+            if (r.conv_id, r.turn_idx) in scope]
+    assert len(post) < len(got)
+
+
+def test_scoped_hybrid(xs_index, xs_df, xs_emb, xs_oracle, xs_pdf):
+    """scope applies to BOTH fusion legs (filter-context lexical +
+    filtered-kNN semantic)."""
+    from pyspark.sql import functions as F
+
+    q, mode = QUERIES[0]
+    scope_df = xs_df.filter(F.col("role") == "user")
+    scope = set(
+        zip(xs_pdf[xs_pdf.role == "user"].conv_id,
+            xs_pdf[xs_pdf.role == "user"].turn_idx)
+    )
+    got = _rows(hybrid_topk(xs_index, xs_emb, q, k=10, depth=20,
+                            mode=mode, dim=DIM, scope=scope_df))
+    assert got == _want(xs_oracle, q, mode, k=10, depth=20, method="rrf",
+                        scope=scope)
+    assert all((c, t) in scope for c, t, _ in got)
+    assert len(got) == 10
 
 
 def test_unknown_method_raises(xs_index, xs_emb):
