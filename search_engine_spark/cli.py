@@ -249,6 +249,14 @@ def cmd_search(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     idx = _open_index(spark, args.index)
     tr = load_transcripts(spark, args.input)
+    hybrid = None
+    if getattr(args, "embeddings", None):
+        hybrid = {
+            "embeddings": spark.read.parquet(args.embeddings),
+            "method": args.fusion,
+            "depth": args.depth,
+            "dim": args.dim,
+        }
     t0 = time.time()
     page = search(
         idx, tr, args.query, args.mode, args.k, page=args.page,
@@ -259,6 +267,7 @@ def cmd_search(args: argparse.Namespace) -> None:
         recency=_recency_opts(args),
         analyzed=getattr(args, "analyzed", False),
         highlight=getattr(args, "highlight", False),
+        hybrid=hybrid,
     )
     page["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(page))
@@ -1042,6 +1051,16 @@ def main(argv: list[str] | None = None) -> None:
         "--facet",
         help="transcripts column to facet the match set by (adds counts)",
     )
+    se.add_argument(
+        "--embeddings",
+        help="(conv_id, turn_idx, embedding) parquet — serve the page from "
+        "the fused BM25+vector hybrid ranking",
+    )
+    se.add_argument("--fusion", choices=["rrf", "linear"], default="rrf")
+    se.add_argument("--depth", type=int, default=50,
+                    help="per-list retrieval depth for hybrid fusion")
+    se.add_argument("--dim", type=int, default=64,
+                    help="hash-embedding dimension of the embeddings table")
     se.add_argument(
         "--collapse",
         action="store_true",

@@ -69,6 +69,7 @@ def search(
     recency: dict | None = None,
     analyzed: bool = False,
     highlight: bool = False,
+    hybrid: dict | None = None,
 ) -> dict:
     """One enriched result page.
 
@@ -106,6 +107,16 @@ def search(
     snippet with ``<em>…</em>`` (the ES highlight block) — same window,
     same surface-text term semantics, one extra JVM expression.
 
+    ``hybrid`` ({"embeddings": df[, "method", "depth", "rrf_k", "w_lex",
+    "w_sem", "dim"]}) serves the page from the fused BM25 ∪
+    embedding-cosine ranking (``pipeline/hybrid.py`` — the ES
+    hybrid-search request): one fused job, scope applied to both legs,
+    snippets/suggestions/facets assembled as usual.  ``total_results``
+    stays the lexical match count (the semantic leg retrieves a fixed
+    depth, not a countable set).  Composes with scope/facets/paging/
+    highlight; rejects collapse/recency/tombstones/synonyms/expansion
+    (see the inline rationale).
+
     ``recency`` ({"now": iso_ts, "scale_s": s[, "offset_s", "decay_rate"]})
     reranks by freshness-decayed BM25 (``operators/recency.py`` — the ES
     function_score decay): results carry both ``score`` and
@@ -115,6 +126,19 @@ def search(
     is not its best-by-BM25 turn; rejected rather than approximated)."""
     if page < 1:
         raise ValueError("page is 1-based")
+    if hybrid is not None and (
+        collapse or recency or tombstones or synonyms or analyzed
+        or _has_expansion_tokens(query_text)
+    ):
+        # the fused ranking is turn-level over raw query text: collapse /
+        # recency would rescore a score that is already a rank blend,
+        # tombstones have no hook on the semantic leg (delete from the
+        # embedding table instead), and expansion/synonym/analyzed
+        # rewrites are index-vocabulary terms the embedder must not
+        # re-analyze.  Rejected explicitly, never silently approximated.
+        raise ValueError(
+            "hybrid composes with scope/facets/paging/highlight only"
+        )
     user_query = query_text
     # ``analyzed=True`` = query_text is already index vocabulary (e.g. a
     # did_you_mean rewrite being resubmitted): skip re-analysis AND the
@@ -141,7 +165,26 @@ def search(
         query_text = index.expand_synonyms(query_text, mapping, analyzed=analyzed)
         analyzed = True
     scope = transcripts.filter(where) if where else None
-    if recency:
+    if hybrid is not None:
+        # ``hybrid`` = {"embeddings": df[, "method", "depth", "rrf_k",
+        # "w_lex", "w_sem", "dim"]} — the ES hybrid-search request body.
+        # One fused job (both retrieval legs execute inside one union
+        # plan); scope applies to both legs.  ``total_results`` below
+        # stays the LEXICAL match count: the semantic leg retrieves a
+        # fixed depth, not a countable match set — the same reason ES
+        # reports capped total hits under knn.
+        from .pipeline.hybrid import RRF_K, hybrid_topk
+
+        deep = hybrid_topk(
+            index, hybrid["embeddings"], query_text, k=page * k,
+            depth=hybrid.get("depth", 50),
+            method=hybrid.get("method", "rrf"),
+            rrf_k=hybrid.get("rrf_k", RRF_K),
+            w_lex=hybrid.get("w_lex", 1.0),
+            w_sem=hybrid.get("w_sem", 1.0),
+            mode=mode, dim=hybrid.get("dim", 64), scope=scope,
+        )
+    elif recency:
         if collapse:
             raise ValueError(
                 "recency rescoring does not compose with collapse (a "

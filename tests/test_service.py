@@ -368,3 +368,62 @@ def test_search_highlight_suggestions_untagged(spark, xs_setup):
     marked = search(idx, tr, "term0001", k=5, highlight=True)
     assert marked["suggested_queries"] == plain["suggested_queries"]
     assert all("<em>" not in s for s in marked["suggested_queries"])
+
+
+def test_search_hybrid(spark, xs_full_setup):
+    """hybrid= serves the fused BM25+vector page: rows match
+    hybrid_topk exactly, snippets/suggestions are assembled as usual,
+    and total_results stays the lexical match count."""
+    from search_engine_spark.pipeline.hybrid import hash_embed, hybrid_topk
+
+    idx, tr = xs_full_setup
+    emb = hash_embed(tr, 16).cache()
+    page = search(idx, tr, "term0001 term0002", k=5,
+                  hybrid={"embeddings": emb, "dim": 16, "depth": 20})
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in page["results"]]
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9))
+        for r in hybrid_topk(idx, emb, "term0001 term0002", k=5, depth=20,
+                             dim=16).collect()
+    ]
+    assert got == want and len(got) == 5
+    assert all(r["snippet"] for r in page["results"])
+    assert page["total_results"] == idx.match_count("term0001 term0002")
+
+
+def test_search_hybrid_scoped(spark, xs_full_setup):
+    from search_engine_spark.pipeline.hybrid import hash_embed, hybrid_topk
+
+    idx, tr = xs_full_setup
+    emb = hash_embed(tr, 16).cache()
+    where = "role = 'user'"
+    page = search(idx, tr, "term0001 term0002", k=5, where=where,
+                  hybrid={"embeddings": emb, "dim": 16, "depth": 20})
+    scope = tr.filter(where)
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9))
+        for r in hybrid_topk(idx, emb, "term0001 term0002", k=5, depth=20,
+                             dim=16, scope=scope).collect()
+    ]
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in page["results"]]
+    assert got == want and len(got) == 5
+    assert page["total_results"] == idx.match_count("term0001 term0002", scope=scope)
+
+
+def test_search_hybrid_rejects_incompatible(spark, xs_full_setup):
+    from search_engine_spark.pipeline.hybrid import hash_embed
+
+    idx, tr = xs_full_setup
+    emb = hash_embed(tr, 16)
+    hy = {"embeddings": emb, "dim": 16}
+    for kw in (
+        {"collapse": True},
+        {"recency": {"now": "2026-01-01T00:00:00", "scale_s": 3600}},
+        {"tombstones": [("conv-000001", 0)]},
+        {"synonyms": {"foo": ["bar"]}},
+        {"analyzed": True},
+    ):
+        with pytest.raises(ValueError):
+            search(idx, tr, "term0001", k=5, hybrid=hy, **kw)
+    with pytest.raises(ValueError):
+        search(idx, tr, "kuber*", k=5, hybrid=hy)
