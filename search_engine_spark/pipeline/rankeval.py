@@ -44,6 +44,7 @@ def rank_eval(
     queries: list[tuple[str, str]],
     judgments: DataFrame,
     k: int = 10,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query metrics → DataFrame(query_id, precision_at_k,
     recall_at_k, mrr, ndcg, n_retrieved, n_relevant).
@@ -53,16 +54,25 @@ def rank_eval(
     the whole set in one job.  ``judgments`` carries
     (query_id, conv_id, turn_idx, rating≥0); a query with no judgment
     rows still reports (its relevant counts are zero).
+
+    ``hits`` overrides the retrieval: a (query_id, conv_id, turn_idx,
+    score) DataFrame from ANY ranking source — the hybrid fusion, a
+    rescorer, an external system under A/B comparison — is scored with
+    the same metrics (rows beyond rank k per query are ignored), which
+    is the point of an evaluation harness: hold the judgments fixed,
+    swap the ranker.
     """
     j = judgments.select(*JUDGMENT_COLS)
-    hits = index.topk_batch(queries, k).withColumn(
+    if hits is None:
+        hits = index.topk_batch(queries, k)
+    hits = hits.select("query_id", "conv_id", "turn_idx", "score").withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy("query_id").orderBy(
                 F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
             )
         ),
-    )
+    ).filter(F.col("rank") <= k)
     rated = hits.join(j, ["query_id", "conv_id", "turn_idx"], "left").withColumn(
         "rating", F.coalesce(F.col("rating"), F.lit(0))
     )

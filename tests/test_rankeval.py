@@ -154,3 +154,46 @@ def test_summary_is_mean_over_queries(spark, built, oracle):
     assert s["n_queries"] == len(QUERIES)
     for m in ("precision_at_k", "recall_at_k", "mrr", "ndcg"):
         assert s[m] == pytest.approx(sum(r[m] for r in pq) / len(pq), abs=1e-9)
+
+
+def test_rank_eval_custom_hits(spark, built, oracle):
+    """hits= evaluates ANY ranking source with the same metrics: the
+    engine's own batch results passed explicitly give identical rows,
+    and a deliberately reversed ranking degrades MRR/NDCG but not
+    precision/recall (set metrics ignore order)."""
+    from pyspark.sql import functions as F
+
+    queries = QUERIES[:2]
+    judgments = spark.createDataFrame(make_judgments(oracle), list(JUDGMENT_COLS))
+    base = rank_eval(built, queries, judgments, k=K)
+    explicit = rank_eval(
+        built, queries, judgments, k=K, hits=built.topk_batch(queries, K)
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(explicit) == key(base)
+
+    reversed_hits = built.topk_batch(queries, K).withColumn(
+        "score", -F.col("score")
+    )
+    rev = {r.query_id: r for r in
+           rank_eval(built, queries, judgments, k=K, hits=reversed_hits).collect()}
+    b = {r.query_id: r for r in base.collect()}
+    for qid in (0, 1):
+        assert rev[qid].precision_at_k == b[qid].precision_at_k
+        assert rev[qid].recall_at_k == b[qid].recall_at_k
+        assert rev[qid].ndcg <= b[qid].ndcg
+    # at least one query's reversed NDCG is strictly worse
+    assert any(rev[q].ndcg < b[q].ndcg for q in (0, 1))
+
+
+def test_rank_eval_hits_truncated_at_k(spark, built, oracle):
+    """rows beyond rank k in a custom hits frame are ignored."""
+    queries = QUERIES[:1]
+    judgments = spark.createDataFrame(
+        [r for r in make_judgments(oracle) if r[0] == 0], list(JUDGMENT_COLS)
+    )
+    deep = built.topk_batch(queries, K + 10)
+    got = rank_eval(built, queries, judgments, k=K, hits=deep).collect()[0]
+    want = rank_eval(built, queries, judgments, k=K).collect()[0]
+    assert got == want
+    assert got.n_retrieved == K
