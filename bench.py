@@ -108,6 +108,8 @@ CONTRACT_QUERIES = [
     "transcripts_hybrid_rrf",
     "transcripts_hybrid_linear",
     "transcripts_term_vectors",
+    "transcripts_hybrid_scoped",
+    "transcripts_hybrid_ann",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

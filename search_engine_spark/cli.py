@@ -593,6 +593,7 @@ def cmd_hybrid(args: argparse.Namespace) -> None:
         w_lex=args.w_lex,
         w_sem=args.w_sem,
         dim=args.dim,
+        ann_index=args.ann_index,
     ).collect()
     print(
         json.dumps(
@@ -1196,6 +1197,11 @@ def main(argv: list[str] | None = None) -> None:
     hy.add_argument("--w-lex", type=float, default=1.0)
     hy.add_argument("--w-sem", type=float, default=1.0)
     hy.add_argument("--dim", type=int, default=64, help="hash-embedding dimension")
+    hy.add_argument(
+        "--ann-index",
+        help="turn-keyed LSH ANN index path (write_turn_ann_index) — probe "
+        "it instead of brute-force scanning the embeddings",
+    )
     hy.set_defaults(fn=cmd_hybrid)
 
     tv = sub.add_parser(

@@ -39,6 +39,7 @@ PRIORITY = [
     "transcripts_hybrid_rrf",  # r4: hybrid BM25+vector, RRF fusion
     "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
     "transcripts_hybrid_scoped",  # r4: filtered-kNN hybrid (scope both legs)
+    "transcripts_hybrid_ann",  # r4: ANN-probed semantic leg (scale path)
     "transcripts_rank_eval",  # r4: IR quality metrics (ES _rank_eval)
     "transcripts_term_vectors",  # r4: per-doc term stats (ES _termvectors)
     "transcripts_percolate",  # r4: reverse search (ES percolator analog)
@@ -2590,6 +2591,58 @@ def transcripts_hybrid_scoped(spark, sf_dir):
     return hybrid_topk(
         idx, emb, _HYBRID_QUERY, k=10, depth=20, method="rrf",
         dim=_HYBRID_DIM, scope=tr.filter(F.col("role") == "user"),
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _hybrid_ann_oracle_sql() -> str:
+    """VALUES oracle: the semantic leg restricted to the pure-Python
+    LSH probe's candidate set (oracle_ann_candidates — same hyperplane
+    generator and embedder, per-doc np.dot instead of the kernel's
+    batched matmul)."""
+    from .corpus import generate_transcripts
+    from .oracle import (
+        build_oracle_index,
+        oracle_ann_candidates,
+        oracle_hybrid_topk,
+    )
+    from .pipeline.hybrid import embed_query
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    qv = embed_query(_HYBRID_QUERY, _HYBRID_DIM)
+    cands = oracle_ann_candidates(idx, qv, _HYBRID_DIM, bits=2, tables=8)
+    ranked = oracle_hybrid_topk(
+        idx, _HYBRID_QUERY, k=10, depth=20, method="rrf", dim=_HYBRID_DIM,
+        ann_candidates=cands,
+    )
+    values = ",\n  ".join(
+        f"({c!r}, {t}, {float(s)!r})" for (c, t), s in ranked
+    )
+    return (
+        f"SELECT conv_id, turn_idx, {rnd_sql('score', 5)} AS score "
+        f"FROM (VALUES\n  {values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_hybrid_ann", _hybrid_ann_oracle_sql())
+def transcripts_hybrid_ann(spark, sf_dir):
+    """Hybrid retrieval with the ANN-accelerated semantic leg: the
+    partition-pruned probe of the persisted turn-keyed LSH index
+    replaces the brute-force scan (the 100 TB path); fusion unchanged.
+    Oracle: the pure-Python twin over the same probe candidate set."""
+    from .pipeline.hybrid import hash_embed, hybrid_topk, write_turn_ann_index
+
+    idx = _xs_index(spark)
+    root = os.path.dirname(_XS_INDEX["path"])
+    emb = hash_embed(
+        spark.read.parquet(os.path.join(root, "transcripts.parquet")), _HYBRID_DIM
+    )
+    ann = os.path.join(root, "turn_ann")
+    if "turn_ann" not in _XS_INDEX:
+        write_turn_ann_index(emb, ann, _HYBRID_DIM, bits=2, tables=8)
+        _XS_INDEX["turn_ann"] = ann
+    return hybrid_topk(
+        idx, emb, _HYBRID_QUERY, k=10, depth=20, method="rrf",
+        dim=_HYBRID_DIM, ann_index=ann,
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
 
 

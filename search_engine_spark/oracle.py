@@ -1488,17 +1488,22 @@ def oracle_semantic_topk(
     depth: int,
     dim: int = 64,
     scope: set[DocKey] | None = None,
+    candidates: set[DocKey] | None = None,
 ) -> list[tuple[DocKey, float]]:
     """Golden cosine top-`depth` over the hashing-trick embeddings of
     every doc (pipeline/hybrid.embed_tokens — the SAME shared kernel
     the engine's hash_embed uses, so the vectors are bit-identical).
     Zero-norm docs are excluded, ties break by doc key ascending.
-    ``scope`` restricts candidates BEFORE ranking (filtered-kNN)."""
+    ``scope`` restricts candidates BEFORE ranking (filtered-kNN);
+    ``candidates`` restricts to an explicit key set (the ANN-probe
+    twin: pass :func:`oracle_ann_candidates`)."""
     from .pipeline.hybrid import embed_tokens
 
     scored = []
     for key, toks in index.tokens.items():
         if scope is not None and key not in scope:
+            continue
+        if candidates is not None and key not in candidates:
             continue
         v = embed_tokens(toks, dim)
         n = math.sqrt(_fold_dot(v, v))
@@ -1506,6 +1511,42 @@ def oracle_semantic_topk(
             scored.append((key, _fold_dot(v, query_vec) / n))
     scored.sort(key=lambda kv: (-kv[1], kv[0]))
     return scored[:depth]
+
+
+def oracle_ann_candidates(
+    index: OracleIndex,
+    query_vec: list[float],
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> set[DocKey]:
+    """The doc keys an LSH ANN probe would consider: per table, the
+    docs whose sign-bit bucket equals the query's.  Uses the SAME
+    hyperplane generator and embedder as the engine (structural
+    parity); the per-doc math is plain np.dot, independent of the
+    kernel's batched matmul."""
+    import numpy as np
+
+    from .pipeline.hybrid import embed_tokens
+    from .pipeline.similarity import hyperplanes
+
+    planes = [hyperplanes(dim, bits, seed + t) for t in range(tables)]
+    qb = [
+        sum(2**i for i, row in enumerate(p) if float(np.dot(row, query_vec)) >= 0.0)
+        for p in planes
+    ]
+    out: set[DocKey] = set()
+    for key, toks in index.tokens.items():
+        v = embed_tokens(toks, dim)
+        if not any(x != 0.0 for x in v):
+            continue
+        for t, p in enumerate(planes):
+            b = sum(2**i for i, row in enumerate(p) if float(np.dot(row, v)) >= 0.0)
+            if b == qb[t]:
+                out.add(key)
+                break
+    return out
 
 
 def oracle_hybrid_topk(
@@ -1520,12 +1561,15 @@ def oracle_hybrid_topk(
     mode: str = "disjunctive",
     dim: int = 64,
     scope: set[DocKey] | None = None,
+    ann_candidates: set[DocKey] | None = None,
 ) -> list[tuple[DocKey, float]]:
     """Golden hybrid retrieval: BM25 (oracle_topk, rank-identical to
     the engine) ∪ hashing-trick cosine (oracle_semantic_topk), fused by
     RRF (Σ w/(rrf_k + rank)) or min-max linear (Σ w·norm / Σ w,
     missing-from-list = 0, constant list → 1.0) — the exact semantics
-    of pipeline/hybrid.hybrid_topk.  ``scope`` filters both legs."""
+    of pipeline/hybrid.hybrid_topk.  ``scope`` filters both legs;
+    ``ann_candidates`` (from :func:`oracle_ann_candidates`) restricts
+    the semantic leg to the ANN probe's key set."""
     from .pipeline.hybrid import embed_query
 
     qv = embed_query(query_text, dim)
@@ -1534,7 +1578,11 @@ def oracle_hybrid_topk(
     lists.append(oracle_topk(index, query_text, mode, depth, scope=scope))
     weights.append(w_lex)
     if any(v != 0.0 for v in qv):
-        lists.append(oracle_semantic_topk(index, qv, depth, dim, scope=scope))
+        lists.append(
+            oracle_semantic_topk(
+                index, qv, depth, dim, scope=scope, candidates=ann_candidates
+            )
+        )
         weights.append(w_sem)
     fused: dict[DocKey, float] = {}
     if method == "rrf":

@@ -132,6 +132,77 @@ def hash_embed(transcripts: DataFrame, dim: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN acceleration of the semantic leg
+# ---------------------------------------------------------------------------
+
+#: composite doc key inside the vec_id-keyed ANN index machinery
+_KEY_SEP = "\x1f"
+
+
+def write_turn_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist the LSH ANN index over a (conv_id, turn_idx, embedding)
+    table — the scale path for the hybrid semantic leg.
+
+    Reuses the ids-only (table, bucket)-partitioned index machinery
+    (pipeline/similarity.write_ann_index, incl. its ``_meta`` parameter
+    sidecar and small-files repartition) by encoding the turn key as a
+    composite ``vec_id``; zero-norm vectors are excluded at build time
+    (they carry no signal and their sign pattern is degenerate)."""
+    from .similarity import write_ann_index
+
+    e = F.col("embedding")
+    keyed = embeddings.filter(F.sqrt(_dot_fold(e, e)) > 0.0).select(
+        F.concat_ws(_KEY_SEP, F.col("conv_id"), F.col("turn_idx")).alias("vec_id"),
+        "embedding",
+    )
+    write_ann_index(keyed, path, dim, bits, tables, seed)
+
+
+def ann_semantic_topk(
+    embeddings: DataFrame,
+    index_path: str,
+    query_vec: list[float],
+    depth: int,
+    scope: DataFrame | None = None,
+) -> DataFrame:
+    """(conv_id, turn_idx, cos): ANN-accelerated cosine top-`depth` —
+    a partition-pruned read of the query's probe cells from the
+    persisted index, candidate keys broadcast-semi-joined back to the
+    embedding table, exact cosine rerank of candidates only (the same
+    tie-break and fold order as :func:`semantic_topk`, so fusion ranks
+    are comparable).  Approximate with the ANN recall profile of the
+    underlying LSH index (probed at 1M vectors in SCALE_PROBE.json);
+    ``scope`` composes the filtered-kNN semi-join on the candidates."""
+    from .similarity import _probe_predicate, query_buckets, read_ann_index
+
+    spark = embeddings.sparkSession
+    sigs, meta = read_ann_index(spark, index_path, dim=len(query_vec))
+    parts = F.split(F.col("vec_id"), _KEY_SEP)
+    cand_keys = (
+        sigs.filter(
+            _probe_predicate(
+                query_buckets(query_vec, meta["bits"], meta["tables"], meta["seed"])
+            )
+        )
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+        .select(
+            parts.getItem(0).alias("conv_id"),
+            parts.getItem(1).cast("int").alias("turn_idx"),
+        )
+    )
+    cand = embeddings.join(F.broadcast(cand_keys), list(_KEYS), "left_semi")
+    return semantic_topk(cand, query_vec, depth, scope=scope)
+
+
+# ---------------------------------------------------------------------------
 # fusion
 # ---------------------------------------------------------------------------
 
@@ -275,8 +346,14 @@ def hybrid_topk(
     query_vec: list[float] | None = None,
     dim: int = 64,
     scope: DataFrame | None = None,
+    ann_index: str | None = None,
 ) -> DataFrame:
     """BM25 ∪ vector top-k, fused → (conv_id, turn_idx, score).
+
+    ``ann_index`` (a :func:`write_turn_ann_index` path) switches the
+    semantic leg from the brute-force scan to the partition-pruned ANN
+    probe — the 100 TB path; the fusion is unchanged (any top-`depth`
+    semantic list fuses the same way).
 
     Two top-`depth` retrievals — the index's own lexical path
     (``index.topk``) and :func:`semantic_topk` over ``embeddings`` —
@@ -297,7 +374,12 @@ def hybrid_topk(
     lex = index.topk(query_text, mode, depth, scope=scope).select(*_KEYS, "score")
     lists: list[tuple[DataFrame, str, float]] = [(lex, "score", w_lex)]
     if any(v != 0.0 for v in qv):
-        lists.append((semantic_topk(embeddings, qv, depth, scope=scope), "cos", w_sem))
+        sem = (
+            ann_semantic_topk(embeddings, ann_index, qv, depth, scope=scope)
+            if ann_index
+            else semantic_topk(embeddings, qv, depth, scope=scope)
+        )
+        lists.append((sem, "cos", w_sem))
     if method == "rrf":
         fused = rrf_fuse(lists, k, rrf_k)
     else:

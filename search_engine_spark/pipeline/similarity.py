@@ -184,8 +184,12 @@ def lsh_signatures(
                 }
             )
 
+    # vec_id passes through untouched — inherit its type so both long
+    # ids (the embeddings tables) and composite string keys (the hybrid
+    # turn index, pipeline/hybrid.write_turn_ann_index) work
+    vid_type = embeddings.schema["vec_id"].dataType.simpleString()
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        kernel, schema="vec_id long, table int, bucket long"
+        kernel, schema=f"vec_id {vid_type}, table int, bucket long"
     )
 
 

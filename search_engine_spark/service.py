@@ -183,6 +183,7 @@ def search(
             w_lex=hybrid.get("w_lex", 1.0),
             w_sem=hybrid.get("w_sem", 1.0),
             mode=mode, dim=hybrid.get("dim", 64), scope=scope,
+            ann_index=hybrid.get("ann_index"),
         )
     elif recency:
         if collapse:

@@ -200,3 +200,95 @@ def test_determinism(xs_index, xs_emb):
     a = _rows(hybrid_topk(xs_index, xs_emb, q, mode=mode, dim=DIM))
     b = _rows(hybrid_topk(xs_index, xs_emb, q, mode=mode, dim=DIM))
     assert a == b and len(a) == 10
+
+
+# ------------------------------------------------------------------ ANN leg
+
+
+@pytest.fixture(scope="module")
+def xs_ann(xs_emb, tmp_path_factory):
+    from search_engine_spark.pipeline.hybrid import write_turn_ann_index
+
+    path = str(tmp_path_factory.mktemp("hyb_ann") / "ann")
+    write_turn_ann_index(xs_emb, path, DIM, bits=2, tables=8)
+    return path
+
+
+def test_ann_semantic_exact_on_candidates(xs_emb, xs_ann, xs_oracle):
+    """Every ANN hit's cosine equals the brute-force cosine for that key
+    (the probe only prunes candidates, the rerank is exact), and the
+    hit set is a subset of the corpus' nonzero-norm docs."""
+    from search_engine_spark.pipeline.hybrid import ann_semantic_topk
+
+    qv = embed_query("term0001 term0002", DIM)
+    got = {(r.conv_id, r.turn_idx): r.cos
+           for r in ann_semantic_topk(xs_emb, xs_ann, qv, 15).collect()}
+    assert got
+    brute = {(c, t): s for (c, t), s in
+             oracle_semantic_topk(xs_oracle, qv, 10**6, DIM)}
+    for key, cos in got.items():
+        assert cos == brute[key], key
+
+
+def test_ann_semantic_recall(xs_emb, xs_ann, xs_oracle):
+    """Deterministic recall floor on the fixed corpus/seed: the ANN
+    top-10 recovers most of the brute-force top-10 (8 tables × 2 bits)."""
+    from search_engine_spark.pipeline.hybrid import ann_semantic_topk
+
+    qv = embed_query("term0001 term0002", DIM)
+    got = {(r.conv_id, r.turn_idx)
+           for r in ann_semantic_topk(xs_emb, xs_ann, qv, 10).collect()}
+    want = {(c, t) for (c, t), _ in oracle_semantic_topk(xs_oracle, qv, 10, DIM)}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
+
+
+def test_hybrid_with_ann_index(xs_index, xs_emb, xs_ann):
+    """hybrid_topk(ann_index=...) fuses the ANN semantic list exactly
+    like the manual composition of the two legs."""
+    from search_engine_spark.pipeline.hybrid import (
+        ann_semantic_topk,
+        rrf_fuse,
+    )
+
+    q = "term0001 term0002"
+    qv = embed_query(q, DIM)
+    got = _rows(hybrid_topk(xs_index, xs_emb, q, k=10, depth=20, dim=DIM,
+                            ann_index=xs_ann))
+    lex = xs_index.topk(q, "disjunctive", 20).select("conv_id", "turn_idx", "score")
+    sem = ann_semantic_topk(xs_emb, xs_ann, qv, 20)
+    want = [(r.conv_id, r.turn_idx, round(r.score, 9))
+            for r in rrf_fuse([(lex, "score", 1.0), (sem, "cos", 1.0)], 10).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_turn_ann_index_excludes_zero_norm(spark, xs_emb, xs_ann, xs_pdf):
+    """Empty-text turns (zero vectors) never enter the index."""
+    from search_engine_spark.pipeline.similarity import read_ann_index
+
+    sigs, meta = read_ann_index(spark, xs_ann, dim=DIM)
+    assert meta["bits"] == 2 and meta["tables"] == 8
+    indexed = {tuple(r.vec_id.split("\x1f")) for r in sigs.collect()}
+    empties = {(c, str(t)) for c, t in
+               zip(xs_pdf[xs_pdf.text == ""].conv_id,
+                   xs_pdf[xs_pdf.text == ""].turn_idx)}
+    assert empties and not (indexed & empties)
+
+
+def test_ann_semantic_scope_composes(xs_df, xs_emb, xs_ann):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipeline.hybrid import ann_semantic_topk
+
+    qv = embed_query("term0001 term0002", DIM)
+    scope_df = xs_df.filter(F.col("role") == "user")
+    got = ann_semantic_topk(xs_emb, xs_ann, qv, 10, scope=scope_df).collect()
+    scope = {(r.conv_id, r.turn_idx) for r in scope_df.select("conv_id", "turn_idx").collect()}
+    assert got and all((r.conv_id, r.turn_idx) in scope for r in got)
+
+
+def test_ann_index_dim_mismatch_fails_loud(xs_emb, xs_ann):
+    from search_engine_spark.pipeline.hybrid import ann_semantic_topk
+
+    with pytest.raises(ValueError):
+        ann_semantic_topk(xs_emb, xs_ann, [1.0] * (DIM + 1), 10)
