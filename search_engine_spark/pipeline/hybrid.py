@@ -167,7 +167,7 @@ def write_turn_ann_index(
 
 def ann_semantic_topk(
     embeddings: DataFrame,
-    index_path: str,
+    index_path: str | list[str],
     query_vec: list[float],
     depth: int,
     scope: DataFrame | None = None,
@@ -179,11 +179,31 @@ def ann_semantic_topk(
     tie-break and fold order as :func:`semantic_topk`, so fusion ranks
     are comparable).  Approximate with the ANN recall profile of the
     underlying LSH index (probed at 1M vectors in SCALE_PROBE.json);
-    ``scope`` composes the filtered-kNN semi-join on the candidates."""
-    from .similarity import _probe_predicate, query_buckets, read_ann_index
+    ``scope`` composes the filtered-kNN semi-join on the candidates.
+
+    ``index_path`` may be a list of segment roots (base + deltas from
+    ``similarity.extend_ann_index`` — the same LSM freshness story as
+    the vec_id ANN index; parameter compatibility fails loud).
+    Deletions need no tombstones here: candidates semi-join the CURRENT
+    embedding table, so removing a turn's embedding row removes it from
+    every probe, and ``similarity.compact_ann_index`` drops its stale
+    signatures physically."""
+    from .similarity import (
+        _probe_predicate,
+        _read_ann_segments,
+        query_buckets,
+        read_ann_index,
+    )
 
     spark = embeddings.sparkSession
-    sigs, meta = read_ann_index(spark, index_path, dim=len(query_vec))
+    if isinstance(index_path, (list, tuple)):
+        sigs, meta = _read_ann_segments(spark, list(index_path))
+        if meta["dim"] != len(query_vec):
+            raise ValueError(
+                f"query dim {len(query_vec)} != index dim {meta['dim']}"
+            )
+    else:
+        sigs, meta = read_ann_index(spark, index_path, dim=len(query_vec))
     parts = F.split(F.col("vec_id"), _KEY_SEP)
     cand_keys = (
         sigs.filter(
@@ -346,14 +366,15 @@ def hybrid_topk(
     query_vec: list[float] | None = None,
     dim: int = 64,
     scope: DataFrame | None = None,
-    ann_index: str | None = None,
+    ann_index: str | list[str] | None = None,
 ) -> DataFrame:
     """BM25 ∪ vector top-k, fused → (conv_id, turn_idx, score).
 
-    ``ann_index`` (a :func:`write_turn_ann_index` path) switches the
-    semantic leg from the brute-force scan to the partition-pruned ANN
-    probe — the 100 TB path; the fusion is unchanged (any top-`depth`
-    semantic list fuses the same way).
+    ``ann_index`` (a :func:`write_turn_ann_index` path, or a list of
+    base+delta segment roots) switches the semantic leg from the
+    brute-force scan to the partition-pruned ANN probe — the 100 TB
+    path; the fusion is unchanged (any top-`depth` semantic list fuses
+    the same way).
 
     Two top-`depth` retrievals — the index's own lexical path
     (``index.topk``) and :func:`semantic_topk` over ``embeddings`` —

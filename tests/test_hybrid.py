@@ -292,3 +292,48 @@ def test_ann_index_dim_mismatch_fails_loud(xs_emb, xs_ann):
 
     with pytest.raises(ValueError):
         ann_semantic_topk(xs_emb, xs_ann, [1.0] * (DIM + 1), 10)
+
+
+def test_ann_segments_equal_rebuild(spark, xs_df, xs_emb, tmp_path_factory):
+    """LSM freshness for the turn ANN index: base over half the corpus
+    + extend_ann_index delta over the rest == one rebuilt index, and a
+    deleted embedding row vanishes from the probe without tombstones."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipeline.hybrid import (
+        ann_semantic_topk,
+        write_turn_ann_index,
+        _KEY_SEP,
+    )
+    from search_engine_spark.pipeline.similarity import extend_ann_index
+
+    d = tmp_path_factory.mktemp("hyb_ann_lsm")
+    convs = sorted(r.conv_id for r in xs_emb.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+    base_emb = xs_emb.filter(F.col("conv_id").isin(half))
+    delta_emb = xs_emb.filter(~F.col("conv_id").isin(half))
+    write_turn_ann_index(base_emb, str(d / "base"), DIM, bits=2, tables=8)
+    e = F.col("embedding")
+    nonzero = F.sqrt(F.aggregate(F.zip_with(e, e, lambda x, y: x * y),
+                                 F.lit(0.0), lambda a, x: a + x)) > 0.0
+    delta_keyed = delta_emb.filter(nonzero).select(
+        F.concat_ws(_KEY_SEP, "conv_id", "turn_idx").alias("vec_id"), "embedding"
+    )
+    extend_ann_index(spark, str(d / "base"), delta_keyed, str(d / "delta"))
+    write_turn_ann_index(xs_emb, str(d / "full"), DIM, bits=2, tables=8)
+
+    qv = embed_query("term0001 term0002", DIM)
+    seg = [(r.conv_id, r.turn_idx, round(r.cos, 9)) for r in
+           ann_semantic_topk(xs_emb, [str(d / "base"), str(d / "delta")], qv, 10).collect()]
+    full = [(r.conv_id, r.turn_idx, round(r.cos, 9)) for r in
+            ann_semantic_topk(xs_emb, str(d / "full"), qv, 10).collect()]
+    assert seg == full and len(seg) == 10
+
+    # delete the top hit's embedding row: it disappears from the probe
+    top_c, top_t, _ = seg[0]
+    pruned_emb = xs_emb.filter(
+        ~((F.col("conv_id") == top_c) & (F.col("turn_idx") == top_t))
+    )
+    after = [(r.conv_id, r.turn_idx) for r in
+             ann_semantic_topk(pruned_emb, [str(d / "base"), str(d / "delta")], qv, 10).collect()]
+    assert (top_c, top_t) not in after and len(after) == 10
