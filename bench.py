@@ -110,6 +110,7 @@ CONTRACT_QUERIES = [
     "transcripts_term_vectors",
     "transcripts_hybrid_scoped",
     "transcripts_hybrid_ann",
+    "transcripts_semantic_quantized",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

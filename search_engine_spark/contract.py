@@ -40,6 +40,7 @@ PRIORITY = [
     "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
     "transcripts_hybrid_scoped",  # r4: filtered-kNN hybrid (scope both legs)
     "transcripts_hybrid_ann",  # r4: ANN-probed semantic leg (scale path)
+    "transcripts_semantic_quantized",  # r4: int8 quantized vector scan + rerank
     "transcripts_rank_eval",  # r4: IR quality metrics (ES _rank_eval)
     "transcripts_term_vectors",  # r4: per-doc term stats (ES _termvectors)
     "transcripts_percolate",  # r4: reverse search (ES percolator analog)
@@ -2644,6 +2645,50 @@ def transcripts_hybrid_ann(spark, sf_dir):
         idx, emb, _HYBRID_QUERY, k=10, depth=20, method="rrf",
         dim=_HYBRID_DIM, ann_index=ann,
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _quantized_oracle_sql() -> str:
+    """VALUES oracle: pure-Python int8-quantized ranking + exact rerank
+    (oracle_quantized_semantic_topk over the shared quantize_vec)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_quantized_semantic_topk
+    from .pipeline.hybrid import embed_query
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    qv = embed_query(_HYBRID_QUERY, _HYBRID_DIM)
+    ranked = oracle_quantized_semantic_topk(idx, qv, 10, _HYBRID_DIM)
+    values = ",\n  ".join(
+        f"({c!r}, {t}, {float(s)!r})" for (c, t), s in ranked
+    )
+    return (
+        f"SELECT conv_id, turn_idx, {rnd_sql('cos', 5)} AS cos "
+        f"FROM (VALUES\n  {values}\n) t(conv_id, turn_idx, cos)"
+    )
+
+
+@q("transcripts_semantic_quantized", _quantized_oracle_sql())
+def transcripts_semantic_quantized(spark, sf_dir):
+    """int8 scalar quantization of the embedding column (the ES
+    dense_vector quantization analog): the 8×-smaller tinyint table is
+    scanned with integer-dot JVM math, oversample·k winners are
+    re-scored exactly against the float table — results carry EXACT
+    cosines (pipeline/hybrid.quantized_semantic_topk)."""
+    from .pipeline.hybrid import (
+        hash_embed,
+        quantize_embeddings,
+        quantized_semantic_topk,
+        embed_query,
+    )
+
+    _xs_index(spark)
+    tr = spark.read.parquet(
+        os.path.join(os.path.dirname(_XS_INDEX["path"]), "transcripts.parquet")
+    )
+    emb = hash_embed(tr, _HYBRID_DIM)
+    qv = embed_query(_HYBRID_QUERY, _HYBRID_DIM)
+    return quantized_semantic_topk(
+        quantize_embeddings(emb), qv, 10, rerank_with=emb
+    ).select("conv_id", "turn_idx", rnd(F.col("cos"), 5).alias("cos"))
 
 
 @q("transcripts_hybrid_linear", _hybrid_oracle_sql("linear"))

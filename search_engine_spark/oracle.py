@@ -1513,6 +1513,34 @@ def oracle_semantic_topk(
     return scored[:depth]
 
 
+def oracle_quantized_semantic_topk(
+    index: OracleIndex,
+    query_vec: list[float],
+    depth: int,
+    dim: int = 64,
+    oversample: int = 3,
+) -> list[tuple[DocKey, float]]:
+    """Golden int8-quantized semantic top-k with exact rerank: the
+    integer-dot approximate ranking (same expression shape as the
+    engine's JVM math: idot/(qnorm·qqnorm)) picks oversample·depth
+    candidates, then the exact cosine (oracle_semantic_topk over the
+    candidate set) ranks the final depth."""
+    from .pipeline.hybrid import embed_tokens, quantize_vec
+
+    qq, _ = quantize_vec(query_vec)
+    qq_norm = math.sqrt(sum(x * x for x in qq)) or 1.0
+    approx = []
+    for key, toks in index.tokens.items():
+        q, _s = quantize_vec(embed_tokens(toks, dim))
+        qnorm = math.sqrt(float(sum(x * x for x in q)))
+        if qnorm > 0.0:
+            idot = float(sum(a * b for a, b in zip(q, qq)))
+            approx.append((key, idot / (qnorm * qq_norm)))
+    approx.sort(key=lambda kv: (-kv[1], kv[0]))
+    cands = {key for key, _ in approx[: depth * oversample]}
+    return oracle_semantic_topk(index, query_vec, depth, dim, candidates=cands)
+
+
 def oracle_ann_candidates(
     index: OracleIndex,
     query_vec: list[float],

@@ -132,6 +132,106 @@ def hash_embed(transcripts: DataFrame, dim: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization (the ES dense_vector int8 quantization analog)
+# ---------------------------------------------------------------------------
+
+
+def quantize_vec(v: list[float]) -> tuple[list[int], float]:
+    """Symmetric per-vector int8 quantization: q = round(v·127/amax),
+    scale = amax/127 so v ≈ q·scale.  Shared by the Spark kernel and
+    the pure-Python oracle.  A zero vector quantizes to zeros with
+    scale 0."""
+    amax = max((abs(float(x)) for x in v), default=0.0)
+    if amax == 0.0:
+        return [0] * len(v), 0.0
+    s = amax / 127.0
+    return [int(round(float(x) / s)) for x in v], s
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, qvec array<tinyint>, qscale double): the
+    storage-tier embedding table — **8× smaller** than array<double>
+    per dimension, which at 100 TB is the difference between the
+    semantic scan fitting in page cache or not.  One shuffle-free
+    ``mapInPandas`` pass; dequantized cosine error is bounded by the
+    per-dim step (≤ amax/254), verified in tests."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            qs, ss = [], []
+            for v in b["embedding"]:
+                q, s = quantize_vec(list(v))
+                qs.append(q)
+                ss.append(s)
+            yield pd.DataFrame(
+                {
+                    "conv_id": b["conv_id"],
+                    "turn_idx": b["turn_idx"],
+                    "qvec": qs,
+                    "qscale": ss,
+                }
+            )
+
+    return embeddings.select(*_KEYS, "embedding").mapInPandas(
+        kernel,
+        "conv_id string, turn_idx int, qvec array<tinyint>, qscale double",
+    )
+
+
+def quantized_semantic_topk(
+    qembeddings: DataFrame,
+    query_vec: list[float],
+    depth: int,
+    rerank_with: DataFrame | None = None,
+    oversample: int = 3,
+    scope: DataFrame | None = None,
+) -> DataFrame:
+    """(conv_id, turn_idx, cos): cosine top-`depth` over the int8
+    quantized table.
+
+    The scan-side math is integer dot products scaled once per vector
+    (cos ≈ qscaleᵥ·Σ qᵥᵢ·qqᵢ / ‖v_deq‖, all JVM expressions over
+    tinyint arrays — the full-precision table is never read).  With
+    ``rerank_with`` (the float table), the quantized pass only ranks
+    ``oversample·depth`` candidates and the winners are re-scored
+    exactly — the ES quantized-HNSW rescore pattern; results then carry
+    EXACT cosines (comparable with :func:`semantic_topk` ranks)."""
+    qq, _qs = quantize_vec(query_vec)
+    qcol = F.array(*[F.lit(int(x)).cast("int") for x in qq])
+    qv = F.transform(F.col("qvec"), lambda x: x.cast("int"))
+    # dequantized norm = qscale·sqrt(Σ q²); the scalar factors cancel in
+    # ranking but keep cos in [-1, 1] for thresholds
+    idot = F.aggregate(
+        F.zip_with(qv, qcol, lambda a, b: a * b), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(qv, qv, lambda a, b: a * b), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+    )
+    qq_norm = math.sqrt(sum(x * x for x in qq)) or 1.0
+    if scope is not None:
+        qembeddings = qembeddings.join(
+            scope.select(*_KEYS).dropDuplicates(list(_KEYS)), list(_KEYS), "left_semi"
+        )
+    approx = (
+        qembeddings.select(
+            *_KEYS,
+            F.when(qnorm > 0.0, idot / (qnorm * F.lit(qq_norm))).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+        .orderBy(F.desc("cos"), *[F.asc(c) for c in _KEYS])
+        .limit(depth * oversample if rerank_with is not None else depth)
+    )
+    if rerank_with is None:
+        return approx
+    cand = rerank_with.join(
+        F.broadcast(approx.select(*_KEYS)), list(_KEYS), "left_semi"
+    )
+    return semantic_topk(cand, query_vec, depth)
+
+
+# ---------------------------------------------------------------------------
 # ANN acceleration of the semantic leg
 # ---------------------------------------------------------------------------
 

@@ -337,3 +337,81 @@ def test_ann_segments_equal_rebuild(spark, xs_df, xs_emb, tmp_path_factory):
     after = [(r.conv_id, r.turn_idx) for r in
              ann_semantic_topk(pruned_emb, [str(d / "base"), str(d / "delta")], qv, 10).collect()]
     assert (top_c, top_t) not in after and len(after) == 10
+
+
+# --------------------------------------------------------- int8 quantization
+
+
+def test_quantize_roundtrip_error_bound(xs_oracle):
+    """Dequantized vectors are within one quantization step per dim."""
+    from search_engine_spark.pipeline.hybrid import quantize_vec
+
+    checked = 0
+    for toks in xs_oracle.tokens.values():
+        v = embed_tokens(toks, DIM)
+        q, s = quantize_vec(v)
+        assert all(-127 <= x <= 127 for x in q)
+        if s == 0.0:
+            assert v == [0.0] * DIM
+            continue
+        for x, qx in zip(v, q):
+            assert abs(x - qx * s) <= s / 2 + 1e-12
+        checked += 1
+    assert checked > 50
+
+
+def test_quantized_table_parity(xs_emb, xs_oracle):
+    """The Spark quantization kernel matches the shared quantize_vec."""
+    from search_engine_spark.pipeline.hybrid import (
+        quantize_embeddings,
+        quantize_vec,
+    )
+
+    got = {(r.conv_id, r.turn_idx): (list(r.qvec), r.qscale)
+           for r in quantize_embeddings(xs_emb).collect()}
+    for key, toks in xs_oracle.tokens.items():
+        q, s = quantize_vec(embed_tokens(toks, DIM))
+        assert got[key] == (q, s), key
+
+
+def test_quantized_semantic_recall_and_rerank(xs_emb, xs_oracle):
+    """int8 scan recall vs exact is high on the fixed corpus, and the
+    rerank_with pass returns EXACT cosines for its winners."""
+    from search_engine_spark.pipeline.hybrid import (
+        quantize_embeddings,
+        quantized_semantic_topk,
+    )
+
+    qemb = quantize_embeddings(xs_emb).cache()
+    qv = embed_query("term0001 term0002", DIM)
+    exact = {(c, t): s for (c, t), s in oracle_semantic_topk(xs_oracle, qv, 10, DIM)}
+
+    approx = quantized_semantic_topk(qemb, qv, 10)
+    got_keys = {(r.conv_id, r.turn_idx) for r in approx.collect()}
+    assert len(got_keys & set(exact)) >= 8  # deterministic, observed 10/10
+
+    rer = quantized_semantic_topk(qemb, qv, 10, rerank_with=xs_emb)
+    got = {(r.conv_id, r.turn_idx): r.cos for r in rer.collect()}
+    full = {(c, t): s for (c, t), s in
+            oracle_semantic_topk(xs_oracle, qv, 10**6, DIM)}
+    for key, cos in got.items():
+        assert cos == full[key], key
+    assert len(got & exact.keys()) >= 9
+
+
+def test_quantized_scope(xs_df, xs_emb):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipeline.hybrid import (
+        quantize_embeddings,
+        quantized_semantic_topk,
+    )
+
+    qemb = quantize_embeddings(xs_emb)
+    qv = embed_query("term0001 term0002", DIM)
+    scope_df = xs_df.filter(F.col("role") == "user")
+    scope = {(r.conv_id, r.turn_idx)
+             for r in scope_df.select("conv_id", "turn_idx").collect()}
+    got = quantized_semantic_topk(qemb, qv, 10, rerank_with=xs_emb,
+                                  scope=scope_df).collect()
+    assert got and all((r.conv_id, r.turn_idx) in scope for r in got)
