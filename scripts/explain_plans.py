@@ -577,6 +577,40 @@ def main() -> None:
             cap(hybrid_topk(idx, emb, "term0001 term0002", k=10, depth=20, dim=16)),
         )
     )
+    from search_engine_spark.pipeline.hybrid import (
+        ann_semantic_topk,
+        quantize_embeddings,
+        quantized_semantic_topk,
+        write_turn_ann_index,
+        embed_query,
+    )
+
+    ann_path = os.path.join(d, "turn_ann")
+    write_turn_ann_index(emb, ann_path, 16, bits=2, tables=8)
+    qv16 = embed_query("term0001 term0002", 16)
+    sections.append(
+        (
+            "ANN-probed semantic leg (turn-keyed LSH index)",
+            "Expected: the signature scan carries PartitionFilters on the "
+            "query's (table, bucket) probe cells — the 100 TB path reads "
+            "probe cells, never the index; candidate keys BROADCAST back "
+            "onto the embedding table as a left-semi join; exact cosine + "
+            "TakeOrderedAndProject over candidates only.",
+            cap(ann_semantic_topk(emb, ann_path, qv16, 20)),
+        )
+    )
+    qemb = quantize_embeddings(emb)
+    sections.append(
+        (
+            "int8-quantized semantic scan with exact rerank",
+            "Expected: the approximate branch scans ONLY the tinyint table "
+            "(ReadSchema qvec/qscale — 8× fewer embedding bytes) with "
+            "integer zip_with/aggregate math and TakeOrderedAndProject at "
+            "oversample*k; the winners broadcast-semi-join the float table "
+            "and a second TakeOrderedAndProject emits exact cosines.",
+            cap(quantized_semantic_topk(qemb, qv16, 10, rerank_with=emb)),
+        )
+    )
     from search_engine_spark.pipeline.rankeval import rank_eval
 
     judg = spark.createDataFrame(

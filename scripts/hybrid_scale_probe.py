@@ -31,7 +31,14 @@ from search_engine_spark.config import BuildConfig
 from search_engine_spark.corpus import generate_transcripts
 from search_engine_spark.index.build import build_index
 from search_engine_spark.index.reader import CompressedIndex
-from search_engine_spark.pipeline.hybrid import embed_query, hash_embed, hybrid_topk, semantic_topk
+from search_engine_spark.pipeline.hybrid import (
+    embed_query,
+    hash_embed,
+    hybrid_topk,
+    quantize_embeddings,
+    quantized_semantic_topk,
+    semantic_topk,
+)
 from search_engine_spark.session import get_spark
 
 QUERY = "term0000 term0001"  # Zipf head pair — worst-case lexical leg
@@ -70,11 +77,30 @@ def main() -> None:
         "embed_turns_per_s": round(len(pdf) / embed_s, 1),
         "query": QUERY,
     }
+    # storage tier: the int8 quantized table (8× smaller per dim)
+    t0 = time.time()
+    quantize_embeddings(emb).write.parquet(os.path.join(d, "qemb.parquet"))
+    out["quantize_s"] = round(time.time() - t0, 1)
+    qemb = spark.read.parquet(os.path.join(d, "qemb.parquet"))
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(p) for f in fs
+        )
+
+    out["emb_bytes"] = du(os.path.join(d, "emb.parquet"))
+    out["qemb_bytes"] = du(os.path.join(d, "qemb.parquet"))
+
     # legs 2+3, three runs each (run 1 cold):
     qv = embed_query(QUERY, DIM)
     for name, fn in [
         ("lexical_topk", lambda: idx.topk(QUERY, "disjunctive", 10).collect()),
         ("semantic_topk", lambda: semantic_topk(emb, qv, 50).collect()),
+        (
+            "semantic_quantized",
+            lambda: quantized_semantic_topk(qemb, qv, 50, rerank_with=emb).collect(),
+        ),
         (
             "hybrid_rrf",
             lambda: hybrid_topk(idx, emb, QUERY, k=10, depth=50, dim=DIM).collect(),
