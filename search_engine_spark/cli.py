@@ -646,6 +646,50 @@ def cmd_term_vectors(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_rank_eval(args: argparse.Namespace) -> None:
+    """Retrieval-quality evaluation (ES _rank_eval): a query set + a
+    relevance-judgment table → per-query precision/recall/MRR/NDCG@k
+    and the mean summary row."""
+    from .pipeline.rankeval import JUDGMENT_COLS, rank_eval, rank_eval_summary
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    with open(args.queries) as f:
+        qs = [json.loads(line) for line in f if line.strip()]
+    queries = [(q["query_text"], q.get("mode", "disjunctive")) for q in qs]
+    with open(args.judgments) as f:
+        jrows = [json.loads(line) for line in f if line.strip()]
+    judgments = spark.createDataFrame(
+        [(int(r["query_id"]), r["conv_id"], int(r["turn_idx"]), int(r["rating"]))
+         for r in jrows],
+        list(JUDGMENT_COLS),
+    )
+    t0 = time.time()
+    per = rank_eval(idx, queries, judgments, k=args.k)
+    rows = per.collect()
+    summary = rank_eval_summary(per).collect()[0]
+    metrics = ("precision_at_k", "recall_at_k", "mrr", "ndcg")
+    print(
+        json.dumps(
+            {
+                "k": args.k,
+                "seconds": round(time.time() - t0, 3),
+                "summary": {m: round(summary[m], 6) for m in metrics},
+                "per_query": [
+                    {
+                        "query_id": r["query_id"],
+                        "query_text": queries[r["query_id"]][0],
+                        **{m: round(r[m], 6) for m in metrics},
+                        "n_retrieved": r["n_retrieved"],
+                        "n_relevant": r["n_relevant"],
+                    }
+                    for r in sorted(rows, key=lambda r: r["query_id"])
+                ],
+            }
+        )
+    )
+
+
 def cmd_correct(args: argparse.Namespace) -> None:
     """Did-you-mean: per unmatched query term, the highest-df
     edit-distance-<=1 vocabulary neighbor; optionally run the corrected
@@ -1215,6 +1259,25 @@ def main(argv: list[str] | None = None) -> None:
     tv.add_argument("--conv", required=True, help="target conv_id")
     tv.add_argument("--turn", type=int, required=True, help="target turn_idx")
     tv.set_defaults(fn=cmd_term_vectors)
+
+    re_ = sub.add_parser(
+        "rank-eval",
+        help="IR quality metrics for a query set against judgments (ES _rank_eval)",
+    )
+    re_.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    re_.add_argument(
+        "--queries", required=True,
+        help="JSONL of {query_text[, mode]}; query_id = line number",
+    )
+    re_.add_argument(
+        "--judgments", required=True,
+        help="JSONL of {query_id, conv_id, turn_idx, rating}",
+    )
+    re_.add_argument("--k", type=int, default=10)
+    re_.set_defaults(fn=cmd_rank_eval)
 
     co = sub.add_parser(
         "correct", help="did-you-mean: spelling suggestions for unmatched terms"
