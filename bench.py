@@ -111,6 +111,7 @@ CONTRACT_QUERIES = [
     "transcripts_hybrid_scoped",
     "transcripts_hybrid_ann",
     "transcripts_semantic_quantized",
+    "transcripts_hybrid_conversations",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

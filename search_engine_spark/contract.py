@@ -41,6 +41,7 @@ PRIORITY = [
     "transcripts_hybrid_scoped",  # r4: filtered-kNN hybrid (scope both legs)
     "transcripts_hybrid_ann",  # r4: ANN-probed semantic leg (scale path)
     "transcripts_semantic_quantized",  # r4: int8 quantized vector scan + rerank
+    "transcripts_hybrid_conversations",  # r4: conversation-level fused ranking
     "transcripts_rank_eval",  # r4: IR quality metrics (ES _rank_eval)
     "transcripts_term_vectors",  # r4: per-doc term stats (ES _termvectors)
     "transcripts_percolate",  # r4: reverse search (ES percolator analog)
@@ -2689,6 +2690,44 @@ def transcripts_semantic_quantized(spark, sf_dir):
     return quantized_semantic_topk(
         quantize_embeddings(emb), qv, 10, rerank_with=emb
     ).select("conv_id", "turn_idx", rnd(F.col("cos"), 5).alias("cos"))
+
+
+def _hybrid_convs_oracle_sql() -> str:
+    """VALUES oracle: pure-Python conversation-level fusion — collapsed
+    BM25 (oracle_topk_conversations) ∪ mean-pooled-conversation cosine,
+    both over the shared embedder/pooler kernels."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_hybrid_conversations
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    ranked = oracle_hybrid_conversations(
+        idx, _HYBRID_QUERY, k=10, depth=15, dim=_HYBRID_DIM
+    )
+    values = ",\n  ".join(f"({c!r}, {float(s)!r})" for c, s in ranked)
+    return (
+        f"SELECT conv_id, {rnd_sql('score', 5)} AS score "
+        f"FROM (VALUES\n  {values}\n) t(conv_id, score)"
+    )
+
+
+@q("transcripts_hybrid_conversations", _hybrid_convs_oracle_sql())
+def transcripts_hybrid_conversations(spark, sf_dir):
+    """Conversation-level hybrid (the collapse analog on the fused
+    ranking): best-turn BM25 per conversation RRF-fused with cosine
+    over mean-pooled conversation embeddings
+    (pipeline/hybrid.hybrid_conversations)."""
+    from .pipeline.hybrid import hash_embed, hybrid_conversations
+
+    idx = _xs_index(spark)
+    emb = hash_embed(
+        spark.read.parquet(
+            os.path.join(os.path.dirname(_XS_INDEX["path"]), "transcripts.parquet")
+        ),
+        _HYBRID_DIM,
+    )
+    return hybrid_conversations(
+        idx, emb, _HYBRID_QUERY, k=10, depth=15, dim=_HYBRID_DIM
+    ).select("conv_id", rnd(F.col("score"), 5).alias("score"))
 
 
 @q("transcripts_hybrid_linear", _hybrid_oracle_sql("linear"))

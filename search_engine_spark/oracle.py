@@ -1513,6 +1513,49 @@ def oracle_semantic_topk(
     return scored[:depth]
 
 
+def oracle_hybrid_conversations(
+    index: OracleIndex,
+    query_text: str,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    w_lex: float = 1.0,
+    w_sem: float = 1.0,
+    mode: str = "disjunctive",
+    dim: int = 64,
+) -> list[tuple[str, float]]:
+    """Golden conversation-level hybrid: the collapsed BM25 list
+    (oracle_topk_conversations) RRF-fused with cosine over mean-pooled
+    conversation embeddings (the SAME shared pool_vectors over the
+    SAME shared embed_tokens, turn-ordered)."""
+    from .pipeline.hybrid import embed_query, embed_tokens, pool_vectors
+
+    qv = embed_query(query_text, dim)
+    lists: list[list[tuple[str, float]]] = [
+        [(key[0], s) for key, s in
+         oracle_topk_conversations(index, query_text, mode, depth)]
+    ]
+    weights = [w_lex]
+    if any(v != 0.0 for v in qv):
+        by_conv: dict[str, list[tuple[int, list[float]]]] = {}
+        for (conv, turn), toks in index.tokens.items():
+            by_conv.setdefault(conv, []).append((turn, embed_tokens(toks, dim)))
+        scored = []
+        for conv, items in by_conv.items():
+            v = pool_vectors([vec for _t, vec in sorted(items)])
+            n = math.sqrt(_fold_dot(v, v))
+            if n > 0.0:
+                scored.append((conv, _fold_dot(v, qv) / n))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        lists.append(scored[:depth])
+        weights.append(w_sem)
+    fused: dict[str, float] = {}
+    for ranked, w in zip(lists, weights):
+        for i, (conv, _s) in enumerate(ranked):
+            fused[conv] = fused.get(conv, 0.0) + w / (rrf_k + (i + 1))
+    return sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
 def oracle_quantized_semantic_topk(
     index: OracleIndex,
     query_vec: list[float],

@@ -132,6 +132,93 @@ def hash_embed(transcripts: DataFrame, dim: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# conversation-level pooling (nested-document / join-field rollup)
+# ---------------------------------------------------------------------------
+
+
+def pool_vectors(vectors: list[list[float]]) -> list[float]:
+    """Mean-pool a conversation's turn vectors (zero-norm turns
+    excluded), L2-normalized.  Shared by the Spark kernel and the
+    oracle; the sum is a deterministic np column sum over the
+    turn-ordered matrix, so both sides are bit-identical."""
+    mats = [np.asarray(v, dtype=np.float64) for v in vectors]
+    mats = [m for m in mats if float((m * m).sum()) > 0.0]
+    if not mats:
+        return [0.0] * (len(vectors[0]) if vectors else 0)
+    s = np.stack(mats).sum(axis=0) / float(len(mats))
+    n = math.sqrt(float((s * s).sum()))
+    if n > 0.0:
+        s /= n
+    return [float(x) for x in s]
+
+
+def pool_conversations(embeddings: DataFrame) -> DataFrame:
+    """(conv_id, embedding): one mean-pooled vector per conversation —
+    the semantic twin of the reader's conversation collapse.  One
+    shuffle on conv_id (the same key the index's doc-groups already
+    co-locate); the kernel sorts each group by turn_idx so the float
+    sum order is deterministic and oracle-replicable."""
+
+    def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "embedding": [pool_vectors([list(v) for v in pdf["embedding"]])],
+            }
+        )
+
+    return embeddings.select("conv_id", "turn_idx", "embedding").groupBy(
+        "conv_id"
+    ).applyInPandas(kernel, "conv_id string, embedding array<double>")
+
+
+def hybrid_conversations(
+    index,
+    embeddings: DataFrame,
+    query_text: str,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = RRF_K,
+    w_lex: float = 1.0,
+    w_sem: float = 1.0,
+    mode: str = "disjunctive",
+    dim: int = 64,
+) -> DataFrame:
+    """Conversation-level hybrid: the reader's conversation-collapsed
+    BM25 list (best turn per conversation) RRF-fused with cosine over
+    the mean-pooled conversation embeddings → (conv_id, score).
+
+    ``embeddings`` is the TURN table (pooling happens here); pass a
+    pre-pooled (conv_id, embedding) table via
+    ``pool_conversations(...)`` yourself to amortize the pooling
+    shuffle across queries — it is a build-time artifact, like the
+    index."""
+    qv = embed_query(query_text, dim)
+    lex = index.topk_conversations(query_text, mode, depth).select("conv_id", "score")
+    lists: list[tuple[DataFrame, str, float]] = [(lex, "score", w_lex)]
+    if any(v != 0.0 for v in qv):
+        pooled = (
+            embeddings
+            if "turn_idx" not in embeddings.columns
+            else pool_conversations(embeddings)
+        )
+        q = F.array(*[F.lit(float(v)) for v in qv])
+        e = F.col("embedding")
+        nrm = F.sqrt(_dot_fold(e, e))
+        sem = (
+            pooled.select(
+                "conv_id", F.when(nrm > 0.0, _dot_fold(e, q) / nrm).alias("cos")
+            )
+            .filter(F.col("cos").isNotNull())
+            .orderBy(F.desc("cos"), F.asc("conv_id"))
+            .limit(depth)
+        )
+        lists.append((sem, "cos", w_sem))
+    return rrf_fuse(lists, k, rrf_k, keys=("conv_id",))
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization (the ES dense_vector int8 quantization analog)
 # ---------------------------------------------------------------------------
 
@@ -330,11 +417,13 @@ def ann_semantic_topk(
 _KEYS = ("conv_id", "turn_idx")
 
 
-def _with_rank(df: DataFrame, score_col: str) -> DataFrame:
-    """1-based rank by (score desc, conv_id, turn_idx).  Single-partition
-    window — safe because every input is an already-LIMITed top-depth
-    list (see module docstring), never a corpus-sized relation."""
-    w = Window.orderBy(F.desc(score_col), *[F.asc(k) for k in _KEYS])
+def _with_rank(
+    df: DataFrame, score_col: str, keys: tuple[str, ...] = _KEYS
+) -> DataFrame:
+    """1-based rank by (score desc, *keys).  Single-partition window —
+    safe because every input is an already-LIMITed top-depth list (see
+    module docstring), never a corpus-sized relation."""
+    w = Window.orderBy(F.desc(score_col), *[F.asc(k) for k in keys])
     return df.withColumn("rank", F.row_number().over(w))
 
 
@@ -342,18 +431,18 @@ def rrf_fuse(
     lists: list[tuple[DataFrame, str, float]],
     k: int = 10,
     rrf_k: int = RRF_K,
+    keys: tuple[str, ...] = _KEYS,
 ) -> DataFrame:
     """Reciprocal-rank fusion of ranked lists.
 
-    ``lists`` is [(df, score_col, weight)]; each df carries conv_id /
-    turn_idx / its score column and is already truncated to retrieval
-    depth.  Returns (conv_id, turn_idx, score) — score = Σ w/(rrf_k +
-    rank) over the lists the doc appears in — top-k, ties broken by
-    doc key.
+    ``lists`` is [(df, score_col, weight)]; each df carries the ``keys``
+    columns / its score column and is already truncated to retrieval
+    depth.  Returns (*keys, score) — score = Σ w/(rrf_k + rank) over
+    the lists the doc appears in — top-k, ties broken by key.
     """
     parts = [
-        _with_rank(df.select(*_KEYS, score_col), score_col).select(
-            *_KEYS,
+        _with_rank(df.select(*keys, score_col), score_col, keys).select(
+            *keys,
             (F.lit(float(w)) / (F.lit(float(rrf_k)) + F.col("rank"))).alias(
                 "contrib"
             ),
@@ -364,9 +453,9 @@ def rrf_fuse(
     for p in parts[1:]:
         u = u.unionByName(p)
     return (
-        u.groupBy(*_KEYS)
+        u.groupBy(*keys)
         .agg(F.sum("contrib").alias("score"))
-        .orderBy(F.desc("score"), *[F.asc(c) for c in _KEYS])
+        .orderBy(F.desc("score"), *[F.asc(c) for c in keys])
         .limit(k)
     )
 

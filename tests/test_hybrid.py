@@ -415,3 +415,55 @@ def test_quantized_scope(xs_df, xs_emb):
     got = quantized_semantic_topk(qemb, qv, 10, rerank_with=xs_emb,
                                   scope=scope_df).collect()
     assert got and all((r.conv_id, r.turn_idx) in scope for r in got)
+
+
+# ------------------------------------------------ conversation-level hybrid
+
+
+def test_pooled_conversations_parity(xs_emb, xs_oracle):
+    """Spark pooling kernel == shared pool_vectors over turn-ordered
+    shared-embedder vectors, bit-exact."""
+    from search_engine_spark.pipeline.hybrid import (
+        pool_conversations,
+        pool_vectors,
+    )
+
+    got = {r.conv_id: list(r.embedding)
+           for r in pool_conversations(xs_emb).collect()}
+    by_conv = {}
+    for (conv, turn), toks in xs_oracle.tokens.items():
+        by_conv.setdefault(conv, []).append((turn, embed_tokens(toks, DIM)))
+    assert set(got) == set(by_conv)
+    for conv, items in by_conv.items():
+        assert got[conv] == pool_vectors([v for _t, v in sorted(items)]), conv
+
+
+def test_hybrid_conversations_parity(xs_index, xs_emb, xs_oracle):
+    from search_engine_spark.pipeline.hybrid import hybrid_conversations
+    from search_engine_spark.oracle import oracle_hybrid_conversations
+
+    got = [(r.conv_id, round(r.score, 9)) for r in
+           hybrid_conversations(xs_index, xs_emb, "term0001 term0002",
+                                k=10, depth=15, dim=DIM).collect()]
+    want = [(c, round(s, 9)) for c, s in
+            oracle_hybrid_conversations(xs_oracle, "term0001 term0002",
+                                        k=10, depth=15, dim=DIM)]
+    assert got == want and len(got) == 10
+
+
+def test_hybrid_conversations_prepooled(xs_index, xs_emb):
+    """Passing a pre-pooled table gives identical results (the pooling
+    artifact amortizes across queries)."""
+    from search_engine_spark.pipeline.hybrid import (
+        hybrid_conversations,
+        pool_conversations,
+    )
+
+    pooled = pool_conversations(xs_emb).cache()
+    a = [(r.conv_id, round(r.score, 9)) for r in
+         hybrid_conversations(xs_index, xs_emb, "term0003 term0004",
+                              mode="conjunctive", dim=DIM).collect()]
+    b = [(r.conv_id, round(r.score, 9)) for r in
+         hybrid_conversations(xs_index, pooled, "term0003 term0004",
+                              mode="conjunctive", dim=DIM).collect()]
+    assert a == b and len(a) > 0
