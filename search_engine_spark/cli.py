@@ -256,6 +256,10 @@ def cmd_search(args: argparse.Namespace) -> None:
             "method": args.fusion,
             "depth": args.depth,
             "dim": args.dim,
+            "ann_index": (
+                args.ann_index.split(",") if "," in args.ann_index
+                else args.ann_index
+            ) if getattr(args, "ann_index", None) else None,
         }
     t0 = time.time()
     page = search(
@@ -593,7 +597,10 @@ def cmd_hybrid(args: argparse.Namespace) -> None:
         w_lex=args.w_lex,
         w_sem=args.w_sem,
         dim=args.dim,
-        ann_index=args.ann_index,
+        ann_index=(
+            args.ann_index.split(",") if args.ann_index and "," in args.ann_index
+            else args.ann_index
+        ),
     ).collect()
     print(
         json.dumps(
@@ -1106,6 +1113,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="per-list retrieval depth for hybrid fusion")
     se.add_argument("--dim", type=int, default=64,
                     help="hash-embedding dimension of the embeddings table")
+    se.add_argument(
+        "--ann-index",
+        help="turn-keyed LSH ANN index (comma-separated segment roots ok) — "
+        "probe it for the semantic leg instead of scanning embeddings",
+    )
     se.add_argument(
         "--collapse",
         action="store_true",
