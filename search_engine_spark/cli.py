@@ -573,8 +573,10 @@ def cmd_hybrid(args: argparse.Namespace) -> None:
     """Hybrid retrieval: BM25 top-depth ∪ embedding-cosine top-depth,
     fused by RRF or min-max linear — the ES/OpenSearch hybrid-search
     analog.  Embeddings come from --embeddings (a (conv_id, turn_idx,
-    embedding) parquet) or are hash-embedded on the fly from --input."""
-    from .pipeline.hybrid import hash_embed, hybrid_topk
+    embedding) parquet) or are hash-embedded on the fly from --input.
+    --collapse ranks CONVERSATIONS: best-turn BM25 fused with cosine
+    over mean-pooled conversation embeddings."""
+    from .pipeline.hybrid import hash_embed, hybrid_conversations, hybrid_topk
     from .sources import load_transcripts
 
     if not args.embeddings and not args.input:
@@ -586,32 +588,41 @@ def cmd_hybrid(args: argparse.Namespace) -> None:
     else:
         emb = hash_embed(load_transcripts(spark, args.input), args.dim)
     t0 = time.time()
-    rows = hybrid_topk(
-        idx,
-        emb,
-        args.query,
-        k=args.k,
-        depth=args.depth,
-        method=args.method,
-        mode=args.mode,
-        w_lex=args.w_lex,
-        w_sem=args.w_sem,
-        dim=args.dim,
-        ann_index=(
-            args.ann_index.split(",") if args.ann_index and "," in args.ann_index
-            else args.ann_index
-        ),
-    ).collect()
+    if args.collapse:
+        if args.method != "rrf" or args.ann_index:
+            raise SystemExit("--collapse supports --method rrf without --ann-index")
+        rows = hybrid_conversations(
+            idx, emb, args.query, k=args.k, depth=args.depth, mode=args.mode,
+            w_lex=args.w_lex, w_sem=args.w_sem, dim=args.dim,
+        ).collect()
+    else:
+        rows = hybrid_topk(
+            idx,
+            emb,
+            args.query,
+            k=args.k,
+            depth=args.depth,
+            method=args.method,
+            mode=args.mode,
+            w_lex=args.w_lex,
+            w_sem=args.w_sem,
+            dim=args.dim,
+            ann_index=(
+                args.ann_index.split(",") if args.ann_index and "," in args.ann_index
+                else args.ann_index
+            ),
+        ).collect()
     print(
         json.dumps(
             {
                 "query": args.query,
                 "method": args.method,
+                "collapse": bool(args.collapse),
                 "seconds": round(time.time() - t0, 3),
                 "results": [
                     {
-                        "conv_id": r["conv_id"],
-                        "turn_idx": r["turn_idx"],
+                        **({"conv_id": r["conv_id"]} if args.collapse else
+                           {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"]}),
                         "score": r["score"],
                     }
                     for r in rows
@@ -1257,6 +1268,11 @@ def main(argv: list[str] | None = None) -> None:
         "--ann-index",
         help="turn-keyed LSH ANN index path (write_turn_ann_index) — probe "
         "it instead of brute-force scanning the embeddings",
+    )
+    hy.add_argument(
+        "--collapse", action="store_true",
+        help="rank conversations: best-turn BM25 fused with mean-pooled "
+        "conversation-embedding cosine",
     )
     hy.set_defaults(fn=cmd_hybrid)
 

@@ -74,7 +74,9 @@ def embed_tokens(
     ``_hash_cache`` memoizes term → (index, sign) across calls (the
     corpus vocabulary is Zipf — a few thousand distinct terms cover
     millions of occurrences); purely an evaluation cache, identical
-    output with or without.
+    output with or without.  The cached index is ``% dim``, so a cache
+    is valid for ONE dim — never share it across dimensions (the
+    kernel keeps one per (pass, dim), and the default is per-call).
     """
     c = _hash_cache if _hash_cache is not None else {}
     v = np.zeros(dim, dtype=np.float64)
