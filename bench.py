@@ -112,6 +112,10 @@ CONTRACT_QUERIES = [
     "transcripts_hybrid_ann",
     "transcripts_semantic_quantized",
     "transcripts_hybrid_conversations",
+    "decontaminate_overlap",
+    "repetition_stats",
+    "pii_scrub_stats",
+    "mixture_sample",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

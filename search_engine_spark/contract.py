@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .config import BM25_B, BM25_K1, BuildConfig
 from .operators import docs_bm25
 from .functions import rnd, rnd_sql
-from .pipeline import dedup, multimodal, sharding, similarity, textstats
+from .pipeline import curation, dedup, multimodal, sharding, similarity, textstats
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -36,6 +36,10 @@ ORACLES: dict[str, str] = {}
 #: any truncation at the tail.
 PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
+    "decontaminate_overlap",  # r4: benchmark n-gram decontamination
+    "repetition_stats",  # r4: Gopher repetition/boilerplate measures
+    "pii_scrub_stats",  # r4: email/IP/digit-run redaction
+    "mixture_sample",  # r4: exact domain-mixture downsampling
     "transcripts_hybrid_rrf",  # r4: hybrid BM25+vector, RRF fusion
     "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
     "transcripts_hybrid_scoped",  # r4: filtered-kNN hybrid (scope both legs)
@@ -4160,6 +4164,165 @@ def transcripts_percolate(spark, sf_dir):
     return out.select(
         "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
+
+
+# --- training-data curation (pipeline/curation.py) -----------------------
+
+# deterministic stand-in benchmark: every 97th doc's text plays the eval
+# set (no external data; both engines derive the identical gram union)
+_EVAL_WHERE = "doc_id % 97 = 0"
+
+_CURATION_SHINGLE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM t, unnest(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+),
+ev AS (
+  SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM t, unnest(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3 AND {_EVAL_WHERE}
+)
+"""
+
+
+@q(
+    "decontaminate_overlap",
+    _CURATION_SHINGLE_SQL
+    + f""",
+pd AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+ht AS (SELECT doc_id, count(*) AS n_hits FROM sh JOIN ev USING (shingle) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(pd.n_shingles, 0) AS n_shingles,
+       coalesce(ht.n_hits, 0) AS n_hits,
+       {rnd_sql("CASE WHEN coalesce(pd.n_shingles, 0) > 0"
+                " THEN coalesce(ht.n_hits, 0)::DOUBLE / pd.n_shingles"
+                " ELSE 0.0 END", 6)} AS hit_frac,
+       coalesce(ht.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN ht USING (doc_id)
+""",
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C n-gram overlap): flag
+    docs sharing any 3-gram with the eval set — eval grams broadcast,
+    corpus side one shingle pass + bounded per-doc aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    ev = curation.eval_shingles(docs.filter(F.col("doc_id") % 97 == 0), 3)
+    return curation.decontamination_stats(docs, ev, 3)
+
+
+@q(
+    "repetition_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram
+  FROM t, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+gs AS (
+  SELECT doc_id, sum(cnt) AS total, max(cnt) AS top,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+  FROM gc GROUP BY 1
+)
+SELECT t.doc_id, len(tk) AS n_tokens,
+       {rnd_sql("CASE WHEN len(tk) > 0"
+                " THEN len(list_distinct(tk))::DOUBLE / len(tk)"
+                " ELSE 0.0 END", 6)} AS distinct_frac,
+       {rnd_sql("CASE WHEN coalesce(gs.total, 0) > 0"
+                " THEN coalesce(gs.top, 0)::DOUBLE / gs.total"
+                " ELSE 0.0 END", 6)} AS top_gram_frac,
+       {rnd_sql("CASE WHEN coalesce(gs.total, 0) > 0"
+                " THEN coalesce(gs.dup, 0)::DOUBLE / gs.total"
+                " ELSE 0.0 END", 6)} AS dup_gram_frac
+FROM t LEFT JOIN gs USING (doc_id)
+""",
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition measures (Rae et al. 2021):
+    distinct-token fraction, most-frequent-2-gram share, duplicate-
+    2-gram share — partial-aggregated (doc, gram) counting, state
+    bounded by doc length."""
+    return curation.repetition_stats(load(spark, sf_dir, "documents"), 2)
+
+
+#: deterministic PII augmentation both engines build identically — the
+#: raw synthetic docs contain no PII, so the scrubber is exercised on
+#: planted emails/IPs/long digit runs keyed off doc_id
+_PII_AUG_SQL = """
+SELECT doc_id, text || CASE doc_id % 4
+  WHEN 0 THEN ' reach me at user' || doc_id || '@mail.example.com'
+  WHEN 1 THEN ' server at 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+  WHEN 2 THEN ' ref 12345678' || doc_id
+  ELSE '' END AS text
+FROM documents"""
+
+
+def _pii_aug(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" reach me at user"), d.cast("string"), F.lit("@mail.example.com")
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit(" server at 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 100).cast("string"),
+            ),
+        )
+        .when(d % 4 == 2, F.concat(F.lit(" ref 12345678"), d.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+@q(
+    "pii_scrub_stats",
+    f"WITH a AS ({_PII_AUG_SQL})\n"
+    f"SELECT doc_id, {curation.pii_scrub_sql('text')} FROM a",
+)
+def pii_scrub_stats(spark, sf_dir):
+    """PII scrubbing (emails → <EMAIL>, IPv4 → <IP>, ≥7-digit runs →
+    <NUM>): pure regexp_replace/regexp_count JVM expressions, patterns
+    shared byte-for-byte with the DuckDB twin via pii_scrub_sql."""
+    return curation.pii_scrub(_pii_aug(load(spark, sf_dir, "documents")))
+
+
+_MIX_PARTS = {"src0": 3, "src1": 2, "src2": 1}
+
+
+@q(
+    "mixture_sample",
+    f"""
+WITH p(source, part) AS (VALUES ('src0', 3), ('src1', 2), ('src2', 1)),
+c AS (SELECT source, count(*) AS n FROM documents JOIN p USING (source) GROUP BY 1),
+tt AS (SELECT min(n * 6 // part) AS t FROM c JOIN p USING (source)),
+cap AS (SELECT p.source, (SELECT t FROM tt) * part // 6 AS cap FROM p),
+w AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {dedup.H60_SQL.format(x="(doc_id::VARCHAR || ':mix')")}, doc_id
+         ) AS rn
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, source FROM w JOIN cap USING (source) WHERE rn <= cap
+""",
+)
+def mixture_sample(spark, sf_dir):
+    """Exact domain-mixture sampling: downsample sources to a 3:2:1
+    ratio deterministically by md5-hash order — integer target math and
+    hash shared with the oracle, layout-independent."""
+    return curation.mixture_sample(
+        load(spark, sf_dir, "documents"), _MIX_PARTS
+    ).select("doc_id", "source")
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,314 @@
+"""Training-data curation operators: benchmark decontamination,
+repetition/boilerplate statistics, PII scrubbing, and exact mixture
+sampling.
+
+These are the corpus-hygiene steps a large-scale LLM training pipeline
+runs between dedup and sharding (the reference has no analog — its
+corpus is a 6,000-page crawl):
+
+* :func:`decontamination_stats` / :func:`decontaminate` — flag and drop
+  documents whose word n-grams overlap a benchmark/eval set (the GPT-3
+  appendix-C / PaLM n-gram decontamination procedure).  The eval side is
+  tiny (thousands of prompts) so it BROADCASTS; the corpus side is one
+  narrow shingle pass plus one bounded aggregation — no all-pairs join
+  anywhere, so the shape survives 100 TB.
+* :func:`repetition_stats` — Gopher-style (Rae et al. 2021, table A1)
+  within-document repetition measures: distinct-token fraction, the
+  most-frequent-n-gram share, and the duplicate-n-gram share.  Two
+  partial-aggregated shuffles keyed on (doc_id, gram) — per-doc
+  cardinality bounded by doc length, never corpus size.
+* :func:`pii_scrub` — redact emails, IPv4 addresses, and long digit
+  runs with typed placeholder tokens, counting each redaction class.
+  Pure ``regexp_replace``/``regexp_count`` JVM expressions (whole-stage
+  codegen, no UDF) using only RE2-compatible syntax so the DuckDB
+  oracle runs the byte-identical patterns.
+* :func:`mixture_sample` — downsample per-source so the surviving
+  corpus matches a target mixture ratio EXACTLY (the domain-mixing step
+  before training): integer-ratio targets, largest total achievable
+  without upsampling, rows chosen deterministically by the engine-
+  portable md5 hash order (same convention as
+  :mod:`~search_engine_spark.pipeline.sharding`).
+
+Every operator is deterministic and layout-independent, with a DuckDB
+SQL twin in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import rnd
+from .dedup import h60, shingles
+
+ROUND = 6
+
+#: redaction classes applied IN ORDER (emails first: an address's local
+#: part may contain digit runs that the NUM pass would otherwise split).
+#: RE2-compatible (no lookarounds/backrefs) so Spark and DuckDB compile
+#: the identical automaton.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\d{7,}", "<NUM>"),
+)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def eval_shingles(eval_df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-grams of the benchmark/eval texts: (shingle).
+
+    Expects (doc_id, text) like the corpus; the output drops doc
+    identity — contamination is membership in the UNION of eval grams.
+    """
+    return shingles(eval_df, n).select("shingle").distinct()
+
+
+def decontamination_stats(
+    docs: DataFrame, eval_sh: DataFrame, n: int = 3
+) -> DataFrame:
+    """Per-document eval-set n-gram overlap: (doc_id, n_shingles,
+    n_hits, hit_frac, contaminated).
+
+    ``n_hits`` counts the doc's DISTINCT shingles that appear anywhere
+    in the eval set; ``contaminated`` is the standard any-hit flag
+    (GPT-3 used 13-gram any-hit; the n is a parameter because the
+    right value scales with tokenizer granularity).  Docs too short to
+    produce a single n-gram report 0 shingles and are never flagged.
+
+    Plan shape: corpus shingles are a narrow transform + one distinct;
+    the eval side broadcasts (eval suites are ~10⁵ grams); hits
+    aggregate per doc_id with map-side partial aggregation.
+    """
+    sh = shingles(docs, n)
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            rnd(
+                F.when(
+                    F.coalesce("n_shingles", F.lit(0)) > 0,
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                ROUND,
+            ).alias("hit_frac"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame, eval_sh: DataFrame, n: int = 3, min_hits: int = 1
+) -> DataFrame:
+    """The corpus minus contaminated docs (≥ ``min_hits`` eval grams).
+
+    Anti-join on the flagged ids — the surviving rows keep every corpus
+    column, so this drops into a pipeline between dedup and sharding.
+    """
+    flagged = (
+        decontamination_stats(docs, eval_sh, n)
+        .filter(F.col("n_hits") >= min_hits)
+        .select("doc_id")
+    )
+    return docs.join(flagged, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate statistics
+# ---------------------------------------------------------------------------
+
+
+def _toks(col: str = "text"):
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(col))), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def _grams(n: int):
+    """All (non-distinct) word n-grams of the text column as an array."""
+    t = _toks()
+    return F.when(F.size(t) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style within-doc repetition measures (Rae et al. 2021):
+
+    (doc_id, n_tokens, distinct_frac, top_gram_frac, dup_gram_frac)
+
+    * ``distinct_frac``  — distinct tokens / total tokens (low ⇒ loops);
+    * ``top_gram_frac``  — occurrences of the single most frequent
+      n-gram / total n-grams (the "fraction in most common n-gram"
+      filter, token-count flavor);
+    * ``dup_gram_frac``  — occurrences belonging to n-grams seen ≥ 2
+      times / total n-grams (the "fraction in duplicate n-grams").
+
+    Ties for the top gram don't matter: only its COUNT enters the
+    metric.  Docs shorter than ``n`` tokens report 0 for both gram
+    fractions.  Per-(doc, gram) counting is an explode + two partial-
+    aggregated groupBys — state per key is one long, keys are bounded
+    by document length, so the shape is corpus-size-independent.
+    """
+    t = _toks()
+    base = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        _grams(n).alias("grams"),
+    )
+    gram_counts = (
+        base.select("doc_id", F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_cnt"
+        ),
+    )
+    frac = lambda num, den: rnd(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), ROUND
+    )
+    return (
+        base.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            frac(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_frac"),
+            frac(
+                F.coalesce("top_cnt", F.lit(0)), F.coalesce("total_grams", F.lit(0))
+            ).alias("top_gram_frac"),
+            frac(
+                F.coalesce("dup_cnt", F.lit(0)), F.coalesce("total_grams", F.lit(0))
+            ).alias("dup_gram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / ≥7-digit runs with typed
+    placeholders: (doc_id, clean_text, n_email, n_ip, n_longnum).
+
+    Counts are taken BEFORE each class's replacement on the text as it
+    stands at that step, so an email's digits are never double-counted
+    by the longnum pass.  One narrow projection — regex work is
+    whole-stage-codegen JVM, no shuffle, trivially 100-TB-safe.
+    """
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(
+        "doc_id",
+        cur.alias("clean_text"),
+        *[counts[name].alias(f"n_{name}") for name, _p, _r in PII_PATTERNS],
+    )
+
+
+def pii_scrub_sql(text_expr: str = "text") -> str:
+    """DuckDB SELECT-list twin of :func:`pii_scrub` (same patterns, same
+    order) — column list ``clean_text, n_email, n_ip, n_longnum``."""
+    cur = text_expr
+    cols = []
+    for name, pat, repl in PII_PATTERNS:
+        # DuckDB single-quoted literals pass backslashes through verbatim,
+        # so the pattern needs only quote-doubling to survive as SQL
+        esc = pat.replace("'", "''")
+        cols.append(f"len(regexp_extract_all({cur}, '{esc}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{esc}', '{repl}', 'g')"
+    return f"{cur} AS clean_text, " + ", ".join(cols)
+
+
+# ---------------------------------------------------------------------------
+# exact mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_targets(counts: dict[str, int], parts: dict[str, int]) -> dict[str, int]:
+    """Per-source keep counts hitting ratio ``parts`` exactly, as large
+    as possible without upsampling any source.
+
+    Integer arithmetic end to end (cross-engine exact): with
+    ``Σp = sum(parts)``, the largest feasible total is
+    ``T = min_s floor(count_s · Σp / parts_s)`` and each source keeps
+    ``floor(T · parts_s / Σp)`` rows.  Sources absent from ``parts``
+    are dropped (target weight 0)."""
+    sp = sum(parts.values())
+    if sp <= 0 or any(p < 0 for p in parts.values()):
+        raise ValueError(f"parts must be non-negative with a positive sum: {parts}")
+    live = {s: p for s, p in parts.items() if p > 0}
+    missing = [s for s in live if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"mixture sources absent from the corpus: {missing}")
+    t = min(counts[s] * sp // p for s, p in live.items())
+    return {s: t * p // sp for s, p in live.items()}
+
+
+def mixture_sample(
+    docs: DataFrame,
+    parts: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample to an EXACT per-source mixture (domain-mixing step).
+
+    ``parts`` is an integer ratio over source values (e.g. ``{"web": 6,
+    "code": 3, "books": 1}``); the result contains exactly
+    :func:`mixture_targets` rows per source, chosen deterministically
+    by md5-hash order (engine-portable, layout-independent — the same
+    convention as :func:`~search_engine_spark.pipeline.sharding
+    .source_quota`).  Fractional weights: scale to integers first.
+
+    Per-source counts come from ONE tiny aggregate collected to the
+    driver (a training mixture has tens of sources, never millions);
+    selection is a per-source window rank — many concurrent partitions,
+    skew bounded exactly like ``source_quota``.
+    """
+    from pyspark.sql.window import Window
+
+    rows = (
+        docs.filter(F.col(source_col).isin(*parts))
+        .groupBy(source_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts = {r[source_col]: r["n"] for r in rows}
+    targets = mixture_targets(counts, parts)
+    w = Window.partitionBy(source_col).orderBy(
+        h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), F.col(id_col)
+    )
+    cap = F.create_map(
+        *[x for s, n in sorted(targets.items()) for x in (F.lit(s), F.lit(n))]
+    )
+    return (
+        docs.filter(F.col(source_col).isin(*[s for s in targets]))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap[F.col(source_col)])
+        .drop("_rn")
+    )

@@ -1,0 +1,172 @@
+"""Curation operators: decontamination, repetition stats, PII scrub,
+mixture sampling — each pinned against a pure-Python brute-force twin
+on a small synthetic corpus (the DuckDB twin runs in the driver
+contract)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from search_engine_spark.pipeline import curation
+
+
+DOCS = [
+    # (doc_id, text, source)
+    (0, "the quick brown fox jumps over the lazy dog", "web"),
+    (1, "spark shuffle partitions tune spark shuffle partitions tune", "web"),
+    (2, "one two", "web"),  # too short for 3-grams
+    (3, "the quick brown fox returns again tonight", "code"),
+    (4, "alpha beta gamma delta epsilon zeta", "code"),
+    (5, "alpha beta alpha beta alpha beta alpha beta", "code"),
+    (6, "totally unrelated content about databases", "books"),
+    (7, "", "books"),  # empty
+    (8, "loop loop loop loop loop loop", "books"),
+    (9, "the lazy dog sleeps while the quick fox works", "books"),
+]
+
+EVAL = [
+    (100, "the quick brown fox is a benchmark sentence"),
+    (101, "alpha beta gamma is another eval prompt"),
+]
+
+
+def py_shingles(text: str, n: int) -> set[str]:
+    toks = [t for t in text.lower().strip().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def eval_df(spark):
+    return spark.createDataFrame(EVAL, "doc_id long, text string")
+
+
+def test_decontamination_stats(spark, docs_df, eval_df):
+    n = 3
+    ev = set().union(*(py_shingles(t, n) for _i, t in EVAL))
+    got = {
+        r["doc_id"]: r
+        for r in curation.decontamination_stats(
+            docs_df, curation.eval_shingles(eval_df, n), n
+        ).collect()
+    }
+    assert set(got) == {d[0] for d in DOCS}
+    for doc_id, text, _src in DOCS:
+        sh = py_shingles(text, n)
+        hits = len(sh & ev)
+        r = got[doc_id]
+        assert r["n_shingles"] == len(sh)
+        assert r["n_hits"] == hits
+        assert r["contaminated"] == (hits > 0)
+        want = round(hits / len(sh) + 1e-9, 6) if sh else 0.0
+        assert r["hit_frac"] == pytest.approx(want)
+    # sanity: the planted overlaps actually fire (and misses stay clean)
+    assert got[0]["contaminated"] and got[3]["contaminated"] and got[4]["contaminated"]
+    assert not got[6]["contaminated"] and not got[5]["contaminated"]
+
+
+def test_decontaminate_drops_flagged(spark, docs_df, eval_df):
+    ev = curation.eval_shingles(eval_df, 3)
+    stats = curation.decontamination_stats(docs_df, ev, 3).collect()
+    flagged = {r["doc_id"] for r in stats if r["n_hits"] >= 1}
+    clean = curation.decontaminate(docs_df, ev, 3).collect()
+    assert {r["doc_id"] for r in clean} == {d[0] for d in DOCS} - flagged
+    # surviving rows keep the full schema
+    assert set(clean[0].asDict()) == {"doc_id", "text", "source"}
+
+
+def test_repetition_stats(spark, docs_df):
+    n = 2
+    got = {r["doc_id"]: r for r in curation.repetition_stats(docs_df, n).collect()}
+    for doc_id, text, _src in DOCS:
+        toks = [t for t in text.lower().strip().split() if t]
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        if toks:
+            assert r["distinct_frac"] == pytest.approx(
+                round(len(set(toks)) / len(toks) + 1e-9, 6)
+            )
+        else:
+            assert r["distinct_frac"] == 0.0
+        if grams:
+            assert r["top_gram_frac"] == pytest.approx(
+                round(max(c.values()) / len(grams) + 1e-9, 6)
+            )
+            dup = sum(v for v in c.values() if v >= 2)
+            assert r["dup_gram_frac"] == pytest.approx(
+                round(dup / len(grams) + 1e-9, 6)
+            )
+        else:
+            assert r["top_gram_frac"] == 0.0 and r["dup_gram_frac"] == 0.0
+    # the pathological repeater maxes out, the varied doc stays low
+    assert got[8]["dup_gram_frac"] == 1.0
+    assert got[4]["dup_gram_frac"] == 0.0
+
+
+PII_DOCS = [
+    (0, "mail me at alice.smith+x@corp.example.com or bob@ex.io today"),
+    (1, "server 10.0.254.3 and backup 192.168.1.17 are down"),
+    (2, "order 12345678 ref 004412345678901 ok"),
+    (3, "mixed: eve99@a.bc from 8.8.8.8 card 4111111111111111"),
+    (4, "nothing sensitive here 123 1.2 v1.2.3"),
+    (5, ""),
+]
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curation.pii_scrub(df).collect()}
+    for doc_id, text in PII_DOCS:
+        cur = text
+        want_counts = {}
+        for name, pat, repl in curation.PII_PATTERNS:
+            want_counts[name] = len(re.findall(pat, cur))
+            cur = re.sub(pat, repl, cur)
+        r = got[doc_id]
+        assert r["clean_text"] == cur, (doc_id, r["clean_text"], cur)
+        for name in want_counts:
+            assert r[f"n_{name}"] == want_counts[name], (doc_id, name)
+    assert got[0]["n_email"] == 2 and "<EMAIL>" in got[0]["clean_text"]
+    assert got[1]["n_ip"] == 2
+    assert got[3]["n_email"] == 1 and got[3]["n_ip"] == 1 and got[3]["n_longnum"] == 1
+    # short numbers and dotted versions survive
+    assert got[4]["clean_text"] == PII_DOCS[4][1]
+
+
+def test_mixture_targets_math():
+    counts = {"web": 100, "code": 30, "books": 10}
+    parts = {"web": 6, "code": 3, "books": 1}
+    t = curation.mixture_targets(counts, parts)
+    # T = min(100*10//6=166, 30*10//3=100, 10*10//1=100) = 100
+    assert t == {"web": 60, "code": 30, "books": 10}
+    # no upsampling ever
+    assert all(t[s] <= counts[s] for s in t)
+    with pytest.raises(ValueError):
+        curation.mixture_targets({"web": 5}, {"web": 1, "code": 1})
+    with pytest.raises(ValueError):
+        curation.mixture_targets({"web": 5}, {"web": 0})
+
+
+def test_mixture_sample_exact_and_deterministic(spark, docs_df):
+    parts = {"web": 2, "code": 1, "books": 1}
+    out = curation.mixture_sample(docs_df, parts)
+    rows = out.collect()
+    by_src = Counter(r["source"] for r in rows)
+    # counts: web 3, code 3, books 4 → T = min(3*4//2=6, 3*4//1=12, 4*4//1=16) = 6
+    assert by_src == {"web": 3, "code": 1, "books": 1}
+    # deterministic under repartitioning
+    again = sorted(
+        r["doc_id"] for r in curation.mixture_sample(docs_df.repartition(7), parts).collect()
+    )
+    assert again == sorted(r["doc_id"] for r in rows)
+    # full schema preserved
+    assert set(rows[0].asDict()) == {"doc_id", "text", "source"}
