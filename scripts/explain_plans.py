@@ -638,6 +638,54 @@ def main() -> None:
         )
     )
 
+    from search_engine_spark.pipeline import curation
+
+    docs = contract.load(spark, SF, "documents")
+    ev = curation.eval_shingles(docs.filter(contract.F.col("doc_id") % 97 == 0), 3)
+    sections.append(
+        (
+            "Benchmark decontamination (eval n-gram overlap)",
+            "Expected: the eval-shingle side BROADCASTS (eval suites are "
+            "tiny — a BroadcastHashJoin, never a shuffle of the corpus "
+            "shingles against it); the corpus side is one narrow "
+            "explode/transform pass feeding partial+final hash aggregates "
+            "per doc_id; left joins back to the id list stay hash/broadcast. "
+            "No all-pairs join anywhere — the shape is linear in corpus "
+            "shingles at 100 TB.",
+            cap(curation.decontamination_stats(docs, ev, 3)),
+        )
+    )
+    sections.append(
+        (
+            "Repetition stats (Gopher boilerplate measures)",
+            "Expected: explode to (doc_id, gram) → partial-aggregated "
+            "count (map-side combine bounds shuffle rows by DISTINCT grams "
+            "per doc) → second partial agg per doc_id → join back to the "
+            "token-level projection. All whole-stage-codegen JVM "
+            "expressions; per-key state is one long.",
+            cap(curation.repetition_stats(docs, 2)),
+        )
+    )
+    sections.append(
+        (
+            "PII scrubbing (regexp redaction)",
+            "Expected: ONE narrow whole-stage-codegen projection — "
+            "regexp_count/regexp_replace chains, no shuffle, no UDF, no "
+            "exchange of any kind: a pure map over the corpus scan.",
+            cap(curation.pii_scrub(docs)),
+        )
+    )
+    sections.append(
+        (
+            "Exact mixture sampling (domain weighting)",
+            "Expected: one pushed IN-filter on the source column at the "
+            "scan; a per-source window rank (many concurrent partitions — "
+            "WindowExec partitioned by source, never a single-task global "
+            "window); the cap lookup is a literal map, no join.",
+            cap(curation.mixture_sample(docs, contract._MIX_PARTS)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "
