@@ -999,6 +999,79 @@ def cmd_stats(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """Corpus-curation batch ops over a documents-shaped table
+    (doc_id, text[, source, ...]): benchmark decontamination, Gopher
+    repetition stats, PII scrubbing, exact mixture sampling.  Prints a
+    one-line JSON summary; ``--out`` additionally writes the full
+    result as parquet."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import curation
+
+    spark = _spark(args.cores)
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    if args.op == "decontaminate":
+        if not args.eval:
+            raise SystemExit("--op decontaminate requires --eval <parquet>")
+        ev = curation.eval_shingles(spark.read.parquet(args.eval), args.n)
+        stats = curation.decontamination_stats(docs, ev, args.n)
+        out = docs.join(
+            stats.filter(F.col("n_hits") >= args.min_hits).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        agg = stats.agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_hits") >= args.min_hits).cast("long")).alias("n_flagged"),
+            F.sum("n_hits").alias("total_hits"),
+        ).collect()[0]
+        summary = {
+            "n_docs": agg["n_docs"],
+            "n_flagged": int(agg["n_flagged"] or 0),
+            "total_hits": int(agg["total_hits"] or 0),
+            "ngram": args.n,
+        }
+    elif args.op == "repetition":
+        out = curation.repetition_stats(docs, args.n)
+        agg = out.agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_gram_frac"), 6).alias("avg_dup_gram_frac"),
+            F.sum((F.col("dup_gram_frac") >= args.threshold).cast("long")).alias(
+                "n_over_threshold"
+            ),
+        ).collect()[0]
+        summary = {**agg.asDict(), "ngram": args.n, "threshold": args.threshold}
+    elif args.op == "pii":
+        out = curation.pii_scrub(docs)
+        summary = out.agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.sum(f"n_{name}").alias(f"total_{name}")
+                for name, _p, _r in curation.PII_PATTERNS
+            ],
+        ).collect()[0].asDict()
+    elif args.op == "mixture":
+        parts = {}
+        for kv in args.parts.split(","):
+            k, _, v = kv.partition("=")
+            parts[k.strip()] = int(v)
+        out = curation.mixture_sample(docs, parts)
+        kept = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        summary = {"parts": parts, "kept": kept, "total_kept": sum(kept.values())}
+    else:  # pragma: no cover - argparse choices guard
+        raise SystemExit(f"unknown op {args.op}")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        summary["out"] = args.out
+    summary["seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(summary))
+
+
 def cmd_analyze(args: argparse.Namespace) -> None:
     """Query analysis — the /api/process-query + /api/query-analysis
     analog (SearchController.java:281-307, QueryController.java:171-186)."""
@@ -1503,6 +1576,27 @@ def main(argv: list[str] | None = None) -> None:
     st = sub.add_parser("stats", help="index status / statistics")
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    cu = sub.add_parser(
+        "curate",
+        help="corpus curation: decontaminate / repetition / pii / mixture",
+    )
+    cu.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
+    cu.add_argument(
+        "--op", required=True,
+        choices=["decontaminate", "repetition", "pii", "mixture"],
+    )
+    cu.add_argument("--eval", help="eval/benchmark parquet (doc_id, text) for decontaminate")
+    cu.add_argument("--n", type=int, default=3, help="n-gram size (decontaminate/repetition)")
+    cu.add_argument("--min-hits", type=int, default=1, dest="min_hits",
+                    help="eval-gram hits that flag a doc")
+    cu.add_argument("--threshold", type=float, default=0.5,
+                    help="dup_gram_frac flag threshold (repetition summary)")
+    cu.add_argument("--parts", default="",
+                    help='mixture ratio, e.g. "web=6,code=3,books=1"')
+    cu.add_argument("--out", help="write the full result parquet here")
+    cu.add_argument("--cores", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     an = sub.add_parser("analyze", help="show query analysis (no Spark)")
     an.add_argument("--query", required=True)
