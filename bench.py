@@ -116,6 +116,7 @@ CONTRACT_QUERIES = [
     "repetition_stats",
     "pii_scrub_stats",
     "mixture_sample",
+    "pack_sequences",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

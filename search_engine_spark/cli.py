@@ -1052,6 +1052,19 @@ def cmd_curate(args: argparse.Namespace) -> None:
                 for name, _p, _r in curation.PII_PATTERNS
             ],
         ).collect()[0].asDict()
+    elif args.op == "pack":
+        out = curation.pack_mapping(docs, args.seq_len)
+        agg = out.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("seq_last").alias("n_seqs_minus_1"),
+        ).collect()[0]
+        summary = {
+            "n_docs": agg["n_docs"],
+            "total_tokens": int(agg["total_tokens"] or 0),
+            "n_sequences": int(agg["n_seqs_minus_1"] or -1) + 1,
+            "seq_len": args.seq_len,
+        }
     elif args.op == "mixture":
         parts = {}
         for kv in args.parts.split(","):
@@ -1584,7 +1597,7 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
     cu.add_argument(
         "--op", required=True,
-        choices=["decontaminate", "repetition", "pii", "mixture"],
+        choices=["decontaminate", "repetition", "pii", "mixture", "pack"],
     )
     cu.add_argument("--eval", help="eval/benchmark parquet (doc_id, text) for decontaminate")
     cu.add_argument("--n", type=int, default=3, help="n-gram size (decontaminate/repetition)")
@@ -1594,6 +1607,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="dup_gram_frac flag threshold (repetition summary)")
     cu.add_argument("--parts", default="",
                     help='mixture ratio, e.g. "web=6,code=3,books=1"')
+    cu.add_argument("--seq-len", type=int, default=2048, dest="seq_len",
+                    help="training sequence length (pack)")
     cu.add_argument("--out", help="write the full result parquet here")
     cu.add_argument("--cores", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)

@@ -40,6 +40,7 @@ PRIORITY = [
     "repetition_stats",  # r4: Gopher repetition/boilerplate measures
     "pii_scrub_stats",  # r4: email/IP/digit-run redaction
     "mixture_sample",  # r4: exact domain-mixture downsampling
+    "pack_sequences",  # r4: sequence-packing map (distributed prefix sum)
     "transcripts_hybrid_rrf",  # r4: hybrid BM25+vector, RRF fusion
     "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
     "transcripts_hybrid_scoped",  # r4: filtered-kNN hybrid (scope both legs)
@@ -4293,6 +4294,33 @@ def pii_scrub_stats(spark, sf_dir):
     <NUM>): pure regexp_replace/regexp_count JVM expressions, patterns
     shared byte-for-byte with the DuckDB twin via pii_scrub_sql."""
     return curation.pii_scrub(_pii_aug(load(spark, sf_dir, "documents")))
+
+
+@q(
+    "pack_sequences",
+    f"""
+WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       CASE WHEN n_tokens > 0 THEN tok_start // 512 END AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512 END AS seq_last,
+       CASE WHEN n_tokens > 0 THEN tok_start % 512 END AS seq_offset
+FROM c
+""",
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence-packing map (GPT-2/3 pretraining
+    layout, seq_len=512): global token offsets via a DISTRIBUTED
+    two-level prefix sum (range partition → per-partition totals →
+    literal prefix offsets → per-partition window), never a
+    single-task global window."""
+    return curation.pack_mapping(load(spark, sf_dir, "documents"), 512)
 
 
 _MIX_PARTS = {"src0": 3, "src1": 2, "src2": 1}

@@ -245,6 +245,84 @@ def pii_scrub_sql(text_expr: str = "text") -> str:
 
 
 # ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_mapping(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing map (the GPT-2/3 pretraining
+    layout): documents are concatenated in ``id_col`` order and the
+    token stream is chopped into fixed ``seq_len`` windows.  Returns
+    per doc:
+
+    (doc_id, n_tokens, tok_start, seq_first, seq_last, seq_offset)
+
+    ``tok_start`` is the doc's global token offset; it occupies
+    training sequences ``seq_first..seq_last`` starting at
+    ``seq_offset`` within the first.  Empty docs get NULL seq columns.
+    The map is what a sharded tokenizer-writer consumes — each writer
+    claims a sequence range and reads exactly the docs whose
+    [seq_first, seq_last] intersect it.
+
+    The global running sum is a DISTRIBUTED two-level prefix sum, not a
+    single-task global window: range-partition on ``id_col`` (so
+    partition index order == key order), per-partition token totals
+    (one tiny aggregate — #partitions rows — collected and turned into
+    literal prefix offsets), then a per-partition cumulative window.
+    Every stage is many-task; the only driver state is one long per
+    partition.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    base = docs.select(F.col(id_col).alias("doc_id"), F.size(_toks(text_col)).alias("n_tokens"))
+    part = base.repartitionByRange(F.col("doc_id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in part.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += int(totals[pid])
+    if prefix:
+        pairs = [x for pid, off in sorted(prefix.items()) for x in (F.lit(pid), F.lit(off))]
+        prefix_col = F.create_map(*pairs)[F.col("_pid")]
+    else:  # empty corpus
+        prefix_col = F.lit(0)
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = part.withColumn(
+        "tok_start",
+        (prefix_col + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).cast("long"),
+    )
+    has = F.col("n_tokens") > 0
+    sl = int(seq_len)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.when(has, F.expr(f"tok_start div {sl}")).alias("seq_first"),
+        F.when(has, F.expr(f"(tok_start + n_tokens - 1) div {sl}")).alias("seq_last"),
+        F.when(has, F.pmod(F.col("tok_start"), F.lit(sl)).cast("long")).alias(
+            "seq_offset"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact mixture sampling
 # ---------------------------------------------------------------------------
 

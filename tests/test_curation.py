@@ -156,6 +156,35 @@ def test_mixture_targets_math():
         curation.mixture_targets({"web": 5}, {"web": 0})
 
 
+def test_pack_mapping(spark, docs_df):
+    L = 7
+    got = {r["doc_id"]: r for r in curation.pack_mapping(docs_df, L).collect()}
+    # brute force: concat in doc_id order, chop into L-token windows
+    cum = 0
+    for doc_id, text, _src in sorted(DOCS):
+        toks = [t for t in text.lower().strip().split() if t]
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["tok_start"] == cum
+        if toks:
+            assert r["seq_first"] == cum // L
+            assert r["seq_last"] == (cum + len(toks) - 1) // L
+            assert r["seq_offset"] == cum % L
+        else:
+            assert r["seq_first"] is None and r["seq_last"] is None
+            assert r["seq_offset"] is None
+        cum += len(toks)
+    # layout is stable under repartitioning (the two-level prefix sum
+    # must not depend on physical layout)
+    again = {
+        r["doc_id"]: r["tok_start"]
+        for r in curation.pack_mapping(docs_df.repartition(5), L).collect()
+    }
+    assert again == {d: r["tok_start"] for d, r in got.items()}
+    with pytest.raises(ValueError):
+        curation.pack_mapping(docs_df, 0)
+
+
 def test_mixture_sample_exact_and_deterministic(spark, docs_df):
     parts = {"web": 2, "code": 1, "books": 1}
     out = curation.mixture_sample(docs_df, parts)
