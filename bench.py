@@ -117,6 +117,8 @@ CONTRACT_QUERIES = [
     "pii_scrub_stats",
     "mixture_sample",
     "pack_sequences",
+    "sft_pack_spans",
+    "chunk_windows",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every

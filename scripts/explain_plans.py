@@ -686,6 +686,29 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Sequence packing (distributed two-level prefix sum)",
+            "Expected: a range-partition exchange on doc_id, then the "
+            "cumulative window runs PER PARTITION (WindowExec partitioned "
+            "by the synthetic _pid — many concurrent tasks, never a "
+            "single-task global window); the cross-partition base offsets "
+            "enter as a literal map lookup (no join, no second shuffle of "
+            "the data).",
+            cap(curation.pack_mapping(docs, 512)),
+        )
+    )
+    sections.append(
+        (
+            "Sliding-window chunking",
+            "Expected: ZERO exchanges — one narrow projection, a bounded "
+            "sequence-explode (Generate), and slice/concat_ws, all inside "
+            "whole-stage codegen over the scan: embarrassingly parallel at "
+            "any corpus size.",
+            cap(curation.chunk_documents(docs, 32, 8)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "

@@ -1001,10 +1001,13 @@ def cmd_stats(args: argparse.Namespace) -> None:
 
 def cmd_curate(args: argparse.Namespace) -> None:
     """Corpus-curation batch ops over a documents-shaped table
-    (doc_id, text[, source, ...]): benchmark decontamination, Gopher
-    repetition stats, PII scrubbing, exact mixture sampling.  Prints a
-    one-line JSON summary; ``--out`` additionally writes the full
-    result as parquet."""
+    (doc_id, text[, source, ...]) — or, for ``--op sft``, a
+    transcripts-shaped one (conv_id, turn_idx, role, text): benchmark
+    decontamination, Gopher repetition stats, PII scrubbing, exact
+    mixture sampling, sequence packing (doc-level ``pack`` / SFT
+    conversation-level ``sft`` with loss masking), and sliding-window
+    chunking.  Prints a one-line JSON summary; ``--out`` additionally
+    writes the full result as parquet."""
     from pyspark.sql import functions as F
 
     from .pipeline import curation
@@ -1064,6 +1067,39 @@ def cmd_curate(args: argparse.Namespace) -> None:
             "total_tokens": int(agg["total_tokens"] or 0),
             "n_sequences": int(agg["n_seqs_minus_1"] or -1) + 1,
             "seq_len": args.seq_len,
+        }
+    elif args.op == "sft":
+        roles = tuple(r.strip() for r in args.mask_roles.split(",") if r.strip())
+        out = curation.sft_pack(docs, args.seq_len, mask_roles=roles)
+        agg = out.agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("loss_mask"), F.col("n_tokens")).otherwise(0)).alias(
+                "loss_tokens"
+            ),
+            F.max("seq_last").alias("n_seqs_minus_1"),
+        ).collect()[0]
+        summary = {
+            "n_turns": agg["n_turns"],
+            "n_convs": agg["n_convs"],
+            "total_tokens": int(agg["total_tokens"] or 0),
+            "loss_tokens": int(agg["loss_tokens"] or 0),
+            "n_sequences": int(agg["n_seqs_minus_1"] or -1) + 1,
+            "seq_len": args.seq_len,
+            "mask_roles": list(roles),
+        }
+    elif args.op == "chunk":
+        out = curation.chunk_documents(docs, args.chunk_tokens, args.overlap)
+        agg = out.agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(F.avg("chunk_tokens"), 3).alias("avg_chunk_tokens"),
+        ).collect()[0]
+        summary = {
+            **agg.asDict(),
+            "chunk_tokens": args.chunk_tokens,
+            "overlap": args.overlap,
         }
     elif args.op == "mixture":
         parts = {}
@@ -1597,7 +1633,7 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
     cu.add_argument(
         "--op", required=True,
-        choices=["decontaminate", "repetition", "pii", "mixture", "pack"],
+        choices=["decontaminate", "repetition", "pii", "mixture", "pack", "sft", "chunk"],
     )
     cu.add_argument("--eval", help="eval/benchmark parquet (doc_id, text) for decontaminate")
     cu.add_argument("--n", type=int, default=3, help="n-gram size (decontaminate/repetition)")
@@ -1608,7 +1644,13 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--parts", default="",
                     help='mixture ratio, e.g. "web=6,code=3,books=1"')
     cu.add_argument("--seq-len", type=int, default=2048, dest="seq_len",
-                    help="training sequence length (pack)")
+                    help="training sequence length (pack/sft)")
+    cu.add_argument("--mask-roles", default="assistant", dest="mask_roles",
+                    help="comma list of loss-mask roles (sft)")
+    cu.add_argument("--chunk-tokens", type=int, default=256, dest="chunk_tokens",
+                    help="tokens per chunk (chunk)")
+    cu.add_argument("--overlap", type=int, default=0,
+                    help="overlap tokens between chunks (chunk)")
     cu.add_argument("--out", help="write the full result parquet here")
     cu.add_argument("--cores", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)

@@ -41,6 +41,8 @@ PRIORITY = [
     "pii_scrub_stats",  # r4: email/IP/digit-run redaction
     "mixture_sample",  # r4: exact domain-mixture downsampling
     "pack_sequences",  # r4: sequence-packing map (distributed prefix sum)
+    "sft_pack_spans",  # r4: SFT conversation packing + loss mask
+    "chunk_windows",  # r4: sliding token-window chunking
     "transcripts_hybrid_rrf",  # r4: hybrid BM25+vector, RRF fusion
     "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
     "transcripts_hybrid_scoped",  # r4: filtered-kNN hybrid (scope both legs)
@@ -4321,6 +4323,82 @@ def pack_sequences(spark, sf_dir):
     literal prefix offsets → per-partition window), never a
     single-task global window."""
     return curation.pack_mapping(load(spark, sf_dir, "documents"), 512)
+
+
+@q(
+    "sft_pack_spans",
+    f"""
+WITH t AS (
+  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+         CASE doc_id % 4 WHEN 0 THEN 'system' WHEN 1 THEN 'user'
+                         WHEN 2 THEN 'assistant' ELSE 'user' END AS role,
+         len({_TOKS_SQL}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+    ORDER BY conv_id, turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS tok_start
+  FROM t
+)
+SELECT conv_id, turn_idx, role, n_tokens, tok_start,
+       CASE WHEN n_tokens > 0 THEN tok_start // 64 END AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 64 END AS seq_last,
+       CASE WHEN n_tokens > 0 THEN tok_start % 64 END AS seq_offset,
+       role = 'assistant' AS loss_mask
+FROM c
+""",
+)
+def sft_pack_spans(spark, sf_dir):
+    """SFT conversation-packing map (seq_len=64, assistant-loss
+    masking) over a transcripts-shaped frame derived deterministically
+    from the documents table (conv = doc_id div 4, turns = doc_id mod 4,
+    roles cycling system/user/assistant/user).  The engine runs the
+    distributed shape (conv-bounded turn window + two-level prefix sum
+    over conversation totals); the oracle is DuckDB's single global
+    window over the equivalent (conv_id, turn_idx) order."""
+    tr = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 4").alias("conv_id"),
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("long").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("system"), F.lit("user"), F.lit("assistant"), F.lit("user")),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+        "text",
+    )
+    return curation.sft_pack(tr, 64)
+
+
+@q(
+    "chunk_windows",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE 1 + greatest(0, cast(ceil((len(toks) - 32)::DOUBLE / 24) AS BIGINT))
+         END AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks, n, n_chunks,
+         unnest(range(0, n_chunks)) AS chunk_idx
+  FROM c WHERE n_chunks > 0
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx, n_chunks::INT AS n_chunks,
+       len(list_slice(toks, chunk_idx*24 + 1, least(chunk_idx*24 + 32, n)))::INT
+         AS chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx*24 + 1, least(chunk_idx*24 + 32, n)), ' ')
+         AS chunk_text
+FROM e
+""",
+)
+def chunk_windows(spark, sf_dir):
+    """Sliding token-window chunking (32-token chunks, 8-token overlap)
+    over the documents table — shuffle-free JVM sequence-explode +
+    slice; the DuckDB twin replays the identical window arithmetic with
+    list_slice."""
+    return curation.chunk_documents(load(spark, sf_dir, "documents"), 32, 8)
 
 
 _MIX_PARTS = {"src0": 3, "src1": 2, "src2": 1}

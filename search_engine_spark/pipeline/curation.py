@@ -28,6 +28,12 @@ corpus is a 6,000-page crawl):
   without upsampling, rows chosen deterministically by the engine-
   portable md5 hash order (same convention as
   :mod:`~search_engine_spark.pipeline.sharding`).
+* :func:`pack_mapping` / :func:`sft_pack` — concat-and-chunk
+  sequence-packing maps (document-level GPT-2/3 layout; conversation-
+  level SFT layout with role-based loss masking), global token offsets
+  via a distributed two-level prefix sum.
+* :func:`chunk_documents` — sliding token-window chunking with overlap
+  (retrieval / long-context prep), shuffle-free JVM codegen.
 
 Every operator is deterministic and layout-independent, with a DuckDB
 SQL twin in the driver contract.
@@ -249,6 +255,63 @@ def pii_scrub_sql(text_expr: str = "text") -> str:
 # ---------------------------------------------------------------------------
 
 
+def _global_offsets(
+    df: DataFrame, order_col: str, value_col: str, out_col: str = "tok_start"
+) -> DataFrame:
+    """Add ``out_col`` = the sum of ``value_col`` over all rows strictly
+    before this one in ``order_col`` order (keys must be unique): a
+    DISTRIBUTED two-level prefix sum, not a single-task global window.
+
+    Range-partition on ``order_col`` (partition index order == key
+    order), collect the per-partition totals (one tiny aggregate —
+    #partitions rows), turn them into literal prefix offsets, then run a
+    per-partition cumulative window.  Every stage is many-task; the only
+    driver state is one long per partition.
+    """
+    part = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += int(totals[pid] or 0)
+    if prefix:
+        pairs = [x for pid, off in sorted(prefix.items()) for x in (F.lit(pid), F.lit(off))]
+        prefix_col = F.create_map(*pairs)[F.col("_pid")]
+    else:  # empty input
+        prefix_col = F.lit(0)
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return part.withColumn(
+        out_col,
+        (prefix_col + F.coalesce(F.sum(value_col).over(w), F.lit(0))).cast("long"),
+    ).drop("_pid")
+
+
+def _seq_span_cols(seq_len: int) -> list:
+    """(seq_first, seq_last, seq_offset) from (tok_start, n_tokens) for a
+    fixed training-sequence length; NULL for zero-token rows."""
+    has = F.col("n_tokens") > 0
+    sl = int(seq_len)
+    return [
+        F.when(has, F.expr(f"tok_start div {sl}")).alias("seq_first"),
+        F.when(has, F.expr(f"(tok_start + n_tokens - 1) div {sl}")).alias("seq_last"),
+        F.when(has, F.pmod(F.col("tok_start"), F.lit(sl)).cast("long")).alias(
+            "seq_offset"
+        ),
+    ]
+
+
 def pack_mapping(
     docs: DataFrame,
     seq_len: int,
@@ -280,45 +343,125 @@ def pack_mapping(
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive: {seq_len}")
     base = docs.select(F.col(id_col).alias("doc_id"), F.size(_toks(text_col)).alias("n_tokens"))
-    part = base.repartitionByRange(F.col("doc_id")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    totals = {
-        r["_pid"]: r["s"]
-        for r in part.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    prefix, acc = {}, 0
-    for pid in sorted(totals):
-        prefix[pid] = acc
-        acc += int(totals[pid])
-    if prefix:
-        pairs = [x for pid, off in sorted(prefix.items()) for x in (F.lit(pid), F.lit(off))]
-        prefix_col = F.create_map(*pairs)[F.col("_pid")]
-    else:  # empty corpus
-        prefix_col = F.lit(0)
+    c = _global_offsets(base, "doc_id", "n_tokens")
+    return c.select("doc_id", "n_tokens", "tok_start", *_seq_span_cols(seq_len))
 
+
+def sft_pack(
+    transcripts: DataFrame,
+    seq_len: int,
+    mask_roles: tuple[str, ...] = ("assistant",),
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT packing map over a transcripts table: conversations are
+    concatenated in ``conv_col`` order, turns within a conversation in
+    ``turn_col`` order, and the token stream is chopped into fixed
+    ``seq_len`` training sequences.  Returns per TURN:
+
+    (conv_id, turn_idx, role, n_tokens, tok_start, seq_first, seq_last,
+     seq_offset, loss_mask)
+
+    ``loss_mask`` marks turns whose tokens contribute to the loss
+    (``role in mask_roles`` — assistant-only masking is the standard
+    supervised-fine-tuning recipe; prompt/system/tool tokens are context
+    only).  A conversation never straddles another: its turns are
+    token-contiguous, so a sequence writer can emit attention-reset
+    boundaries from (conv_id change) alone.
+
+    Scale shape: the turn-local offset is a conversation-bounded window
+    (conversations are small); the conversation-level offsets reuse the
+    same distributed two-level prefix sum as :func:`pack_mapping` over
+    the #convs-row totals frame; the join back to turns shuffles on
+    conv_id only.  (conv, turn) keys must be unique.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
     from pyspark.sql.window import Window
 
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("doc_id")
+    base = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).cast("long").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.size(_toks(text_col)).alias("n_tokens"),
+    )
+    wturn = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    c = part.withColumn(
-        "tok_start",
-        (prefix_col + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).cast("long"),
+    local = base.withColumn(
+        "turn_start", F.coalesce(F.sum("n_tokens").over(wturn), F.lit(0)).cast("long")
     )
-    has = F.col("n_tokens") > 0
-    sl = int(seq_len)
+    conv_tot = local.groupBy("conv_id").agg(F.sum("n_tokens").alias("conv_tokens"))
+    conv_off = _global_offsets(conv_tot, "conv_id", "conv_tokens", out_col="conv_start")
+    c = local.join(conv_off.select("conv_id", "conv_start"), "conv_id").withColumn(
+        "tok_start", (F.col("conv_start") + F.col("turn_start")).cast("long")
+    )
     return c.select(
-        "doc_id",
+        "conv_id",
+        "turn_idx",
+        "role",
         "n_tokens",
         "tok_start",
-        F.when(has, F.expr(f"tok_start div {sl}")).alias("seq_first"),
-        F.when(has, F.expr(f"(tok_start + n_tokens - 1) div {sl}")).alias("seq_last"),
-        F.when(has, F.pmod(F.col("tok_start"), F.lit(sl)).cast("long")).alias(
-            "seq_offset"
-        ),
+        *_seq_span_cols(seq_len),
+        F.col("role").isin(list(mask_roles)).alias("loss_mask"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token-window chunking (retrieval / long-context prep):
+    chunk *i* of a document covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap_tokens``; the last chunk may be
+    shorter; zero-token documents produce zero chunks.  Returns
+    (doc_id, chunk_idx, n_chunks, chunk_tokens, chunk_text).
+
+    Pure JVM codegen end-to-end — one narrow projection, a bounded
+    sequence-explode, and `slice`/`concat_ws`; no shuffle, no UDF — so
+    the operator is embarrassingly parallel at any corpus size.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive: {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens): {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    base = docs.select(F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int"),
+        )
+    )
+    e = (
+        base.select("doc_id", "toks", n_chunks.alias("n_chunks"))
+        .where(F.col("n_chunks") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            "n_chunks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+    )
+    ck = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        F.size(ck).alias("chunk_tokens"),
+        F.concat_ws(" ", ck).alias("chunk_text"),
     )
 
 

@@ -185,6 +185,94 @@ def test_pack_mapping(spark, docs_df):
         curation.pack_mapping(docs_df, 0)
 
 
+TURNS = [
+    # (conv_id, turn_idx, role, text)
+    (0, 0, "system", "you are helpful"),
+    (0, 1, "user", "what is spark shuffle"),
+    (0, 2, "assistant", "a shuffle moves rows between partitions by key"),
+    (1, 0, "user", "hello"),
+    (1, 1, "assistant", ""),  # empty assistant turn
+    (1, 2, "user", "anyone there"),
+    (1, 3, "assistant", "yes how can i help"),
+    (2, 0, "tool", "result 42"),
+    (2, 1, "assistant", "the answer is 42"),
+]
+
+
+def test_sft_pack(spark):
+    L = 5
+    tdf = spark.createDataFrame(
+        TURNS, "conv_id long, turn_idx long, role string, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in curation.sft_pack(tdf, L).collect()
+    }
+    # brute force: concat convs in conv_id order, turns in turn_idx order
+    cum = 0
+    for conv_id, turn_idx, role, text in sorted(TURNS):
+        toks = [t for t in text.lower().strip().split() if t]
+        r = got[(conv_id, turn_idx)]
+        assert r["role"] == role
+        assert r["n_tokens"] == len(toks)
+        assert r["tok_start"] == cum
+        assert r["loss_mask"] == (role == "assistant")
+        if toks:
+            assert r["seq_first"] == cum // L
+            assert r["seq_last"] == (cum + len(toks) - 1) // L
+            assert r["seq_offset"] == cum % L
+        else:
+            assert r["seq_first"] is None and r["seq_last"] is None
+        cum += len(toks)
+    assert len(got) == len(TURNS)
+    # a conversation's turns are token-contiguous (no interleaving)
+    by_conv = {}
+    for (c, t), r in got.items():
+        by_conv.setdefault(c, []).append((t, r["tok_start"], r["n_tokens"]))
+    for c, rows in by_conv.items():
+        rows.sort()
+        for (t0, s0, n0), (t1, s1, _n1) in zip(rows, rows[1:]):
+            assert s1 == s0 + n0
+    # custom mask roles
+    got2 = curation.sft_pack(tdf, L, mask_roles=("assistant", "tool")).collect()
+    assert all(r["loss_mask"] == (r["role"] in ("assistant", "tool")) for r in got2)
+    with pytest.raises(ValueError):
+        curation.sft_pack(tdf, 0)
+
+
+def test_chunk_documents(spark, docs_df):
+    CK, OV = 4, 1
+    stride = CK - OV
+    got = {}
+    for r in curation.chunk_documents(docs_df, CK, OV).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    for doc_id, text, _src in DOCS:
+        toks = [t for t in text.lower().strip().split() if t]
+        if not toks:
+            assert doc_id not in got
+            continue
+        exp_chunks = []
+        i = 0
+        while True:
+            exp_chunks.append(toks[i : i + CK])
+            if i + CK >= len(toks):
+                break
+            i += stride
+        chunks = got[doc_id]
+        assert len(chunks) == len(exp_chunks)
+        for ci, exp in enumerate(exp_chunks):
+            r = chunks[ci]
+            assert r["n_chunks"] == len(exp_chunks)
+            assert r["chunk_tokens"] == len(exp)
+            assert r["chunk_text"] == " ".join(exp)
+    # every token position is covered; consecutive chunks overlap by OV
+    # (except a possibly-shorter last chunk)
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs_df, 0)
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs_df, 4, 4)
+
+
 def test_mixture_sample_exact_and_deterministic(spark, docs_df):
     parts = {"web": 2, "code": 1, "books": 1}
     out = curation.mixture_sample(docs_df, parts)
