@@ -293,7 +293,8 @@ def cmd_query(args: argparse.Namespace) -> None:
     if expanded is not None:
         if args.mode != "disjunctive":
             raise SystemExit(
-                "prefix (*) / fuzzy (~) tokens require --mode disjunctive"
+                "prefix/wildcard (*?), fuzzy (~), and regexp (/…/) "
+                "tokens require --mode disjunctive"
             )
         query_text, analyzed = expanded, True
     if getattr(args, "synonyms", False):

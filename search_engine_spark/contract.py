@@ -58,6 +58,8 @@ PRIORITY = [
     "transcripts_search_after",  # r4: offset-free deep pagination
     "transcripts_bm25_scoped",  # r4: metadata-filtered retrieval
     "transcripts_facets",  # r4: per-role facet counts
+    "transcripts_wildcard",  # r4: general wildcard (*?) term queries
+    "transcripts_regexp",  # r4: regexp term queries
     "transcripts_prefix",  # r4: wildcard/prefix expansion
     "transcripts_fuzzy",  # r4: edit-distance-1 fuzzy matching
     "transcripts_conversations",  # r4: conversation-collapsed ranking
@@ -3137,6 +3139,42 @@ def transcripts_fuzzy(spark, sf_dir):
         _XS_INDEX["fuzzy_sidecar"] = "ok"
     return idx.topk(
         idx.expand_query("term001~ merg~"), "disjunctive", 10, analyzed=True
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+@q("transcripts_wildcard", _prefix_oracle_sql("t*rm000* c?urt", 10))
+def transcripts_wildcard(spark, sf_dir):
+    """General wildcard term queries (* = any run, ? = one char,
+    anywhere in the token), Lucene WildcardQuery semantics: each
+    pattern rewrites to its top-df matching vocabulary terms
+    (PREFIX_CAP bound; the pattern's longest literal prefix pushes a
+    StartsWith into the vocabulary scan, the LIKE evaluates in codegen,
+    the per-pattern df-desc cap runs as a distributed TakeOrdered),
+    then the ordinary analyzed disjunctive path scores the rewrite.  No
+    reference analog; contract == the pure-Python expander + scorer."""
+    idx = _xs_index(spark)
+    return idx.topk(
+        idx.expand_query("t*rm000* c?urt"), "disjunctive", 10, analyzed=True
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+@q(
+    "transcripts_regexp",
+    _prefix_oracle_sql("/term00(1[0-9]|0[13])/ /c.u(rt|nc.l)/", 10),
+)
+def transcripts_regexp(spark, sf_dir):
+    """Regexp term queries (/pattern/ fully anchored against each
+    vocabulary term), Lucene RegexpQuery semantics: the pattern is
+    validated driver-side, evaluated JVM-side (`rlike`) over the
+    one-row-per-term idf table with the same df-desc distributed cap
+    as prefix/wildcard expansion, and the rewrite runs the analyzed
+    disjunctive path.  Contract patterns stay inside the Java/Python
+    regex common subset; contract == the pure-Python expander +
+    scorer."""
+    idx = _xs_index(spark)
+    return idx.topk(
+        idx.expand_query("/term00(1[0-9]|0[13])/ /c.u(rt|nc.l)/"),
+        "disjunctive", 10, analyzed=True,
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
 
 

@@ -410,20 +410,21 @@ class MultiIndex:
             toks, self._prefix_expansions(prefixes, limit)
         )
 
-    def _prefix_expansions(
-        self, prefixes: list[str], limit: int
+    def _vocab_topdf(
+        self, items: list[tuple[str, object]], limit: int
     ) -> dict[str, list[str]]:
-        # per-prefix: prefix-filtered union of segment idf tables →
-        # df summed per term → distributed TakeOrdered cap, so the
-        # driver receives at most limit rows per prefix
+        """Per-key top-df expansion over the UNION vocabulary: filtered
+        union of segment idf tables → df summed per term → distributed
+        TakeOrdered cap, so the driver receives at most ``limit`` rows
+        per key.  ``items`` = (key, filter-builder) where the builder
+        returns a boolean Column for one segment's idf frame."""
         parts = []
-        for p in prefixes:
+        for key, cond in items:
             summed = (
                 reduce(
                     DataFrame.unionByName,
                     [
-                        seg._idf.filter(F.col("term").startswith(p))
-                        .select("term", "df")
+                        seg._idf.filter(cond).select("term", "df")
                         for seg in self.segments
                     ],
                 )
@@ -433,16 +434,54 @@ class MultiIndex:
             parts.append(
                 summed.orderBy(F.desc("df"), F.asc("term"))
                 .limit(limit)
-                .select(F.lit(p).alias("prefix"), "term", "df")
+                .select(F.lit(key).alias("key"), "term", "df")
             )
         rows = reduce(DataFrame.unionByName, parts).collect()
-        by_prefix: dict[str, list[tuple[int, str]]] = {}
+        by_key: dict[str, list[tuple[int, str]]] = {}
         for r in rows:  # union row order is unspecified — re-rank driver-side
-            by_prefix.setdefault(r["prefix"], []).append((int(r["df"]), r["term"]))
+            by_key.setdefault(r["key"], []).append((int(r["df"]), r["term"]))
         return {
             p: [t for _df, t in sorted(hits, key=lambda x: (-x[0], x[1]))]
-            for p, hits in by_prefix.items()
+            for p, hits in by_key.items()
         }
+
+    def _prefix_expansions(
+        self, prefixes: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        return self._vocab_topdf(
+            [(p, F.col("term").startswith(p)) for p in prefixes], limit
+        )
+
+    def _wildcard_expansions(
+        self, patterns: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        """General-wildcard expansion over the union vocabulary (same
+        LIKE + literal-prefix pushdown as the single-index reader; df
+        summed across segments orders the cap)."""
+        from ..oracle import wildcard_literal_prefix, wildcard_to_like
+
+        items = []
+        for p in patterns:
+            cond = F.col("term").like(wildcard_to_like(p))
+            lit = wildcard_literal_prefix(p)
+            if lit:
+                cond = F.col("term").startswith(lit) & cond
+            items.append((p, cond))
+        return self._vocab_topdf(items, limit)
+
+    def _regexp_expansions(
+        self, patterns: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        import re as _re
+
+        for p in patterns:
+            try:
+                _re.compile(p)
+            except _re.error as e:
+                raise ValueError(f"invalid regexp term /{p}/: {e}") from e
+        return self._vocab_topdf(
+            [(p, F.col("term").rlike(f"^(?:{p})$")) for p in patterns], limit
+        )
 
     def expand_fuzzy(self, query_text: str, limit: int | None = None) -> str:
         """Fuzzy (trailing-``~``) rewrite over the UNION vocabulary:
@@ -508,7 +547,9 @@ class MultiIndex:
         cls = classify_expansion_tokens(query_text)
         prefixes = sorted({v for kk, v in cls if kk == "prefix"})
         fuzzies = sorted({v for kk, v in cls if kk == "fuzzy"})
-        if not prefixes and not fuzzies:
+        wilds = sorted({v for kk, v in cls if kk == "wildcard"})
+        rexps = sorted({v for kk, v in cls if kk == "regexp"})
+        if not prefixes and not fuzzies and not wilds and not rexps:
             return None
         return assemble_expanded(
             cls,
@@ -516,6 +557,10 @@ class MultiIndex:
             if prefixes else {},
             self._fuzzy_expansions(fuzzies, fuzzy_limit or FUZZY_CAP)
             if fuzzies else {},
+            self._wildcard_expansions(wilds, prefix_limit or PREFIX_CAP)
+            if wilds else {},
+            self._regexp_expansions(rexps, prefix_limit or PREFIX_CAP)
+            if rexps else {},
         )
 
     def expand_synonyms(

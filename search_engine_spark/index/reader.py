@@ -43,6 +43,8 @@ from ..oracle import (
     rewrite_with_expansions,
     split_fuzzy_tokens,
     split_prefix_tokens,
+    wildcard_literal_prefix,
+    wildcard_to_like,
 )
 from ..textproc import analyze_query, analyze_text
 from .build import TURN_BITS, IndexPaths
@@ -579,30 +581,74 @@ class CompressedIndex:
             toks, self._prefix_expansions(prefixes, limit)
         )
 
+    def _vocab_topdf(
+        self, items: list[tuple[str, "F.Column"]], limit: int
+    ) -> dict[str, list[str]]:
+        """Per-key TakeOrdered over the one-row-per-term idf table: the
+        df-desc cap runs DISTRIBUTED, so the driver receives at most
+        ``limit`` rows per key — a short pattern over a 10^9-term
+        vocabulary must not collect millions of matches before capping.
+        ``items`` = (key, boolean filter over the vocabulary)."""
+        from functools import reduce
+
+        parts = [
+            self._idf.filter(cond)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+            .select(F.lit(key).alias("key"), "term", "df")
+            for key, cond in items
+        ]
+        rows = reduce(DataFrame.unionByName, parts).collect()
+        by_key: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:  # union row order is unspecified — re-rank driver-side
+            by_key.setdefault(r["key"], []).append((int(r["df"]), r["term"]))
+        return {
+            p: [t for _df, t in sorted(hits, key=lambda x: (-x[0], x[1]))]
+            for p, hits in by_key.items()
+        }
+
     def _prefix_expansions(
         self, prefixes: list[str], limit: int
     ) -> dict[str, list[str]]:
-        from functools import reduce
+        return self._vocab_topdf(
+            [(p, F.col("term").startswith(p)) for p in prefixes], limit
+        )
 
-        # per-prefix TakeOrdered: the df-desc cap runs DISTRIBUTED, so
-        # the driver receives at most limit rows per prefix — a short
-        # prefix over a 10^9-term vocabulary must not collect millions
-        # of matches before capping
-        parts = [
-            self._idf.filter(F.col("term").startswith(p))
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(limit)
-            .select(F.lit(p).alias("prefix"), "term", "df")
-            for p in prefixes
-        ]
-        rows = reduce(DataFrame.unionByName, parts).collect()
-        by_prefix: dict[str, list[tuple[int, str]]] = {}
-        for r in rows:  # union row order is unspecified — re-rank driver-side
-            by_prefix.setdefault(r["prefix"], []).append((int(r["df"]), r["term"]))
-        return {
-            p: [t for _df, t in sorted(hits, key=lambda x: (-x[0], x[1]))]
-            for p, hits in by_prefix.items()
-        }
+    def _wildcard_expansions(
+        self, patterns: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        """General wildcard (``*``/``?`` anywhere) expansion over the
+        post-stem vocabulary — Lucene WildcardQuery semantics.  The
+        longest literal prefix is pushed as an extra StartsWith (prunes
+        the scan unless the pattern leads with a wildcard, Lucene's own
+        cost cliff); the LIKE itself evaluates in codegen."""
+        items = []
+        for p in patterns:
+            cond = F.col("term").like(wildcard_to_like(p))
+            lit = wildcard_literal_prefix(p)
+            if lit:
+                cond = F.col("term").startswith(lit) & cond
+            items.append((p, cond))
+        return self._vocab_topdf(items, limit)
+
+    def _regexp_expansions(
+        self, patterns: list[str], limit: int
+    ) -> dict[str, list[str]]:
+        """Regexp term (``/pattern/``) expansion — Lucene RegexpQuery
+        semantics: the pattern must match the WHOLE vocabulary term
+        (anchored).  Evaluated JVM-side via ``rlike``; patterns are
+        validated driver-side first so an invalid regex fails loud with
+        a Python error, not an opaque executor stack."""
+        import re as _re
+
+        for p in patterns:
+            try:
+                _re.compile(p)
+            except _re.error as e:
+                raise ValueError(f"invalid regexp term /{p}/: {e}") from e
+        return self._vocab_topdf(
+            [(p, F.col("term").rlike(f"^(?:{p})$")) for p in patterns], limit
+        )
 
     def _fuzzy_rows(self, terms: list[str]) -> dict[str, list[tuple[str, int]]]:
         """Delete-1 collision candidates per fuzzy query term →
@@ -675,9 +721,10 @@ class CompressedIndex:
         prefix_limit: int = PREFIX_CAP,
         fuzzy_limit: int = FUZZY_CAP,
     ) -> str | None:
-        """One-pass EXECUTABLE rewrite of a query containing ``*``/``~``
-        markers, or None when it has none: marker tokens splice in their
-        vocabulary expansions, plain tokens run through the analyzer
+        """One-pass EXECUTABLE rewrite of a query containing ``*``/``?``
+        /``~``/``/…/`` markers, or None when it has none: marker tokens
+        splice in their vocabulary expansions (prefix, fuzzy, general
+        wildcard, regexp), plain tokens run through the analyzer
         ONCE, and the result must execute with ``analyzed=True`` —
         vocabulary terms are analysis fixed points only by accident
         (Porter is not idempotent: ``university → univers → univ``), so
@@ -685,12 +732,16 @@ class CompressedIndex:
         cls = classify_expansion_tokens(query_text)
         prefixes = sorted({v for kk, v in cls if kk == "prefix"})
         fuzzies = sorted({v for kk, v in cls if kk == "fuzzy"})
-        if not prefixes and not fuzzies:
+        wilds = sorted({v for kk, v in cls if kk == "wildcard"})
+        rexps = sorted({v for kk, v in cls if kk == "regexp"})
+        if not prefixes and not fuzzies and not wilds and not rexps:
             return None
         return assemble_expanded(
             cls,
             self._prefix_expansions(prefixes, prefix_limit) if prefixes else {},
             self._fuzzy_expansions(fuzzies, fuzzy_limit) if fuzzies else {},
+            self._wildcard_expansions(wilds, prefix_limit) if wilds else {},
+            self._regexp_expansions(rexps, prefix_limit) if rexps else {},
         )
 
     def expand_synonyms(

@@ -1064,18 +1064,68 @@ def oracle_expand_prefixes(
     )
 
 
+#: General wildcard token (Lucene WildcardQuery): word chars plus ``*``
+#: (any run) / ``?`` (one char) anywhere, at least one of each of
+#: wildcard and literal — the pure trailing-``*`` form is claimed by
+#: the prefix machinery FIRST (its StartsWith pushes to the vocabulary
+#: parquet scan; a general pattern cannot).
+_WILDCARD_TOKEN = re.compile(
+    r"^(?=[0-9A-Za-z*?]*[*?])(?=[*?]*[0-9A-Za-z])[0-9A-Za-z*?]+$"
+)
+#: Regexp term token (Lucene RegexpQuery, ES ``regexp``): ``/pattern/``
+#: matched FULLY against each vocabulary term.  The engine evaluates it
+#: JVM-side (`rlike`, Java regex) and the oracle with Python ``re`` —
+#: the supported contract is the portable common subset (literals,
+#: character classes, alternation, ``.``/``*``/``+``/``?``/``{m,n}``).
+_REGEXP_TOKEN = re.compile(r"^/(.+)/$")
+
+
+def wildcard_fullmatch(pattern: str, term: str) -> bool:
+    """Pure-Python wildcard matcher (``*`` = any run, ``?`` = one char)
+    — the oracle twin of the engine's LIKE evaluation."""
+    rx = "".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c)
+        for c in pattern
+    )
+    return re.fullmatch(rx, term) is not None
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """Wildcard pattern → SQL LIKE pattern (vocabulary terms and
+    patterns are word chars only, so no ``%``/``_`` escaping arises)."""
+    return pattern.replace("*", "%").replace("?", "_")
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    """Longest leading literal run — pushed as an extra StartsWith so a
+    pattern like ``kuber*s`` still prunes the vocabulary scan; a
+    leading-wildcard pattern yields '' (full scan, the Lucene cost)."""
+    for i, c in enumerate(pattern):
+        if c in "*?":
+            return pattern[:i]
+    return pattern
+
+
 def classify_expansion_tokens(query_text: str) -> list[tuple[str, str]]:
     """Whitespace tokens → [(kind, value)]: ``prefix`` (trailing *),
-    ``fuzzy`` (trailing ~), or ``plain``.  Shared by the engine and
-    oracle so both classify queries identically."""
+    ``fuzzy`` (trailing ~), ``wildcard`` (``*``/``?`` anywhere),
+    ``regexp`` (``/pattern/``), or ``plain``.  Shared by the engine and
+    oracle so both classify queries identically.  Order matters: the
+    pure trailing-``*`` form is a prefix (pushdown-friendly), never a
+    wildcard."""
     out: list[tuple[str, str]] = []
     for tok in query_text.split():
         mp = _PREFIX_TOKEN.match(tok)
         mf = _FUZZY_TOKEN.match(tok)
+        mr = _REGEXP_TOKEN.match(tok)
         if mp:
             out.append(("prefix", mp.group(1).lower()))
         elif mf:
             out.append(("fuzzy", mf.group(1).lower()))
+        elif _WILDCARD_TOKEN.match(tok):
+            out.append(("wildcard", tok.lower()))
+        elif mr:
+            out.append(("regexp", mr.group(1)))
         else:
             out.append(("plain", tok))
     return out
@@ -1089,6 +1139,8 @@ def assemble_expanded(
     classified: list[tuple[str, str]],
     prefix_exp: dict[str, list[str]],
     fuzzy_exp: dict[str, list[str]],
+    wildcard_exp: dict[str, list[str]] | None = None,
+    regexp_exp: dict[str, list[str]] | None = None,
 ) -> str:
     """Build the EXECUTABLE rewrite: marker tokens splice in their
     vocabulary expansions (already analysis-fixed index terms), plain
@@ -1102,6 +1154,10 @@ def assemble_expanded(
             out.extend(prefix_exp.get(val, []))
         elif kind == "fuzzy":
             out.extend(fuzzy_exp.get(val, []))
+        elif kind == "wildcard":
+            out.extend((wildcard_exp or {}).get(val, []))
+        elif kind == "regexp":
+            out.extend((regexp_exp or {}).get(val, []))
         else:
             out.extend(analyze_query(val))
     return " ".join(out)
@@ -1142,24 +1198,68 @@ def oracle_expand_synonyms(
     return " ".join(out)
 
 
+def _rank_vocab_hits(
+    hits: list[tuple[int, str]], limit: int
+) -> list[str]:
+    """(df, term) hits → capped expansion list, df desc / term asc —
+    the one multi-term ordering contract (prefix/wildcard/regexp)."""
+    return [t for _df, t in sorted(hits, key=lambda x: (-x[0], x[1]))[:limit]]
+
+
+def _oracle_wildcard_expansions(
+    index: OracleIndex, patterns: list[str], limit: int
+) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for p in patterns:
+        hits = [
+            (len(plist), t)
+            for t, plist in index.postings.items()
+            if wildcard_fullmatch(p, t)
+        ]
+        if hits:
+            out[p] = _rank_vocab_hits(hits, limit)
+    return out
+
+
+def _oracle_regexp_expansions(
+    index: OracleIndex, patterns: list[str], limit: int
+) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for p in patterns:
+        rx = re.compile(p)
+        hits = [
+            (len(plist), t)
+            for t, plist in index.postings.items()
+            if rx.fullmatch(t)
+        ]
+        if hits:
+            out[p] = _rank_vocab_hits(hits, limit)
+    return out
+
+
 def oracle_expand_query(
     index: OracleIndex,
     query_text: str,
     prefix_limit: int = PREFIX_CAP,
     fuzzy_limit: int = FUZZY_CAP,
 ) -> str | None:
-    """One-pass executable rewrite of a query containing ``*``/``~``
-    markers (None when it has none): vocabulary expansions + analyzed
-    plain tokens — feed to ``oracle_topk(..., analyzed=True)``."""
+    """One-pass executable rewrite of a query containing ``*``/``?``/
+    ``~``/``/…/`` markers (None when it has none): vocabulary
+    expansions + analyzed plain tokens — feed to
+    ``oracle_topk(..., analyzed=True)``."""
     cls = classify_expansion_tokens(query_text)
     prefixes = sorted({v for k, v in cls if k == "prefix"})
     fuzzies = sorted({v for k, v in cls if k == "fuzzy"})
-    if not prefixes and not fuzzies:
+    wilds = sorted({v for k, v in cls if k == "wildcard"})
+    rexps = sorted({v for k, v in cls if k == "regexp"})
+    if not prefixes and not fuzzies and not wilds and not rexps:
         return None
     return assemble_expanded(
         cls,
         _oracle_prefix_expansions(index, prefixes, prefix_limit),
         _oracle_fuzzy_expansions(index, fuzzies, fuzzy_limit),
+        _oracle_wildcard_expansions(index, wilds, prefix_limit),
+        _oracle_regexp_expansions(index, rexps, prefix_limit),
     )
 
 
