@@ -58,6 +58,7 @@ PRIORITY = [
     "transcripts_search_after",  # r4: offset-free deep pagination
     "transcripts_bm25_scoped",  # r4: metadata-filtered retrieval
     "transcripts_facets",  # r4: per-role facet counts
+    "transcripts_phrase_prefix",  # r4: ES match_phrase_prefix
     "transcripts_wildcard",  # r4: general wildcard (*?) term queries
     "transcripts_regexp",  # r4: regexp term queries
     "transcripts_prefix",  # r4: wildcard/prefix expansion
@@ -3140,6 +3141,49 @@ def transcripts_fuzzy(spark, sf_dir):
     return idx.topk(
         idx.expand_query("term001~ merg~"), "disjunctive", 10, analyzed=True
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _phrase_prefix_oracle_sql(query_text: str, k: int = 10) -> str:
+    """VALUES oracle for phrase-prefix queries: the pure-Python
+    expander (trailing-* last phrase token → vocabulary variants)
+    unions per-variant phrase match sets and the shared scorer ranks."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_topk(idx, query_text, "phrase", k)
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_phrase_prefix", _phrase_prefix_oracle_sql('"term0001 term00*"', 10))
+def transcripts_phrase_prefix(spark, sf_dir):
+    """Phrase-prefix queries (ES match_phrase_prefix): the LAST phrase
+    token carries a trailing ``*``, expanded against the post-stem
+    vocabulary (df desc / term asc, PREFIX_CAP bound — the repo's one
+    multi-term ordering contract), candidates are the UNION over
+    variants v of docs where the phrase ``fixed + v`` occurs (the
+    vectorized phrase kernel runs per variant, variant count bounded),
+    and BM25 over fixed terms + all expanded variants scores the match
+    set (the MultiPhraseQuery-flavored union, consistent with the
+    repo's phrase contract).  Resolution is one idf-table TakeOrdered
+    on the reader; kernels receive the resolved variants.  Composes
+    with slop ("a b*"~N).  No reference analog; contract == the
+    pure-Python expander + scorer."""
+    idx = _xs_index(spark)
+    return idx.topk('"term0001 term00*"', "phrase", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
 
 
 @q("transcripts_wildcard", _prefix_oracle_sql("t*rm000* c?urt", 10))

@@ -528,6 +528,28 @@ class MultiIndex:
                 expansions[t] = exp
         return expansions
 
+    def _resolve_spec(self, spec):
+        """Resolve a phrase-prefix marker (ES ``match_phrase_prefix``)
+        over the UNION vocabulary — dfs summed across segments order the
+        cap, like :meth:`expand_prefixes`; the resolved variants then
+        run in every segment's kernel, so a variant present only in a
+        newer segment still matches."""
+        if spec is None or spec.phrase_prefix is None:
+            return spec
+        import dataclasses
+
+        from .reader import PREFIX_CAP
+
+        exp = self._prefix_expansions([spec.phrase_prefix], PREFIX_CAP).get(
+            spec.phrase_prefix, []
+        )
+        return dataclasses.replace(
+            spec,
+            phrase_prefix=None,
+            variants=exp,
+            score_terms=sorted(set((spec.phrase_a or []) + exp)),
+        )
+
     def expand_query(
         self,
         query_text: str,
@@ -630,7 +652,7 @@ class MultiIndex:
                 "search_after (its bounded heap has no candidate-exclusion "
                 "hook); use algo='auto' or 'exact'"
             )
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -701,7 +723,7 @@ class MultiIndex:
                 "paginate on per-segment bests, not its global best); "
                 "compact first or paginate turn-level topk"
             )
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -755,7 +777,7 @@ class MultiIndex:
         groups hold disjoint documents."""
         from .reader import _make_count_kernel
 
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         if spec is None:
             return 0
         fetch_terms = sorted(
@@ -794,7 +816,7 @@ class MultiIndex:
         materialized for faceting and metadata joins."""
         from .reader import MATCHES_SCHEMA, _make_matches_kernel
 
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
         if spec is None:
             return empty
@@ -836,7 +858,7 @@ class MultiIndex:
         time), feeding rescoring operators like recency decay."""
         from .reader import RESULT_SCHEMA, _make_scored_matches_kernel
 
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -889,7 +911,7 @@ class MultiIndex:
         occurrences explain as absent — the ES ``matched: false``."""
         from .reader import EXPLAIN_SCHEMA, _assemble_explain
 
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], EXPLAIN_SCHEMA)
         if spec is None:
             return empty
@@ -954,7 +976,10 @@ class MultiIndex:
                 "algo='wand' cannot honor tombstones/scope (its bounded heap "
                 "has no candidate-exclusion hook); use algo='auto' or 'exact'"
             )
-        specs = _parse_batch(queries, k, analyzed=analyzed)
+        specs = [
+            (i, self._resolve_spec(sp), kk)
+            for i, sp, kk in _parse_batch(queries, k, analyzed=analyzed)
+        ]
         empty = self.spark.createDataFrame(
             [], "query_id int, conv_id string, turn_idx int, score double"
         )

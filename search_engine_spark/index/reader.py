@@ -42,6 +42,7 @@ from ..oracle import (
     rewrite_fuzzy,
     rewrite_with_expansions,
     split_fuzzy_tokens,
+    split_phrase_prefix,
     split_prefix_tokens,
     wildcard_literal_prefix,
     wildcard_to_like,
@@ -75,6 +76,13 @@ class QuerySpec:
     slop: int = 0  # phrase mode: ordered window ("a b"~N); 0 = exact
     weights: dict[str, float] | None = None  # term boosts (`tok^2.5`)
     min_match: int = 1  # disjunctive: require ≥ m distinct terms
+    # ES match_phrase_prefix: a trailing-* last phrase token.  The
+    # parser stores the raw marker; reader entry points resolve it into
+    # `variants` (one idf-table TakeOrdered) BEFORE kernels run —
+    # kernels have no vocabulary access and fail loud on an unresolved
+    # marker.  variants == [] (prefix matched nothing) → no matches.
+    phrase_prefix: str | None = None
+    variants: list[str] | None = None
 
 
 def parse_query(
@@ -122,14 +130,18 @@ def parse_query(
         return QuerySpec("boolean", score, lt, rt, op)
     if mode == "phrase":
         pm = PHRASE_PATTERN.search(query_text)
-        terms = analyze_text(pm.group(1) if pm else query_text)
-        if not terms:
+        text, pprefix = split_phrase_prefix(pm.group(1) if pm else query_text)
+        terms = analyze_text(text)
+        if not terms and pprefix is None:
             return None
         # `"a b"~N` = ordered sloppy phrase (Lucene ordered SpanNearQuery
         # semantics — an extension; the reference matches exact-adjacent
         # only).  Candidates widen; scoring stays BM25 over the terms.
+        # A trailing-* last token (`"incid resp*"`) is ES
+        # match_phrase_prefix — stored raw here, resolved by the reader.
         return QuerySpec(
-            "phrase", sorted(set(terms)), terms, slop=parse_slop(query_text)
+            "phrase", sorted(set(terms)), terms,
+            slop=parse_slop(query_text), phrase_prefix=pprefix,
         )
     terms = analyze_query(query_text)
     if not terms:
@@ -262,6 +274,28 @@ def _topk_after(
     cs, cd = float(after[0]), int(after[1])
     keep = (scores < cs) | ((scores == cs) & (docs > cd))
     return _cut_topk(docs[keep], scores[keep], k, with_ties)
+
+
+def _phrase_cand(spec: QuerySpec, plists: dict) -> np.ndarray:
+    """Phrase-mode candidate docs of one group.  With resolved
+    match_phrase_prefix variants: the union over variants v of docs
+    where ``phrase_a + [v]`` occurs (each chain runs the vectorized
+    phrase kernel; the variant count is PREFIX_CAP-bounded)."""
+    if spec.phrase_prefix is not None:
+        raise ValueError(
+            "unresolved phrase prefix — reader entry points must expand "
+            "it against the vocabulary before kernels run"
+        )
+    if spec.variants is not None:
+        sets = [
+            phrase_candidates(list(spec.phrase_a or []) + [v], plists, spec.slop)
+            for v in spec.variants
+        ]
+        sets = [s for s in sets if s.size]
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(sets))
+    return phrase_candidates(spec.phrase_a or [], plists, spec.slop)
 
 
 def _parse_batch(
@@ -777,6 +811,26 @@ class CompressedIndex:
         """Collected top-k with an LRU result cache (see :func:`_lru_topk`)."""
         return _lru_topk(self, query_text, mode, k, algo)
 
+    def _resolve_spec(self, spec: "QuerySpec | None") -> "QuerySpec | None":
+        """Resolve a phrase-prefix marker (ES ``match_phrase_prefix``:
+        ``"incid resp*"``) into its vocabulary variants — one idf-table
+        TakeOrdered like :meth:`expand_prefixes` — folding them into the
+        scoring set.  Kernels require the resolved form (they have no
+        vocabulary access)."""
+        if spec is None or spec.phrase_prefix is None:
+            return spec
+        import dataclasses
+
+        exp = self._prefix_expansions([spec.phrase_prefix], PREFIX_CAP).get(
+            spec.phrase_prefix, []
+        )
+        return dataclasses.replace(
+            spec,
+            phrase_prefix=None,
+            variants=exp,
+            score_terms=sorted(set((spec.phrase_a or []) + exp)),
+        )
+
     def _resolve_tomb(self, tombstones) -> "Tombstones | None":
         if not tombstones:
             return None
@@ -907,7 +961,7 @@ class CompressedIndex:
                 "search_after (its bounded heap has no candidate-exclusion "
                 "hook); use algo='auto' or 'exact'"
             )
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int, score double")
         if spec is None:
             return empty
@@ -979,7 +1033,7 @@ class CompressedIndex:
                 "kernel collapses on the rank bits (dense streaming indexes: "
                 "compact first)"
             )
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -1024,7 +1078,7 @@ class CompressedIndex:
         served by every /api/search response for pagination): size of
         the candidate set :meth:`topk` ranks, via one grouped count pass
         over the same bucket-pruned postings scan."""
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         if spec is None:
             return 0
         fetch_terms = sorted(
@@ -1062,7 +1116,7 @@ class CompressedIndex:
         """ALL matching documents → DataFrame(conv_id, turn_idx) — the
         candidate set :meth:`match_count` sizes, materialized for
         faceting and metadata joins.  Output is O(matches)."""
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
         if spec is None:
             return empty
@@ -1099,7 +1153,7 @@ class CompressedIndex:
         whose final order is not monotone in BM25 (recency decay —
         ``operators/recency.py``).  Output is O(matches); kernel cost
         is the same O(postings) class as :meth:`match_count`."""
-        spec = parse_query(query_text, mode, analyzed=analyzed)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
@@ -1200,7 +1254,7 @@ class CompressedIndex:
         postings scan — the membership check runs the tested
         ``_candidates_spec`` dispatch over ONE group's pruned postings,
         so the kernel work is 1/num_groups of a full query's."""
-        spec = parse_query(query_text, mode, analyzed=analyzed, min_match=min_match)
+        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], EXPLAIN_SCHEMA)
         if spec is None:
             return empty
@@ -1273,7 +1327,10 @@ class CompressedIndex:
                 "algo='wand' cannot honor tombstones/scope (its bounded heap "
                 "has no candidate-exclusion hook); use algo='auto' or 'exact'"
             )
-        specs = _parse_batch(queries, k, analyzed=analyzed)
+        specs = [
+            (i, self._resolve_spec(sp), kk)
+            for i, sp, kk in _parse_batch(queries, k, analyzed=analyzed)
+        ]
         empty = self.spark.createDataFrame(
             [], "query_id int, conv_id string, turn_idx int, score double"
         )
@@ -1386,7 +1443,7 @@ def _score_spec(
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         cand = conjunctive_candidates(need)
     elif spec.mode == "phrase":
-        cand = phrase_candidates(spec.phrase_a or [], plists, spec.slop)
+        cand = _phrase_cand(spec, plists)
     else:  # boolean
         la = phrase_candidates(spec.phrase_a or [], plists)
         rb = phrase_candidates(spec.phrase_b or [], plists)
@@ -1433,7 +1490,7 @@ def _candidates_spec(
             return np.empty(0, dtype=np.int64)
         cand = conjunctive_candidates(need)
     elif spec.mode == "phrase":
-        cand = phrase_candidates(spec.phrase_a or [], plists, spec.slop)
+        cand = _phrase_cand(spec, plists)
     else:
         la = phrase_candidates(spec.phrase_a or [], plists)
         rb = phrase_candidates(spec.phrase_b or [], plists)

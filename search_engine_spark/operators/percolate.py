@@ -98,6 +98,15 @@ def register(queries) -> list[SavedQuery]:
         seen.add(qid)
         spec = parse_query(qt, mode, min_match=mm)
         if spec is not None:
+            if spec.phrase_prefix is not None:
+                # match_phrase_prefix expands against a LIVE vocabulary;
+                # a registry of frozen saved queries has none to expand
+                # against, so reject at registration — not silently
+                # matching only the fixed part at stream time.
+                raise ValueError(
+                    f"saved query {qid!r}: phrase-prefix queries are not "
+                    "percolatable (no vocabulary to expand against)"
+                )
             out.append(SavedQuery(qid, spec))
     return out
 

@@ -260,6 +260,24 @@ def _topk(scores: dict[DocKey, float], k: int) -> list[tuple[DocKey, float]]:
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:k]
 
 
+_PHRASE_PREFIX_LAST = re.compile(r"^([0-9A-Za-z]+)\*$")
+
+
+def split_phrase_prefix(text: str) -> tuple[str, str | None]:
+    """Phrase text → (fixed part, trailing prefix or None): the LAST
+    whitespace token may carry one trailing ``*`` — the ES
+    ``match_phrase_prefix`` contract.  Like standalone prefix tokens,
+    the marker skips analysis and matches the POST-STEM vocabulary
+    (lowercased); everything before it analyzes normally.  Shared by
+    the engine parser and the oracle."""
+    toks = text.split()
+    if toks:
+        m = _PHRASE_PREFIX_LAST.match(toks[-1])
+        if m:
+            return " ".join(toks[:-1]), m.group(1).lower()
+    return text, None
+
+
 def _phrase_match_docs(
     index: OracleIndex, phrase_terms: list[str], slop: int = 0
 ) -> set[DocKey]:
@@ -307,6 +325,42 @@ def _phrase_match_docs(
             if all(key in r and (p + i + 1) in r[key] for i, r in enumerate(rest)):
                 out.add(key)
                 break
+    return out
+
+
+def _oracle_phrase_spec(
+    index: OracleIndex, query_text: str, limit: int = PREFIX_CAP
+) -> tuple[list[str], list[str] | None, list[str]]:
+    """Phrase-mode query → (ordered fixed terms, prefix variants or
+    None, score terms), resolving a trailing-``*`` last token against
+    the vocabulary (df desc / term asc, capped — the repo's one
+    multi-term ordering contract; ES/Lucene use term-dict order, a
+    documented divergence).  Scoring covers the fixed terms plus every
+    expanded variant the doc contains — the MultiPhraseQuery-flavored
+    union, consistent with the repo's phrase contract (BM25 over the
+    query's terms, candidates from phrase position)."""
+    phrase = PHRASE_PATTERN.search(query_text)
+    text = phrase.group(1) if phrase else query_text
+    text, pp = split_phrase_prefix(text)
+    terms = analyze_text(text)
+    if pp is None:
+        return terms, None, sorted(set(terms))
+    variants = _oracle_prefix_expansions(index, [pp], limit).get(pp, [])
+    return terms, variants, sorted(set(terms + variants))
+
+
+def _phrase_prefix_docs(
+    index: OracleIndex,
+    fixed: list[str],
+    variants: list[str],
+    slop: int = 0,
+) -> set[DocKey]:
+    """Docs where the phrase ``fixed + [v]`` occurs for ANY expansion
+    variant ``v`` (empty expansion → no matches, the ES
+    ``zero_terms_query: none`` behavior)."""
+    out: set[DocKey] = set()
+    for v in variants:
+        out |= _phrase_match_docs(index, fixed + [v], slop)
     return out
 
 
@@ -368,13 +422,16 @@ def oracle_topk(
     if mode == "boolean":
         return _boolean_topk(index, query_text, k, scope, after=after)
     if mode == "phrase":
-        phrase = PHRASE_PATTERN.search(query_text)
-        text = phrase.group(1) if phrase else query_text
-        terms = analyze_text(text)
-        docs = _phrase_match_docs(index, terms, parse_slop(query_text))
+        terms, variants, score_terms = _oracle_phrase_spec(index, query_text)
+        if variants is None:
+            docs = _phrase_match_docs(index, terms, parse_slop(query_text))
+        else:
+            docs = _phrase_prefix_docs(
+                index, terms, variants, parse_slop(query_text)
+            )
         if scope is not None:
             docs &= scope
-        return _finish(_score_candidates(index, terms, docs), k, after)
+        return _finish(_score_candidates(index, score_terms, docs), k, after)
 
     terms = analyze_query(query_text)
     if not terms:
@@ -473,9 +530,13 @@ def oracle_matches(
         rdocs = _phrase_match_docs(index, analyze_text(phrases[1]))
         docs = ldocs & rdocs if op == "AND" else ldocs | rdocs if op == "OR" else ldocs - rdocs
     elif mode == "phrase":
-        phrase = PHRASE_PATTERN.search(query_text)
-        text = phrase.group(1) if phrase else query_text
-        docs = _phrase_match_docs(index, analyze_text(text), parse_slop(query_text))
+        terms, variants, _st = _oracle_phrase_spec(index, query_text)
+        if variants is None:
+            docs = _phrase_match_docs(index, terms, parse_slop(query_text))
+        else:
+            docs = _phrase_prefix_docs(
+                index, terms, variants, parse_slop(query_text)
+            )
     else:
         terms = analyze_query(query_text)
         if not terms:
