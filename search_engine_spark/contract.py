@@ -38,6 +38,7 @@ PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
     "decontaminate_overlap",  # r4: benchmark n-gram decontamination
     "repetition_stats",  # r4: Gopher repetition/boilerplate measures
+    "span_dedup_stats",  # r4: RefinedWeb exact duplicate-span measure
     "pii_scrub_stats",  # r4: email/IP/digit-run redaction
     "mixture_sample",  # r4: exact domain-mixture downsampling
     "pack_sequences",  # r4: sequence-packing map (distributed prefix sum)
@@ -4329,6 +4330,47 @@ def repetition_stats(spark, sf_dir):
     2-gram share — partial-aggregated (doc, gram) counting, state
     bounded by doc length."""
     return curation.repetition_stats(load(spark, sf_dir, "documents"), 2)
+
+
+@q(
+    "span_dedup_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS g
+  FROM t, unnest(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+dups AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos + o) AS n_dup_tokens
+  FROM dups, unnest(range(0, 8)) AS v(o) GROUP BY doc_id
+),
+sc AS (SELECT doc_id, count(*) AS n_dup_spans FROM dups GROUP BY doc_id)
+SELECT t.doc_id, len(tk) AS n_tokens,
+       greatest(len(tk) - 7, 0) AS n_grams,
+       coalesce(sc.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens,
+       {rnd_sql("CASE WHEN len(tk) > 0"
+                " THEN coalesce(cov.n_dup_tokens, 0)::DOUBLE / len(tk)"
+                " ELSE 0.0 END", 6)} AS dup_token_frac
+FROM t LEFT JOIN sc USING (doc_id) LEFT JOIN cov USING (doc_id)
+""",
+)
+def span_dedup_stats(spark, sf_dir):
+    """Corpus-wide exact duplicate-span stats (RefinedWeb/Dolma exact-
+    substring dedup, word-8-gram flavor): first occurrence in corpus
+    order is original, later occurrences are duplicate spans; per doc,
+    the distinct token positions covered by duplicate spans give the
+    removable fraction a scrubber would cut.  First-wins resolved via
+    a PARTIAL min(struct(doc,pos)) aggregation — a billion-fold
+    boilerplate gram still combines map-side; the join back relies on
+    AQE skew splitting with a one-row build side per gram."""
+    return curation.span_dedup_stats(load(spark, sf_dir, "documents"), 8)
 
 
 #: deterministic PII augmentation both engines build identically — the

@@ -17,6 +17,13 @@ corpus is a 6,000-page crawl):
   most-frequent-n-gram share, and the duplicate-n-gram share.  Two
   partial-aggregated shuffles keyed on (doc_id, gram) — per-doc
   cardinality bounded by doc length, never corpus size.
+* :func:`span_dedup_stats` — corpus-wide exact duplicate-span measure
+  (the RefinedWeb/Dolma exact-substring dedup, word-n-gram flavor):
+  first occurrence in corpus order wins, later occurrences are
+  duplicate spans, and the per-doc fraction of token positions they
+  cover is the removable mass a scrubber would cut.  First-wins is a
+  partial ``min(struct)`` aggregation, so boilerplate grams combine
+  map-side and never concentrate state.
 * :func:`pii_scrub` — redact emails, IPv4 addresses, and long digit
   runs with typed placeholder tokens, counting each redaction class.
   Pure ``regexp_replace``/``regexp_count`` JVM expressions (whole-stage
@@ -206,6 +213,80 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
             frac(
                 F.coalesce("dup_cnt", F.lit(0)), F.coalesce("total_grams", F.lit(0))
             ).alias("dup_gram_frac"),
+        )
+    )
+
+
+def span_dedup_stats(docs: DataFrame, n: int = 8) -> DataFrame:
+    """CORPUS-WIDE exact duplicate-span statistics (the RefinedWeb /
+    Dolma exact-substring dedup measure, word-n-gram flavor):
+
+    (doc_id, n_tokens, n_grams, n_dup_spans, n_dup_tokens,
+     dup_token_frac)
+
+    A span is a word ``n``-gram; its FIRST occurrence in corpus order
+    (doc_id asc, position asc — the same first-wins convention as
+    :func:`~search_engine_spark.pipeline.dedup.exact_duplicates`) is
+    original, every later occurrence is a duplicate span.
+    ``n_dup_tokens`` counts the distinct token positions of a doc
+    covered by at least one duplicate span (overlaps merged), and
+    ``dup_token_frac`` is the removable fraction a span-level scrubber
+    would cut — the number a curation pipeline thresholds on.
+
+    Shape at scale: one explode to (md5(gram), doc, pos) occurrences,
+    first occurrences via ``min(struct(doc_id, pos))`` — a PARTIAL
+    aggregation, so a boilerplate gram repeated a billion times still
+    combines map-side — then one join back (AQE skew-join splits the
+    hot grams; the build side is one row per gram) and one bounded
+    per-doc interval-union count.  No all-pairs anywhere; state per
+    gram is one (doc, pos) pair.  Docs shorter than ``n`` tokens carry
+    no spans and report zero fractions.
+    """
+    t = _toks()
+    base = docs.select(
+        "doc_id", F.size(t).alias("n_tokens"), _grams(n).alias("grams")
+    )
+    occ = (
+        base.select(
+            "doc_id", F.posexplode_outer("grams").alias("pos", "gram")
+        )
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", "pos", F.md5("gram").alias("g"))
+    )
+    firsts = occ.groupBy("g").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    dups = occ.join(firsts, "g").filter(
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("pos") != F.col("first.pos"))
+    )
+    covered = (
+        dups.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cpos").alias("n_dup_tokens"))
+    )
+    span_counts = dups.groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
+    return (
+        base.select("doc_id", "n_tokens", F.size("grams").alias("n_grams"))
+        .join(span_counts, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            rnd(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                ROUND,
+            ).alias("dup_token_frac"),
         )
     )
 

@@ -287,3 +287,82 @@ def test_mixture_sample_exact_and_deterministic(spark, docs_df):
     assert again == sorted(r["doc_id"] for r in rows)
     # full schema preserved
     assert set(rows[0].asDict()) == {"doc_id", "text", "source"}
+
+
+def _py_span_stats(rows, n):
+    """Brute-force twin of span_dedup_stats."""
+    toks = {d: [t for t in txt.lower().strip().split() if t] for d, txt, _s in rows}
+    occ = []  # (gram, doc, pos) in corpus order
+    for d in sorted(toks):
+        tk = toks[d]
+        for p in range(len(tk) - n + 1):
+            occ.append((" ".join(tk[p : p + n]), d, p))
+    seen: dict[str, tuple] = {}
+    dups: dict[int, list[int]] = {}
+    for g, d, p in sorted(occ, key=lambda x: (x[1], x[2])):
+        if g in seen:
+            dups.setdefault(d, []).append(p)
+        else:
+            seen[g] = (d, p)
+    out = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        ps = dups.get(d, [])
+        covered = set()
+        for p in ps:
+            covered.update(range(p, p + n))
+        nt = len(tk)
+        out[d] = (
+            nt,
+            max(nt - n + 1, 0),
+            len(ps),
+            len(covered),
+            round(len(covered) / nt, 6) if nt else 0.0,
+        )
+    return out
+
+
+def test_span_dedup_stats(spark):
+    n = 3
+    rows = [
+        # doc 0 is the original; doc 1 repeats a 4-token span of it
+        (0, "alpha beta gamma delta epsilon", "web"),
+        (1, "intro alpha beta gamma delta closing words", "web"),
+        # doc 2 duplicates doc 0 ENTIRELY -> every position covered
+        (2, "alpha beta gamma delta epsilon", "web"),
+        # doc 3: within-doc repeat — second occurrence is the dup
+        (3, "x y z pad x y z", "web"),
+        (4, "too short", "web"),
+        (5, "", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_grams"], r["n_dup_spans"],
+            r["n_dup_tokens"], r["dup_token_frac"],
+        )
+        for r in curation.span_dedup_stats(df, n).collect()
+    }
+    want = _py_span_stats(rows, n)
+    assert got == want
+    # spot-check the semantics the twin encodes
+    assert got[0] == (5, 3, 0, 0, 0.0)          # originals untouched
+    assert got[2] == (5, 3, 3, 5, 1.0)          # full duplicate fully covered
+    assert got[4][2:] == (0, 0, 0.0)            # shorter than n: no spans
+    assert got[1][2] == 2                       # "alpha beta gamma", "beta gamma delta"
+    assert got[1][3] == 4                       # positions 1..4 covered (merged)
+    assert got[3][2] == 1 and got[3][3] == 3    # within-doc repeat
+
+
+def test_span_dedup_first_wins_order(spark):
+    """Corpus order (doc asc, pos asc) decides the original — swapping
+    doc ids swaps which doc carries the duplicate."""
+    n = 2
+    for a, b in ((0, 1), (1, 0)):
+        rows = [(a, "p q filler", "w"), (b, "other p q", "w")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            r["doc_id"]: r["n_dup_spans"]
+            for r in curation.span_dedup_stats(df, n).collect()
+        }
+        assert got[min(a, b)] == 0 and got[max(a, b)] == 1
