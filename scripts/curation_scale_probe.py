@@ -12,7 +12,10 @@ operator's wall clock and the scale-relevant shape facts:
     corpus tokens;
   * PII scrub — one exchange-free codegen projection (the floor: this
     is what a pure scan+map costs at this scale);
-  * mixture sample — per-source window rank; wall tracks corpus rows.
+  * mixture sample — per-source window rank; wall tracks corpus rows;
+  * span dedup stats — corpus-wide first-wins over ~53M 8-gram
+    occurrences: one partial min(struct) aggregation + one join back;
+    wall tracks total gram occurrences (corpus tokens), never pairs.
 
 Run:  SPARK_GRAFT_CPUS=32 python scripts/curation_scale_probe.py
 Writes CURATION_PROBE.json at the repo root.
@@ -134,6 +137,18 @@ def main() -> None:
     out["mixture_kept"] = mix.count()
     out["mixture_s"] = round(time.time() - t0, 2)
     out["mixture_docs_per_s"] = round(N_DOCS / out["mixture_s"], 1)
+
+    t0 = time.time()
+    sd = curation.span_dedup_stats(docs, 8)
+    sagg = sd.agg(
+        F.count("*").alias("n"),
+        F.sum("n_dup_spans").alias("spans"),
+        F.round(F.avg("dup_token_frac"), 4).alias("avg_frac"),
+    ).collect()[0]
+    out["span_dedup_s"] = round(time.time() - t0, 2)
+    out["span_dedup_docs_per_s"] = round(N_DOCS / out["span_dedup_s"], 1)
+    out["span_dedup_dup_spans"] = int(sagg["spans"])
+    out["span_dedup_avg_frac"] = float(sagg["avg_frac"])
 
     t0 = time.time()
     pk = curation.pack_mapping(docs, 2048)

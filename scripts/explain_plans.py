@@ -709,6 +709,42 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Wildcard-term vocabulary expansion (kuber*s-style)",
+            "Expected: parquet scan of the ONE-ROW-PER-TERM idf table with "
+            "PushedFilters carrying BOTH StringStartsWith (the pattern's "
+            "longest literal prefix — prunes row groups) and the LIKE "
+            "evaluated in codegen; TakeOrderedAndProject caps at "
+            "PREFIX_CAP so the driver receives a bounded row count from "
+            "an arbitrarily large vocabulary.  The postings scan of the "
+            "rewritten query stays bucket-pruned (first section).",
+            cap(
+                idx._idf.filter(
+                    F.col("term").startswith("term")
+                    & F.col("term").like("term%1")
+                )
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(32)
+            ),
+        )
+    )
+    span_docs = spark.read.parquet(pq).select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    sections.append(
+        (
+            "Corpus-wide duplicate-span stats (exact-substring dedup measure)",
+            "Expected: gram occurrences from ONE Generate (posexplode) over "
+            "the scan; first-wins via HashAggregate on md5(gram) with a "
+            "PARTIAL phase (min(struct) combines map-side, so boilerplate "
+            "grams never concentrate state); one shuffle on the gram hash "
+            "for the join back; bounded per-doc aggregations.  No "
+            "cartesian/nested-loop anywhere.",
+            cap(curation.span_dedup_stats(span_docs, 8)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "
