@@ -163,7 +163,10 @@ def main() -> None:
         "decontamination wall is corpus-bounded: the eval side is "
         f"{out['eval_grams']} grams broadcast once; doubling the eval set "
         "re-costs only the broadcast. All four operators are shuffle-light "
-        "(PII none; mixture one window; decontam/repetition partial-agg) — "
+        "(PII none; mixture one window; decontam/repetition/span-dedup "
+        "partial-agg; span dedup adds one gram-hash join plus a bounded "
+        "coverage explode — the costliest stats pass, still "
+        "corpus-token-linear) — "
         "shapes that scale horizontally with executors."
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

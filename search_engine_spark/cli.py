@@ -1217,7 +1217,7 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("--input", required=True, help="transcripts (parquet/table:) for text")
     se.add_argument("--query", required=True)
     se.add_argument("--mode", default="disjunctive",
-                    choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+                    choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"])
     se.add_argument("--k", type=int, default=10)
     se.add_argument("--page", type=int, default=1)
     se.add_argument(
@@ -1272,7 +1272,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     q.add_argument("--query", required=True)
     q.add_argument("--mode", default="disjunctive",
-                   choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+                   choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--algo", default="auto", choices=["auto", "exact", "wand"])
     q.add_argument(
@@ -1328,7 +1328,7 @@ def main(argv: list[str] | None = None) -> None:
     exq.add_argument("--conv-id", required=True, dest="conv_id")
     exq.add_argument("--turn-idx", required=True, type=int, dest="turn_idx")
     exq.add_argument("--mode", default="disjunctive",
-                     choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+                     choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"])
     exq.add_argument(
         "--tombstones",
         help="JSONL of {conv_id[, turn_idx]} rows to exclude (deleted docs)",
@@ -1468,7 +1468,7 @@ def main(argv: list[str] | None = None) -> None:
     sg.add_argument("--query", required=True)
     sg.add_argument(
         "--mode", default="disjunctive",
-        choices=["disjunctive", "conjunctive", "phrase", "boolean"],
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"],
     )
     sg.add_argument("--n", type=int, default=10)
     sg.add_argument("--min-fg", type=int, default=2)
@@ -1487,7 +1487,7 @@ def main(argv: list[str] | None = None) -> None:
     hg.add_argument("--query", required=True)
     hg.add_argument(
         "--mode", default="disjunctive",
-        choices=["disjunctive", "conjunctive", "phrase", "boolean"],
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"],
     )
     hg.add_argument(
         "--interval", default="hour",
@@ -1523,7 +1523,7 @@ def main(argv: list[str] | None = None) -> None:
     th.add_argument("--by", required=True, help="transcripts bucket column (e.g. role)")
     th.add_argument(
         "--mode", default="disjunctive",
-        choices=["disjunctive", "conjunctive", "phrase", "boolean"],
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"],
     )
     th.add_argument("--k", type=int, default=3)
     th.set_defaults(fn=cmd_top_hits)
@@ -1594,7 +1594,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     ag.add_argument(
         "--mode", default="disjunctive",
-        choices=["disjunctive", "conjunctive", "phrase", "boolean"],
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"],
     )
     ag.add_argument(
         "--where",
@@ -1659,7 +1659,7 @@ def main(argv: list[str] | None = None) -> None:
     an = sub.add_parser("analyze", help="show query analysis (no Spark)")
     an.add_argument("--query", required=True)
     an.add_argument("--mode", default="disjunctive",
-                    choices=["disjunctive", "conjunctive", "phrase", "boolean"])
+                    choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"])
     an.add_argument("--titles", nargs="*", default=[],
                     help="top result titles feeding suggested_queries")
     an.set_defaults(fn=cmd_analyze)

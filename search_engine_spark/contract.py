@@ -59,6 +59,7 @@ PRIORITY = [
     "transcripts_search_after",  # r4: offset-free deep pagination
     "transcripts_bm25_scoped",  # r4: metadata-filtered retrieval
     "transcripts_facets",  # r4: per-role facet counts
+    "transcripts_near",  # r4: unordered proximity window queries
     "transcripts_phrase_prefix",  # r4: ES match_phrase_prefix
     "transcripts_wildcard",  # r4: general wildcard (*?) term queries
     "transcripts_regexp",  # r4: regexp term queries
@@ -3142,6 +3143,47 @@ def transcripts_fuzzy(spark, sf_dir):
     return idx.topk(
         idx.expand_query("term001~ merg~"), "disjunctive", 10, analyzed=True
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _near_oracle_sql(query_text: str, k: int = 10) -> str:
+    """VALUES oracle for unordered-near queries: the pure-Python anchor
+    check (every distinct term within the window, any order) feeds the
+    shared scorer."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_topk
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    rows = oracle_topk(idx, query_text, "near", k)
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_near", _near_oracle_sql('"term0002 term0001"~3', 10))
+def transcripts_near(spark, sf_dir):
+    """Unordered proximity queries (Lucene SpanNearQuery inOrder=false
+    / Indri #uwN): all distinct terms within a slop window in ANY order
+    — the query here is order-REVERSED vs the corpus phrase plant, so
+    it matches where the ordered phrase doesn't.  Candidates via the
+    vectorized anchor kernel (kernels.near_candidates: every occurrence
+    anchors a window-min test, one searchsorted per term over packed
+    (doc,pos) keys — no per-doc loop, same cost class as the sloppy
+    phrase); scoring stays BM25 over the distinct terms (the repo's
+    phrase contract).  No reference analog; contract == the pure-Python
+    anchor check + scorer."""
+    idx = _xs_index(spark)
+    return idx.topk('"term0002 term0001"~3', "near", 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
 
 
 def _phrase_prefix_oracle_sql(query_text: str, k: int = 10) -> str:

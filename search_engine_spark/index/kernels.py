@@ -618,6 +618,58 @@ def _gather_pos_keys(
     return keys, pos_vals
 
 
+def near_candidates(
+    terms: list[str],
+    plists: dict[str, TermPostings],
+    slop: int = 0,
+) -> np.ndarray:
+    """Docs where ALL distinct terms occur within an UNORDERED window —
+    Lucene ``SpanNearQuery(inOrder=false)`` / Indri ``#uwN`` semantics:
+    positions p_t exist (one per distinct term; distinct automatically,
+    a token position holds one term) with
+    ``(max - min) - (n-1) <= slop`` (the same gap convention as the
+    ordered sloppy phrase; ``slop=0`` means the n terms are adjacent in
+    some order).
+
+    Vectorized existence check: any satisfying window can be shrunk so
+    its minimum is some term occurrence, so scanning every occurrence
+    as an anchor is exhaustive — anchor ``a`` matches iff every term
+    has an occurrence in ``[a, a + W]``, ``W = slop + n - 1``.  One
+    ``searchsorted`` per term tests EVERY anchor of every candidate doc
+    at once over the packed ``(candidate_rank << 32 | position)`` key
+    arrays; work is O(candidate positions × n_terms × log), no per-doc
+    loop — the same cost class as the sloppy-phrase kernel.
+    """
+    uniq = sorted(set(terms))
+    if not uniq or any(
+        t not in plists or plists[t].doc_ids.size == 0 for t in uniq
+    ):
+        return np.empty(0, dtype=np.int64)
+    cand = plists[uniq[0]].doc_ids
+    for t in uniq[1:]:
+        cand = np.intersect1d(cand, plists[t].doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return cand
+    if len(uniq) == 1:
+        return cand
+    w = slop + len(uniq) - 1
+    key_arrays = [_gather_pos_keys(plists[t], cand)[0] for t in uniq]
+    anchors = np.unique(np.concatenate(key_arrays))
+    ok = np.ones(anchors.size, dtype=bool)
+    for kj in key_arrays:
+        i = np.searchsorted(kj, anchors, side="left")  # first key >= anchor
+        has = i < kj.size
+        v = kj[np.minimum(i, kj.size - 1)]
+        ok &= (
+            has
+            & ((v >> 32) == (anchors >> 32))
+            & ((v & 0xFFFFFFFF) - (anchors & 0xFFFFFFFF) <= w)
+        )
+        if not ok.any():
+            return np.empty(0, dtype=np.int64)
+    return cand[np.unique(anchors[ok] >> 32)]
+
+
 def phrase_candidates(
     ordered_terms: list[str],
     plists: dict[str, TermPostings],

@@ -56,6 +56,7 @@ from .kernels import (
     conjunctive_candidates,
     exact_topk,
     msm_candidates,
+    near_candidates,
     phrase_candidates,
     wand_topk,
 )
@@ -128,6 +129,17 @@ def parse_query(
         lt, rt = analyze_text(phrases[0]), analyze_text(phrases[1])
         score = sorted(set(lt)) if op == "NOT" else sorted(set(lt + rt))
         return QuerySpec("boolean", score, lt, rt, op)
+    if mode == "near":
+        # unordered proximity window (Lucene SpanNearQuery inOrder=false
+        # / Indri #uwN): same "a b c"~N surface as phrase, order-free
+        # candidate semantics over the DISTINCT term set, BM25 scoring
+        pm = PHRASE_PATTERN.search(query_text)
+        terms = analyze_text(pm.group(1) if pm else query_text)
+        if not terms:
+            return None
+        return QuerySpec(
+            "near", sorted(set(terms)), terms, slop=parse_slop(query_text)
+        )
     if mode == "phrase":
         pm = PHRASE_PATTERN.search(query_text)
         text, pprefix = split_phrase_prefix(pm.group(1) if pm else query_text)
@@ -1444,6 +1456,8 @@ def _score_spec(
         cand = conjunctive_candidates(need)
     elif spec.mode == "phrase":
         cand = _phrase_cand(spec, plists)
+    elif spec.mode == "near":
+        cand = near_candidates(spec.score_terms, plists, spec.slop)
     else:  # boolean
         la = phrase_candidates(spec.phrase_a or [], plists)
         rb = phrase_candidates(spec.phrase_b or [], plists)
@@ -1491,6 +1505,8 @@ def _candidates_spec(
         cand = conjunctive_candidates(need)
     elif spec.mode == "phrase":
         cand = _phrase_cand(spec, plists)
+    elif spec.mode == "near":
+        cand = near_candidates(spec.score_terms, plists, spec.slop)
     else:
         la = phrase_candidates(spec.phrase_a or [], plists)
         rb = phrase_candidates(spec.phrase_b or [], plists)

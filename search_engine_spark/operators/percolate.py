@@ -147,6 +147,9 @@ def _trigger_map(saved: list[SavedQuery]) -> dict:
             add(s.score_terms[0], i)
         elif s.mode == "phrase":
             add((s.phrase_a or [""])[0], i)
+        elif s.mode == "near":
+            # all distinct terms required → one representative suffices
+            add(s.score_terms[0], i)
         else:  # boolean — sides are exact phrases
             add((s.phrase_a or [""])[0], i)
             if s.bool_op == "OR":
@@ -194,6 +197,18 @@ def _matches(pos: dict, spec: QuerySpec) -> bool:
         return all(t in pos for t in spec.score_terms)
     if spec.mode == "phrase":
         return _phrase_in_doc(pos, spec.phrase_a or [], spec.slop)
+    if spec.mode == "near":
+        lists = [pos.get(t) for t in spec.score_terms]
+        if any(x is None for x in lists):
+            return False
+        if len(lists) == 1:
+            return True
+        w = spec.slop + len(lists) - 1
+        anchors = sorted(set().union(*[set(x) for x in lists]))
+        return any(
+            all(any(a <= p <= a + w for p in lst) for lst in lists)
+            for a in anchors
+        )
     if spec.mode == "boolean":
         left = _phrase_in_doc(pos, spec.phrase_a or [], 0)
         if spec.bool_op == "AND":

@@ -328,6 +328,40 @@ def _phrase_match_docs(
     return out
 
 
+def _near_match_docs(
+    index: OracleIndex, terms: list[str], slop: int = 0
+) -> set[DocKey]:
+    """Docs where all DISTINCT terms occur within an unordered window:
+    positions p_t (one per term) with ``(max - min) - (n-1) <= slop``
+    — the engine's ``near_candidates`` contract (Lucene unordered
+    SpanNearQuery / Indri ``#uwN``).  Brute-force anchor check: the
+    window minimum is some occurrence, so testing every occurrence as
+    the anchor is exhaustive."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return set()
+    per_term = []
+    for t in uniq:
+        plist = index.postings.get(t)
+        if not plist:
+            return set()
+        per_term.append({key: pos for key, _f, pos in plist})
+    docs = set(per_term[0])
+    for dp in per_term[1:]:
+        docs &= set(dp)
+    if len(uniq) == 1:
+        return docs
+    w = slop + len(uniq) - 1
+    out: set[DocKey] = set()
+    for d in docs:
+        anchors = sorted(set().union(*[set(dp[d]) for dp in per_term]))
+        for a in anchors:
+            if all(any(a <= p <= a + w for p in dp[d]) for dp in per_term):
+                out.add(d)
+                break
+    return out
+
+
 def _oracle_phrase_spec(
     index: OracleIndex, query_text: str, limit: int = PREFIX_CAP
 ) -> tuple[list[str], list[str] | None, list[str]]:
@@ -421,6 +455,13 @@ def oracle_topk(
         )
     if mode == "boolean":
         return _boolean_topk(index, query_text, k, scope, after=after)
+    if mode == "near":
+        phrase = PHRASE_PATTERN.search(query_text)
+        terms = analyze_text(phrase.group(1) if phrase else query_text)
+        docs = _near_match_docs(index, terms, parse_slop(query_text))
+        if scope is not None:
+            docs &= scope
+        return _finish(_score_candidates(index, terms, docs), k, after)
     if mode == "phrase":
         terms, variants, score_terms = _oracle_phrase_spec(index, query_text)
         if variants is None:
@@ -529,6 +570,10 @@ def oracle_matches(
         ldocs = _phrase_match_docs(index, analyze_text(phrases[0]))
         rdocs = _phrase_match_docs(index, analyze_text(phrases[1]))
         docs = ldocs & rdocs if op == "AND" else ldocs | rdocs if op == "OR" else ldocs - rdocs
+    elif mode == "near":
+        phrase = PHRASE_PATTERN.search(query_text)
+        terms = analyze_text(phrase.group(1) if phrase else query_text)
+        docs = _near_match_docs(index, terms, parse_slop(query_text))
     elif mode == "phrase":
         terms, variants, _st = _oracle_phrase_spec(index, query_text)
         if variants is None:
