@@ -39,6 +39,7 @@ PRIORITY = [
     "decontaminate_overlap",  # r4: benchmark n-gram decontamination
     "repetition_stats",  # r4: Gopher repetition/boilerplate measures
     "span_dedup_stats",  # r4: RefinedWeb exact duplicate-span measure
+    "span_dedup_scrub",  # r4: duplicate-span removal (C4-style scrub)
     "pii_scrub_stats",  # r4: email/IP/digit-run redaction
     "mixture_sample",  # r4: exact domain-mixture downsampling
     "pack_sequences",  # r4: sequence-packing map (distributed prefix sum)
@@ -4413,6 +4414,58 @@ def span_dedup_stats(spark, sf_dir):
     boilerplate gram still combines map-side; the join back relies on
     AQE skew splitting with a one-row build side per gram."""
     return curation.span_dedup_stats(load(spark, sf_dir, "documents"), 8)
+
+
+@q(
+    "span_dedup_scrub",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS g
+  FROM t, unnest(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+dups AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos + o AS i
+  FROM dups, unnest(range(0, 8)) AS v(o)
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS i, tk[i] AS tok
+  FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok FROM tokpos p
+  LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.i = p.i
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(tk) AS n_tokens,
+       len(tk) - coalesce(reb.n_kept, 0) AS n_removed,
+       md5(coalesce(reb.text, '')) AS text_hash
+FROM t LEFT JOIN reb USING (doc_id)
+""",
+)
+def span_dedup_scrub(spark, sf_dir):
+    """APPLY side of span_dedup_stats (the C4/RefinedWeb scrubbing
+    step): tokens covered by any duplicate 8-gram span are cut, first
+    occurrences survive, and the scrubbed normalized token stream is
+    re-emitted — compared by md5 so the driver hash pins the full
+    reconstructed text byte-for-byte.  One extra posexplode +
+    (doc,pos) anti-join + per-doc sorted re-aggregation over the stats
+    shape; linear in corpus tokens."""
+    out = curation.span_dedup_scrub(load(spark, sf_dir, "documents"), 8)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("text").alias("text_hash")
+    )
 
 
 #: deterministic PII augmentation both engines build identically — the

@@ -23,7 +23,9 @@ corpus is a 6,000-page crawl):
   duplicate spans, and the per-doc fraction of token positions they
   cover is the removable mass a scrubber would cut.  First-wins is a
   partial ``min(struct)`` aggregation, so boilerplate grams combine
-  map-side and never concentrate state.
+  map-side and never concentrate state.  :func:`span_dedup_scrub` is the
+  apply side: covered tokens cut, first occurrences kept, scrubbed
+  normalized stream re-emitted.
 * :func:`pii_scrub` — redact emails, IPv4 addresses, and long digit
   runs with typed placeholder tokens, counting each redaction class.
   Pure ``regexp_replace``/``regexp_count`` JVM expressions (whole-stage
@@ -287,6 +289,68 @@ def span_dedup_stats(docs: DataFrame, n: int = 8) -> DataFrame:
                 ).otherwise(F.lit(0.0)),
                 ROUND,
             ).alias("dup_token_frac"),
+        )
+    )
+
+
+def span_dedup_scrub(docs: DataFrame, n: int = 8) -> DataFrame:
+    """APPLY side of :func:`span_dedup_stats` — remove every token
+    covered by a duplicate span and re-emit the scrubbed text:
+
+    (doc_id, n_tokens, n_removed, text)
+
+    First occurrences (corpus order) survive; only later copies are
+    cut, so a deduplicated corpus keeps exactly one copy of every
+    boilerplate span (the C4/RefinedWeb scrubbing step, word-n-gram
+    flavor).  Output ``text`` is the NORMALIZED token stream
+    (lowercased, single-spaced) — the same stream every downstream
+    curation operator tokenizes to, re-joined after the cut.
+
+    Shape at scale: the stats shuffles plus one posexplode of the
+    token stream, one anti-join against the covered positions on
+    (doc, pos) — both sides partial/partitioned, no driver state —
+    and one per-doc sorted re-aggregation.  All linear in corpus
+    tokens."""
+    t = _toks()
+    base = docs.select(
+        "doc_id", F.size(t).alias("n_tokens"), t.alias("toks"), _grams(n).alias("grams")
+    )
+    occ = (
+        base.select("doc_id", F.posexplode_outer("grams").alias("pos", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", "pos", F.md5("gram").alias("g"))
+    )
+    firsts = occ.groupBy("g").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    dups = occ.join(firsts, "g").filter(
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("pos") != F.col("first.pos"))
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("i"),
+    ).distinct()
+    tokpos = base.select(
+        "doc_id", F.posexplode_outer("toks").alias("i", "tok")
+    ).filter(F.col("tok").isNotNull())
+    kept = tokpos.join(covered, ["doc_id", "i"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("text", F.lit("")).alias("text"),
         )
     )
 

@@ -366,3 +366,36 @@ def test_span_dedup_first_wins_order(spark):
             for r in curation.span_dedup_stats(df, n).collect()
         }
         assert got[min(a, b)] == 0 and got[max(a, b)] == 1
+
+
+def test_span_dedup_scrub(spark):
+    """Scrub removes exactly the covered positions of later copies and
+    rebuilds the normalized stream in position order."""
+    n = 3
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "web"),
+        (1, "intro alpha beta gamma delta closing words", "web"),
+        (2, "alpha beta gamma delta epsilon", "web"),   # full duplicate
+        (3, "x y z pad x y z", "web"),                  # within-doc repeat
+        (4, "too short", "web"),
+        (5, "", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in curation.span_dedup_scrub(df, n).collect()
+    }
+    assert got[0] == (5, 0, "alpha beta gamma delta epsilon")  # original intact
+    assert got[2] == (5, 5, "")                                # full dup emptied
+    # doc 1: dup grams at positions 1,2 cover tokens 1..4
+    assert got[1] == (7, 4, "intro closing words")
+    # doc 3: second "x y z" (positions 4..6) cut
+    assert got[3] == (7, 3, "x y z pad")
+    assert got[4] == (2, 0, "too short")                       # below n: untouched
+    assert got[5] == (0, 0, "")
+    # removal counts agree with the stats op's covered-token counts
+    stats = {
+        r["doc_id"]: r["n_dup_tokens"]
+        for r in curation.span_dedup_stats(df, n).collect()
+    }
+    assert {d: v[1] for d, v in got.items()} == stats
