@@ -967,6 +967,21 @@ def _one_index_stats(spark, root: str) -> dict:
     }
 
 
+def cmd_check(args: argparse.Namespace) -> None:
+    """Index integrity audit (fsck) — recompute every derivable
+    statistic from the posting blocks and cross-check the idf/doclen/
+    meta artifacts; --deep decodes every blob (index/check.py)."""
+    from .index.check import check_index
+
+    spark = _spark(args.cores)
+    t0 = time.time()
+    rep = check_index(spark, args.index, deep=args.deep)
+    rep["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(rep))
+    if not rep["ok"]:
+        raise SystemExit(2)
+
+
 def cmd_stats(args: argparse.Namespace) -> None:
     """Index status — the /index-status + /api/indexer/stats analog
     (ReindexController.java:106-155, IndexController.java:41-233).
@@ -1626,6 +1641,15 @@ def main(argv: list[str] | None = None) -> None:
     st = sub.add_parser("stats", help="index status / statistics")
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    ck = sub.add_parser(
+        "check",
+        help="index integrity audit (fsck): cross-check blocks vs "
+        "idf/doclen/meta; --deep decodes every blob",
+    )
+    ck.add_argument("--index", required=True)
+    ck.add_argument("--deep", action="store_true")
+    ck.set_defaults(fn=cmd_check)
 
     cu = sub.add_parser(
         "curate",
