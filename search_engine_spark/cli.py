@@ -975,7 +975,16 @@ def cmd_check(args: argparse.Namespace) -> None:
 
     spark = _spark(args.cores)
     t0 = time.time()
-    rep = check_index(spark, args.index, deep=args.deep)
+    roots = [p for p in args.index.split(",") if p]
+    if len(roots) == 1:
+        rep = check_index(spark, roots[0], deep=args.deep)
+    else:  # segmented (LSM) index: audit each segment root
+        segs = {r: check_index(spark, r, deep=args.deep) for r in roots}
+        rep = {
+            "ok": all(s["ok"] for s in segs.values()),
+            "errors": [e for s in segs.values() for e in s["errors"]],
+            "segments": segs,
+        }
     rep["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(rep))
     if not rep["ok"]:
