@@ -36,6 +36,8 @@ ORACLES: dict[str, str] = {}
 #: any truncation at the tail.
 PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
+    "transcripts_query_string",  # r4: unified query string (ES bool query)
+    "transcripts_query_string_filtered",  # r4: + field filters/boost/msm
     "decontaminate_overlap",  # r4: benchmark n-gram decontamination
     "repetition_stats",  # r4: Gopher repetition/boilerplate measures
     "span_dedup_stats",  # r4: RefinedWeb exact duplicate-span measure
@@ -3060,6 +3062,77 @@ def transcripts_bm25_scoped(spark, sf_dir):
     return idx.topk(
         "term0001 term0002", "disjunctive", 10,
         scope=corpus.filter("role = 'assistant'"),
+    ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+def _query_string_oracle_sql(
+    query_text: str, k: int = 10, min_should_match=None
+) -> str:
+    """VALUES oracle for unified query strings: the pure-Python bool
+    resolver + scorer (oracle_query_string — shares only the grammar
+    module with the engine) over the deterministic xs corpus."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_query_string
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_query_string(
+        idx, query_text, k, transcripts=pdf, min_should_match=min_should_match
+    )
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score FROM "
+            "(VALUES ('', 0, 0.0)) t(conv_id, turn_idx, score) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(score)!r})" for key, score in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score)"
+    )
+
+
+_QS_MIXED = '+term0001 "term0002 term0003" -term0004 term000* merg~'
+_QS_FILTERED = "+role:assistant -tool:bash term0001 term0002^2 term0003"
+
+
+@q("transcripts_query_string", _query_string_oracle_sql(_QS_MIXED, 10))
+def transcripts_query_string(spark, sf_dir):
+    """Unified query string (ES query_string / Lucene bool query): one
+    string composing must/should/must_not occurrence, a positional
+    phrase, a prefix expansion, and a fuzzy expansion — parsed by the
+    SHARED grammar (boolquery.py), resolved against the index
+    vocabulary, executed as ONE grouped bool-candidates kernel over the
+    bucket-pruned postings scan (operators/querystring.py).  No
+    reference analog (QueryService.java:80-104 dispatches one mode per
+    request); semantics follow the public Lucene/ES bool contract."""
+    from .operators.querystring import search_query_string
+
+    idx = _xs_index(spark)
+    return search_query_string(idx, _QS_MIXED, 10).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+@q(
+    "transcripts_query_string_filtered",
+    _query_string_oracle_sql(_QS_FILTERED, 10, min_should_match=2),
+)
+def transcripts_query_string_filtered(spark, sf_dir):
+    """Query string with filter-context field clauses (+NULL contract:
+    a NULL tool always passes ``-tool:bash``), a per-term boost, and
+    minimum_should_match=2 — filters compile to ONE column-pruned
+    predicate on the corpus metadata scan and reach the kernels as the
+    existing cogrouped allow set (filter-context scoring: corpus-global
+    stats)."""
+    from .corpus import generate_transcripts
+    from .operators.querystring import search_query_string
+
+    idx = _xs_index(spark)
+    meta = spark.createDataFrame(generate_transcripts("xs"))
+    return search_query_string(
+        idx, _QS_FILTERED, 10, meta=meta, min_should_match=2
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
 
 

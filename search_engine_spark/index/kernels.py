@@ -752,3 +752,69 @@ def _sloppy_phrase_candidates(
     gap = (cur & 0xFFFFFFFF) - (start & 0xFFFFFFFF) - (len(ordered_terms) - 1)
     hit = gap <= slop
     return cand[np.unique(start[hit] >> 32)]
+
+
+def _group_docs_union(
+    plists: dict[str, TermPostings], group: tuple
+) -> np.ndarray:
+    """Union of one clause's alternative-term doc lists (sorted unique).
+    Each term's doc_ids are already sorted unique, so the single-term
+    case (the common one) is zero-copy."""
+    arrs = [
+        plists[t].doc_ids
+        for t in group
+        if t in plists and plists[t].doc_ids.size
+    ]
+    if not arrs:
+        return np.empty(0, dtype=np.int64)
+    if len(arrs) == 1:
+        return arrs[0]
+    return np.unique(np.concatenate(arrs))
+
+
+def bool_candidates(plists: dict[str, TermPostings], bc) -> np.ndarray:
+    """Candidate docs of a resolved bool query (boolquery.BoolClauses):
+    ``must₁ ∩ … ∩ mustₘ ∩ {docs matching ≥ min_should should clauses}
+    − must_not…`` — vectorized set algebra over the same sorted posting
+    arrays every other mode decodes.
+
+    Scale shape: the must intersection is bounded by the RAREST must
+    clause and shrinks monotonically; the should counting is one
+    concatenate + unique-with-counts pass (the msm_candidates shape);
+    phrases reuse the packed-key alignment kernels.  No per-doc Python
+    loop anywhere.
+    """
+    must_sets = [_group_docs_union(plists, g) for g in bc.must_groups]
+    must_sets += [
+        phrase_candidates(list(terms), plists, slop)
+        for terms, slop in bc.must_phrases
+    ]
+    cand: np.ndarray | None = None
+    for s in sorted(must_sets, key=lambda a: a.size):  # rarest first
+        cand = s if cand is None else np.intersect1d(cand, s, assume_unique=True)
+        if cand.size == 0:
+            return cand
+    if bc.min_should >= 1:
+        sets = [_group_docs_union(plists, g) for g in bc.should_groups]
+        sets += [
+            phrase_candidates(list(terms), plists, slop)
+            for terms, slop in bc.should_phrases
+        ]
+        sets = [s for s in sets if s.size]
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        docs, counts = np.unique(np.concatenate(sets), return_counts=True)
+        sh = docs[counts >= bc.min_should]
+        cand = sh if cand is None else np.intersect1d(cand, sh, assume_unique=True)
+    assert cand is not None  # resolver guarantees must or min_should>=1
+    for g in bc.not_groups:
+        if cand.size == 0:
+            return cand
+        cand = np.setdiff1d(cand, _group_docs_union(plists, g), assume_unique=True)
+    for terms, slop in bc.not_phrases:
+        if cand.size == 0:
+            return cand
+        cand = np.setdiff1d(
+            cand, phrase_candidates(list(terms), plists, slop), assume_unique=True
+        )
+    return cand

@@ -48,6 +48,7 @@ from .reader import (
     CompressedIndex,
     Tombstones,
     _batch_term_sets,
+    _fetch_terms,
     _lru_topk,
     _make_batch_kernel,
     _make_group_kernel,
@@ -638,6 +639,7 @@ class MultiIndex:
         analyzed: bool = False,
         min_match: int = 1,
         search_after: tuple | None = None,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """Top-k across all segments → DataFrame(conv_id, turn_idx,
         score); identical to a single index built over the union.
@@ -652,15 +654,14 @@ class MultiIndex:
                 "search_after (its bounded heap has no candidate-exclusion "
                 "hook); use algo='auto' or 'exact'"
             )
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
         if spec is None:
             return empty
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_group_kernel(
             spec, idf, self.avgdl, k, algo, with_ties=True,
@@ -697,6 +698,7 @@ class MultiIndex:
         analyzed: bool = False,
         min_match: int = 1,
         search_after: tuple | None = None,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """Conversation-collapsed top-k across segments → DataFrame
         (conv_id, turn_idx, score).  A conversation CAN span segments
@@ -723,15 +725,14 @@ class MultiIndex:
                 "paginate on per-segment bests, not its global best); "
                 "compact first or paginate turn-level topk"
             )
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
         if spec is None:
             return empty
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_collapse_kernel(
             spec, idf, self.avgdl, k, with_ties=True,
@@ -771,18 +772,18 @@ class MultiIndex:
         scope: DataFrame | None = None,
         analyzed: bool = False,
         min_match: int = 1,
+        spec: "QuerySpec | None" = None,
     ) -> int:
         """Total matching documents across all segments (totalResults
         analog) — per-(seg, group) counts sum because segments and
         groups hold disjoint documents."""
         from .reader import _make_count_kernel
 
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         if spec is None:
             return 0
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = self.idf_map(spec.score_terms)
         kernel = _make_count_kernel(
             spec, idf, self.avgdl, exclude=self._effective_exclude(tombstones),
@@ -810,19 +811,19 @@ class MultiIndex:
         scope: DataFrame | None = None,
         analyzed: bool = False,
         min_match: int = 1,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """ALL matching documents across segments → DataFrame(conv_id,
         turn_idx) — the candidate set :meth:`match_count` sizes,
         materialized for faceting and metadata joins."""
         from .reader import MATCHES_SCHEMA, _make_matches_kernel
 
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
         if spec is None:
             return empty
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = self.idf_map(spec.score_terms)
         kernel = _make_matches_kernel(
             spec, idf, self.avgdl, exclude=self._effective_exclude(tombstones),
@@ -864,9 +865,7 @@ class MultiIndex:
         )
         if spec is None:
             return empty
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_scored_matches_kernel(
             spec, idf, self.avgdl, exclude=self._effective_exclude(tombstones),

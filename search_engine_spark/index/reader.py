@@ -53,6 +53,7 @@ from .kernels import (
     TermPostings,
     _cut_topk,
     blockmax_topk,
+    bool_candidates,
     conjunctive_candidates,
     exact_topk,
     msm_candidates,
@@ -84,6 +85,21 @@ class QuerySpec:
     # marker.  variants == [] (prefix matched nothing) → no matches.
     phrase_prefix: str | None = None
     variants: list[str] | None = None
+    # mode == "bool": the resolved unified-query-string clauses
+    # (boolquery.BoolClauses) — built by operators/querystring.py, whose
+    # vocabulary expansions need index access, so parse_query never
+    # produces this mode itself.  score_terms == clauses.positive_terms.
+    bool_clauses: object | None = None
+
+
+def _fetch_terms(spec: "QuerySpec") -> list[str]:
+    """Full posting-fetch set of one spec: scoring terms, boolean-mode
+    phrase operands, and (bool mode) must_not terms — whose posting
+    lists drive the exclusion set algebra without ever scoring."""
+    base = set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+    if spec.bool_clauses is not None:
+        base |= set(spec.bool_clauses.all_terms)
+    return sorted(base)
 
 
 def parse_query(
@@ -938,6 +954,7 @@ class CompressedIndex:
         analyzed: bool = False,
         min_match: int = 1,
         search_after: tuple | None = None,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """Top-k → DataFrame(conv_id, turn_idx, score), oracle-identical.
 
@@ -973,15 +990,12 @@ class CompressedIndex:
                 "search_after (its bounded heap has no candidate-exclusion "
                 "hook); use algo='auto' or 'exact'"
             )
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int, score double")
         if spec is None:
             return empty
-        fetch_terms = sorted(
-            set(spec.score_terms)
-            | set(spec.phrase_a or [])
-            | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         avgdl = self.avgdl
         # dense (streaming/arrival-ordered) doc ids are not isomorphic to
@@ -1026,6 +1040,7 @@ class CompressedIndex:
         analyzed: bool = False,
         min_match: int = 1,
         search_after: tuple | None = None,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """Conversation-collapsed top-k → DataFrame(conv_id, turn_idx,
         score): rank CONVERSATIONS by their best-matching turn (the
@@ -1045,15 +1060,14 @@ class CompressedIndex:
                 "kernel collapses on the rank bits (dense streaming indexes: "
                 "compact first)"
             )
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )
         if spec is None:
             return empty
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_collapse_kernel(
             spec, idf, self.avgdl, k, with_ties=self.tie_safe,
@@ -1085,17 +1099,17 @@ class CompressedIndex:
         scope: DataFrame | None = None,
         analyzed: bool = False,
         min_match: int = 1,
+        spec: "QuerySpec | None" = None,
     ) -> int:
         """Total matching documents (the reference's totalResults field,
         served by every /api/search response for pagination): size of
         the candidate set :meth:`topk` ranks, via one grouped count pass
         over the same bucket-pruned postings scan."""
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         if spec is None:
             return 0
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = self.idf_map(spec.score_terms)
         kernel = _make_count_kernel(
             spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones),
@@ -1124,17 +1138,17 @@ class CompressedIndex:
         scope: DataFrame | None = None,
         analyzed: bool = False,
         min_match: int = 1,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """ALL matching documents → DataFrame(conv_id, turn_idx) — the
         candidate set :meth:`match_count` sizes, materialized for
         faceting and metadata joins.  Output is O(matches)."""
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], "conv_id string, turn_idx int")
         if spec is None:
             return empty
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = self.idf_map(spec.score_terms)
         kernel = _make_matches_kernel(
             spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones),
@@ -1171,9 +1185,7 @@ class CompressedIndex:
         )
         if spec is None:
             return empty
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         idf = _weighted_idf(self.idf_map(spec.score_terms), spec)
         kernel = _make_scored_matches_kernel(
             spec, idf, self.avgdl, exclude=self._resolve_tomb(tombstones),
@@ -1226,9 +1238,7 @@ class CompressedIndex:
         every count/matches kernel runs — one group's pruned postings,
         1/num_groups of a query's kernel work).  Empty when the doc does
         not match the query."""
-        fetch_terms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
-        )
+        fetch_terms = _fetch_terms(spec)
         kernel = _make_explain_kernel(
             spec, idf, avgdl, doc_id, getattr(self, "turn_bits", TURN_BITS)
         )
@@ -1458,6 +1468,8 @@ def _score_spec(
         cand = _phrase_cand(spec, plists)
     elif spec.mode == "near":
         cand = near_candidates(spec.score_terms, plists, spec.slop)
+    elif spec.mode == "bool":
+        cand = bool_candidates(plists, spec.bool_clauses)
     else:  # boolean
         la = phrase_candidates(spec.phrase_a or [], plists)
         rb = phrase_candidates(spec.phrase_b or [], plists)
@@ -1507,6 +1519,8 @@ def _candidates_spec(
         cand = _phrase_cand(spec, plists)
     elif spec.mode == "near":
         cand = near_candidates(spec.score_terms, plists, spec.slop)
+    elif spec.mode == "bool":
+        cand = bool_candidates(plists, spec.bool_clauses)
     else:
         la = phrase_candidates(spec.phrase_a or [], plists)
         rb = phrase_candidates(spec.phrase_b or [], plists)

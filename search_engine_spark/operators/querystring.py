@@ -1,0 +1,169 @@
+"""Unified query-string search — the ES ``query_string`` / Lucene
+``BooleanQuery`` execution face over one string::
+
+    search_query_string(idx, '+kubernetes "pod evict"~1 -role:system error^2 time*')
+
+Grammar and semantics live in :mod:`search_engine_spark.boolquery`
+(SHARED with the pure-Python oracle, so both sides parse and resolve
+clauses identically); this module supplies the two things the shared
+resolver cannot: vocabulary expansions (one pushed idf-table scan per
+marker kind — the same cap/rank contracts as the standalone expansion
+modes) and the filter-context scope (field filters compile to ONE
+column-pruned predicate on the corpus metadata scan, handed to the
+kernels as the existing cogrouped allow set).
+
+Physical plan: identical to every other query mode — a bucket-pruned
+postings scan for the clause terms (must_not terms included: their
+posting lists drive the exclusion set algebra), ONE grouped Arrow
+kernel computing the bool candidate set and scoring it (kernels.
+bool_candidates + exact_topk), broadcast label join, global top-k cut.
+No new shuffle anywhere; at 10^12 turns the cost profile is the
+conjunctive/phrase class (bounded by the rarest must clause), never
+O(corpus).
+
+Works identically over a single ``CompressedIndex`` and a segmented
+``MultiIndex`` (expansion runs over the union vocabulary; shadow/
+tombstone exclusion composes through the common kernel tail).
+
+No reference analog (the reference serves one mode per request —
+QueryService.java:80-104 dispatches phrase/boolean/term exclusively);
+the grammar follows the public Lucene/ES contracts cited in
+``boolquery``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..boolquery import (
+    ParsedQS,
+    QSFilter,
+    marker_values,
+    parse_query_string,
+    resolve_query_string,
+)
+from ..index.reader import QuerySpec
+from ..oracle import FUZZY_CAP, PREFIX_CAP
+
+
+def _engine_expansions(index, parsed: ParsedQS) -> dict:
+    """Marker-clause expansions via the index's vocabulary scans —
+    one batched, pushed idf-table job per marker kind present."""
+    vals = marker_values(parsed.clauses)
+    out: dict[tuple[str, str], list[str]] = {}
+    for kind, meth, cap in (
+        ("prefix", "_prefix_expansions", PREFIX_CAP),
+        ("wildcard", "_wildcard_expansions", PREFIX_CAP),
+        ("regexp", "_regexp_expansions", PREFIX_CAP),
+        ("fuzzy", "_fuzzy_expansions", FUZZY_CAP),
+    ):
+        if vals.get(kind):
+            for v, terms in getattr(index, meth)(vals[kind], cap).items():
+                out[(kind, v)] = terms
+    return out
+
+
+def compile_query_string(
+    index, query_text: str, min_should_match: int | None = None
+) -> tuple[QuerySpec, tuple[QSFilter, ...]]:
+    """Parse + expand one query string against ``index``'s vocabulary →
+    a kernel-ready ``QuerySpec(mode="bool")`` plus its field filters.
+    The spec feeds any reader entry point that takes ``spec=`` (topk,
+    topk_conversations, match_count, matches)."""
+    parsed = parse_query_string(query_text)
+    res = resolve_query_string(
+        parsed, _engine_expansions(index, parsed), min_should_match
+    )
+    spec = QuerySpec(
+        "bool",
+        list(res.clauses.positive_terms),
+        weights=res.weights,
+        bool_clauses=res.clauses,
+    )
+    return spec, parsed.filters
+
+
+def filters_condition(filters) -> "F.Column":
+    """Field filters → ONE boolean Column over the corpus metadata.
+    NULL contract (pinned by tests + oracle `qs_filter_keys`): a NULL
+    field never equals a positive value and always passes a negated
+    one — ``eqNullSafe``, not ``=``/``!=`` (whose NULL rows vanish)."""
+    cond = F.lit(True)
+    for f in filters:
+        eq = F.col(f.field).eqNullSafe(F.lit(f.value))
+        cond = cond & (~eq if f.negated else eq)
+    return cond
+
+
+def _scope_for(meta: DataFrame | None, filters, query_text: str):
+    if not filters:
+        return None
+    if meta is None:
+        raise ValueError(
+            f"query string {query_text!r} has field filters "
+            f"({', '.join(f.field for f in filters)}); pass meta= (the "
+            "transcripts frame or any frame with conv_id/turn_idx + the "
+            "filtered columns)"
+        )
+    return meta.filter(filters_condition(filters))
+
+
+def search_query_string(
+    index,
+    query_text: str,
+    k: int = 10,
+    meta: DataFrame | None = None,
+    min_should_match: int | None = None,
+    tombstones: list | None = None,
+    search_after: tuple | None = None,
+    collapse: bool = False,
+) -> DataFrame:
+    """Top-k for a unified query string → DataFrame(conv_id, turn_idx,
+    score), oracle-identical (``oracle_query_string``).
+
+    ``meta`` (the corpus metadata; column-pruned to keys + filtered
+    fields by Catalyst) is required iff the query carries
+    ``field:value`` filters.  ``collapse=True`` returns one best turn
+    per conversation (the field-collapsing contract).  ``tombstones``
+    and ``search_after`` compose exactly as on :meth:`topk`."""
+    spec, filters = compile_query_string(index, query_text, min_should_match)
+    scope = _scope_for(meta, filters, query_text)
+    if not spec.bool_clauses.all_terms:
+        # every clause analyzer-dropped or expansion-emptied: no
+        # postings to scan — return the typed empty frame directly
+        return index.spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+    if collapse:
+        if search_after is not None:
+            raise ValueError(
+                "collapse + search_after is not supported (see "
+                "topk_conversations)"
+            )
+        return index.topk_conversations(
+            query_text, "bool", k, tombstones=tombstones, scope=scope,
+            spec=spec,
+        )
+    return index.topk(
+        query_text, "bool", k, tombstones=tombstones, scope=scope,
+        search_after=search_after, spec=spec,
+    )
+
+
+def count_query_string(
+    index,
+    query_text: str,
+    meta: DataFrame | None = None,
+    min_should_match: int | None = None,
+    tombstones: list | None = None,
+) -> int:
+    """Matching-document count (totalResults) for a unified query
+    string — sizes the exact candidate set :func:`search_query_string`
+    ranks (oracle: ``oracle_query_string_count``)."""
+    spec, filters = compile_query_string(index, query_text, min_should_match)
+    scope = _scope_for(meta, filters, query_text)
+    if not spec.bool_clauses.all_terms:
+        return 0
+    return index.match_count(
+        query_text, "bool", tombstones=tombstones, scope=scope, spec=spec
+    )

@@ -1909,3 +1909,145 @@ def golden_stats(index: OracleIndex) -> dict:
         "n_terms": len(index.postings),
         "n_postings": sum(len(v) for v in index.postings.values()),
     }
+
+
+# -- unified query strings (ES query_string / Lucene bool query) ------
+
+def _oracle_qs_expansions(index: OracleIndex, parsed) -> dict:
+    """Marker-clause expansions for one parsed query string, keyed
+    (kind, value) — the oracle face of the engine's per-kind vocabulary
+    scans (same rank/cap contracts as the standalone expansion modes)."""
+    from .boolquery import marker_values
+
+    vals = marker_values(parsed.clauses)
+    out: dict[tuple[str, str], list[str]] = {}
+    for kind, fn, cap in (
+        ("prefix", _oracle_prefix_expansions, PREFIX_CAP),
+        ("wildcard", _oracle_wildcard_expansions, PREFIX_CAP),
+        ("regexp", _oracle_regexp_expansions, PREFIX_CAP),
+        ("fuzzy", _oracle_fuzzy_expansions, FUZZY_CAP),
+    ):
+        for v, terms in fn(index, vals.get(kind, []), cap).items():
+            out[(kind, v)] = terms
+    return out
+
+
+def _oracle_group_docs(index: OracleIndex, group) -> set:
+    docs: set[DocKey] = set()
+    for t in group:
+        docs.update(key for key, _f, _p in index.postings.get(t, ()))
+    return docs
+
+
+def _oracle_bool_docs(index: OracleIndex, bc) -> set:
+    """Candidate set of a resolved bool query — set algebra over the
+    same per-clause match sets the engine's kernel computes with numpy
+    (must ∩ … ∩ should≥m − must_not…)."""
+    must_sets = [_oracle_group_docs(index, g) for g in bc.must_groups]
+    must_sets += [
+        _phrase_match_docs(index, list(terms), slop)
+        for terms, slop in bc.must_phrases
+    ]
+    cand: set[DocKey] | None = None
+    for s in must_sets:
+        cand = s if cand is None else cand & s
+    if bc.min_should >= 1:
+        counts: dict[DocKey, int] = {}
+        should_sets = [_oracle_group_docs(index, g) for g in bc.should_groups]
+        should_sets += [
+            _phrase_match_docs(index, list(terms), slop)
+            for terms, slop in bc.should_phrases
+        ]
+        for s in should_sets:
+            for key in s:
+                counts[key] = counts.get(key, 0) + 1
+        sh = {key for key, n in counts.items() if n >= bc.min_should}
+        cand = sh if cand is None else cand & sh
+    assert cand is not None  # resolver guarantees must or min_should>=1
+    for g in bc.not_groups:
+        cand -= _oracle_group_docs(index, g)
+    for terms, slop in bc.not_phrases:
+        cand -= _phrase_match_docs(index, list(terms), slop)
+    return cand
+
+
+def qs_filter_keys(transcripts: pd.DataFrame, filters) -> set:
+    """Field filters → matching (conv_id, turn_idx) keys, with the
+    missing-value contract both sides pin: a NULL field never equals a
+    positive filter value and always passes a negated one (the engine's
+    ``eqNullSafe`` mirror)."""
+    mask = pd.Series(True, index=transcripts.index)
+    for f in filters:
+        eq = (transcripts[f.field] == f.value).fillna(False)
+        mask &= ~eq if f.negated else eq
+    sub = transcripts[mask]
+    return {
+        (str(c), int(t))
+        for c, t in zip(sub["conv_id"], sub["turn_idx"])
+    }
+
+
+def oracle_query_string(
+    index: OracleIndex,
+    query_text: str,
+    k: int = 10,
+    transcripts: pd.DataFrame | None = None,
+    min_should_match: int | None = None,
+    scope: set | None = None,
+    after: tuple | None = None,
+) -> list[tuple[DocKey, float]]:
+    """Golden top-k for a unified query string (``boolquery`` grammar:
+    +must / -must_not / should, phrases with slop, field filters,
+    expansion markers, ^boosts).  ``transcripts`` is required when the
+    query carries ``field:value`` filters (they resolve against the
+    corpus metadata); an explicit ``scope`` intersects on top."""
+    from .boolquery import parse_query_string, resolve_query_string
+
+    parsed = parse_query_string(query_text)
+    if parsed.filters and transcripts is None:
+        raise ValueError(
+            f"query string {query_text!r} has field filters; "
+            "pass the transcripts frame to resolve them"
+        )
+    res = resolve_query_string(
+        parsed, _oracle_qs_expansions(index, parsed), min_should_match
+    )
+    docs = _oracle_bool_docs(index, res.clauses)
+    if parsed.filters:
+        docs &= qs_filter_keys(transcripts, parsed.filters)
+    if scope is not None:
+        docs &= scope
+    scores = _score_candidates(
+        index, list(res.clauses.positive_terms), docs, res.weights
+    )
+    return _finish(scores, k, after)
+
+
+def oracle_query_string_count(
+    index: OracleIndex,
+    query_text: str,
+    transcripts: pd.DataFrame | None = None,
+    min_should_match: int | None = None,
+    scope: set | None = None,
+) -> int:
+    """Matching-doc count (totalResults) for a unified query string —
+    the candidate set top-k draws from, BEFORE the score>0 cut (a
+    candidate all of whose scoring terms were dropped still counts,
+    matching the engine's match_count contract)."""
+    from .boolquery import parse_query_string, resolve_query_string
+
+    parsed = parse_query_string(query_text)
+    if parsed.filters and transcripts is None:
+        raise ValueError(
+            f"query string {query_text!r} has field filters; "
+            "pass the transcripts frame to resolve them"
+        )
+    res = resolve_query_string(
+        parsed, _oracle_qs_expansions(index, parsed), min_should_match
+    )
+    docs = _oracle_bool_docs(index, res.clauses)
+    if parsed.filters:
+        docs &= qs_filter_keys(transcripts, parsed.filters)
+    if scope is not None:
+        docs &= scope
+    return len(docs)

@@ -1,0 +1,365 @@
+"""Unified query strings (ES query_string / Lucene bool query) vs the
+pure-Python oracle, plus cross-mode identities against the standalone
+tested modes.
+
+Layers:
+* grammar — parse_query_string structure + every documented loud error;
+* resolution — stopword-drop vs expansion-empty, min_should defaults,
+  boost largest-wins (shared resolver, so one test covers both sides);
+* engine == oracle on a battery of mixed query strings (top-k AND
+  match counts), incl. field filters with the NULL contract;
+* cross-mode identities: a query string that degenerates to a standing
+  mode must return that mode's exact rows (the standing modes carry
+  their own oracle certification, so this doubles the certification);
+* composition: tombstones, search_after, collapse, MultiIndex
+  segmented identity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.boolquery import (
+    parse_query_string,
+    resolve_query_string,
+)
+from search_engine_spark.config import BuildConfig
+from search_engine_spark.corpus import generate_transcripts
+from search_engine_spark.index.build import build_index
+from search_engine_spark.index.multi import MultiIndex
+from search_engine_spark.index.reader import CompressedIndex
+from search_engine_spark.oracle import (
+    build_oracle_index,
+    oracle_query_string,
+    oracle_query_string_count,
+)
+from search_engine_spark.operators.querystring import (
+    compile_query_string,
+    count_query_string,
+    search_query_string,
+)
+
+
+@pytest.fixture(scope="module")
+def xs_pdf():
+    return generate_transcripts("xs")
+
+
+@pytest.fixture(scope="module")
+def xs_df(spark, xs_pdf):
+    return spark.createDataFrame(xs_pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def xs_index(spark, xs_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("qs") / "idx")
+    build_index(spark, xs_df, out, BuildConfig(num_groups=2))
+    return CompressedIndex(spark, out)
+
+
+@pytest.fixture(scope="module")
+def xs_oracle(xs_pdf):
+    return build_oracle_index(xs_pdf)
+
+
+def _rows(df):
+    return [
+        ((r["conv_id"], r["turn_idx"]), round(float(r["score"]), 9))
+        for r in df.collect()
+    ]
+
+
+def _oracle_rows(pairs):
+    return [((c, t), round(float(s), 9)) for (c, t), s in pairs]
+
+
+# -- grammar ----------------------------------------------------------
+
+def test_parse_structure():
+    p = parse_query_string('+alpha -beta gamma^2 "a b"~1 -role:system tool:bash')
+    occurs = [(c.occur, c.kind, c.value) for c in p.clauses]
+    assert occurs == [
+        ("must", "term", "alpha"),
+        ("not", "term", "beta"),
+        ("should", "term", "gamma"),
+        ("should", "phrase", "a b"),
+    ]
+    assert p.clauses[2].boost == 2.0
+    assert p.clauses[3].slop == 1
+    assert [(f.field, f.value, f.negated) for f in p.filters] == [
+        ("role", "system", True), ("tool", "bash", False),
+    ]
+
+
+def test_parse_markers():
+    p = parse_query_string("pre* wild*card fuz~ fuz~1 /re[gx]/ plain")
+    assert [(c.marker, c.value) for c in p.clauses] == [
+        ("prefix", "pre"),
+        ("wildcard", "wild*card"),
+        ("fuzzy", "fuz"),
+        ("fuzzy", "fuz"),  # ~1 normalizes to the bare ~ form
+        ("regexp", "re[gx]"),
+        (None, "plain"),
+    ]
+
+
+@pytest.mark.parametrize("bad", [
+    'unbalanced "quote',
+    "date:2020 term",  # unknown filter field
+    "-term0001",  # no positive clause
+    "-role:system",  # filter-only
+    "term~2 other",  # fuzzy distance > 1
+    "term^0 other",  # non-positive boost
+    "",
+])
+def test_parse_loud_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query_string(bad)
+
+
+def test_phrase_boost_rejected():
+    with pytest.raises(ValueError, match="phrase boost"):
+        parse_query_string('"a b^2" c')
+
+
+# -- resolution (shared) ----------------------------------------------
+
+def test_stopword_must_drops_but_empty_expansion_blocks():
+    # `+the` analyzes to nothing -> clause drops -> min_should stays 1
+    r = resolve_query_string(parse_query_string("+the term0001"), {})
+    assert r.clauses.must_groups == ()
+    assert r.clauses.min_should == 1
+    # an expansion-emptied must marker stays as an impossible clause
+    r2 = resolve_query_string(
+        parse_query_string("+zzz* term0001"), {("prefix", "zzz"): []}
+    )
+    assert r2.clauses.must_groups == ((),)
+    assert r2.clauses.min_should == 0
+
+
+def test_min_should_default_and_override():
+    r = resolve_query_string(parse_query_string("+alpha beta gamma"), {})
+    assert r.clauses.min_should == 0
+    r = resolve_query_string(parse_query_string("alpha beta gamma"), {})
+    assert r.clauses.min_should == 1
+    r = resolve_query_string(
+        parse_query_string("alpha beta gamma"), {}, min_should_match=2
+    )
+    assert r.clauses.min_should == 2
+    with pytest.raises(ValueError):
+        resolve_query_string(
+            parse_query_string("alpha beta"), {}, min_should_match=0
+        )
+
+
+def test_boost_largest_wins():
+    r = resolve_query_string(parse_query_string("term0001^2 term0001^3"), {})
+    assert r.weights == {"term0001": 3.0}
+
+
+# -- engine == oracle battery -----------------------------------------
+
+BATTERY = [
+    "+term0001 term0002",
+    "term0001 term0002 -term0003",
+    '+"term0001 term0002" term0005',
+    '+term0001 -"term0002 term0003"',
+    "term000* -term0001",
+    "+role:assistant term0001 term0002",
+    "-tool:bash +term0001",
+    "+term0001 term0002^2.5",
+    '"phrase alpha" beta',
+    "+term0001 +term0002",
+    "merg~ term0002",
+    "+/term000[12]/ term0005",
+    '+term0001 "term0002 term0004"~3',
+]
+
+
+@pytest.mark.parametrize("qs", BATTERY)
+def test_engine_matches_oracle(xs_index, xs_df, xs_pdf, xs_oracle, qs):
+    got = _rows(search_query_string(xs_index, qs, 10, meta=xs_df))
+    want = _oracle_rows(
+        oracle_query_string(xs_oracle, qs, 10, transcripts=xs_pdf)
+    )
+    assert got == want
+    assert count_query_string(xs_index, qs, meta=xs_df) == (
+        oracle_query_string_count(xs_oracle, qs, transcripts=xs_pdf)
+    )
+
+
+def test_min_should_match_two_of_three(xs_index, xs_pdf, xs_oracle):
+    qs = "term0001 term0002 term0003"
+    got = _rows(search_query_string(xs_index, qs, 10, min_should_match=2))
+    want = _oracle_rows(
+        oracle_query_string(xs_oracle, qs, 10, min_should_match=2)
+    )
+    assert got == want
+    assert count_query_string(xs_index, qs, min_should_match=2) == (
+        oracle_query_string_count(xs_oracle, qs, min_should_match=2)
+    )
+
+
+def test_impossible_must_and_all_dropped(xs_index, xs_df):
+    assert search_query_string(xs_index, "+zzzqqq* term0001").count() == 0
+    # all positive clauses analyzer-dropped -> typed empty, no Spark job
+    out = search_query_string(xs_index, "+the of -term0001")
+    assert out.columns == ["conv_id", "turn_idx", "score"]
+    assert out.count() == 0
+    assert count_query_string(xs_index, "+the of -term0001") == 0
+
+
+def test_filters_require_meta(xs_index):
+    with pytest.raises(ValueError, match="field filters"):
+        search_query_string(xs_index, "role:assistant term0001")
+
+
+# -- cross-mode identities --------------------------------------------
+
+def test_degenerate_should_equals_disjunctive(xs_index):
+    got = _rows(search_query_string(xs_index, "term0001 term0002", 10))
+    want = _rows(xs_index.topk("term0001 term0002", "disjunctive", 10))
+    assert got == want
+
+
+def test_degenerate_must_equals_conjunctive(xs_index):
+    got = _rows(search_query_string(xs_index, "+term0001 +term0002", 10))
+    want = _rows(xs_index.topk("term0001 term0002", "conjunctive", 10))
+    assert got == want
+
+
+def test_degenerate_phrase_equals_phrase_mode(xs_index):
+    got = _rows(search_query_string(xs_index, '+"phrase alpha beta"', 10))
+    want = _rows(xs_index.topk('"phrase alpha beta"', "phrase", 10))
+    assert got == want
+
+
+def test_degenerate_not_equals_boolean_not(xs_index):
+    got = _rows(
+        search_query_string(xs_index, '+"term0001" -"term0002"', 10)
+    )
+    want = _rows(
+        xs_index.topk('"term0001" NOT "term0002"', "boolean", 10)
+    )
+    assert got == want
+
+
+def test_degenerate_and_equals_boolean_and(xs_index):
+    got = _rows(
+        search_query_string(xs_index, '+"term0001" +"term0002"', 10)
+    )
+    want = _rows(
+        xs_index.topk('"term0001" AND "term0002"', "boolean", 10)
+    )
+    assert got == want
+
+
+def test_degenerate_or_equals_boolean_or(xs_index):
+    got = _rows(
+        search_query_string(xs_index, '"term0001" "term0002"', 10)
+    )
+    want = _rows(
+        xs_index.topk('"term0001" OR "term0002"', "boolean", 10)
+    )
+    assert got == want
+
+
+# -- composition ------------------------------------------------------
+
+def test_search_after_pages_are_contiguous(xs_index, xs_pdf, xs_oracle):
+    qs = "+term0001 term0002 -term0009"
+    full = _rows(search_query_string(xs_index, qs, 10))
+    p1 = full[:5]
+    # exact engine score for the cursor (the search_after contract)
+    exact = {
+        (r["conv_id"], r["turn_idx"]): float(r["score"])
+        for r in search_query_string(xs_index, qs, 5).collect()
+    }
+    cursor = (exact[p1[-1][0]], p1[-1][0][0], p1[-1][0][1])
+    p2 = _rows(search_query_string(xs_index, qs, 5, search_after=cursor))
+    assert p1 + p2 == full
+    want = _oracle_rows(
+        oracle_query_string(xs_oracle, qs, 5, after=cursor)
+    )
+    assert p2 == want
+
+
+def test_tombstones_equal_oracle_scope(xs_index, xs_pdf, xs_oracle):
+    qs = "+term0001 term0002"
+    dead = "conv-000003"
+    got = _rows(search_query_string(xs_index, qs, 10, tombstones=[dead]))
+    alive = {
+        (str(c), int(t))
+        for c, t in zip(xs_pdf["conv_id"], xs_pdf["turn_idx"])
+        if str(c) != dead
+    }
+    want = _oracle_rows(
+        oracle_query_string(xs_oracle, qs, 10, scope=alive)
+    )
+    assert got == want
+
+
+def test_collapse_one_turn_per_conversation(xs_index, xs_oracle):
+    qs = "+term0001 term0002"
+    got = _rows(search_query_string(xs_index, qs, 5, collapse=True))
+    full = oracle_query_string(xs_oracle, qs, 10**6)
+    best: dict[str, tuple] = {}
+    for (c, t), s in full:  # full is rank-ordered; first hit per conv wins
+        if c not in best:
+            best[c] = ((c, t), round(float(s), 9))
+    want = sorted(best.values(), key=lambda r: (-r[1], r[0][0], r[0][1]))[:5]
+    assert got == want
+    assert len({c for (c, _t), _s in got}) == len(got)
+
+
+def test_multiindex_identity(spark, xs_pdf, xs_df, tmp_path_factory, xs_oracle):
+    d = tmp_path_factory.mktemp("qs_multi")
+    convs = sorted(xs_pdf["conv_id"].unique())
+    half = set(convs[: len(convs) // 2])
+    a = xs_pdf[xs_pdf["conv_id"].isin(half)]
+    b = xs_pdf[~xs_pdf["conv_id"].isin(half)]
+    build_index(spark, spark.createDataFrame(a), str(d / "a"), BuildConfig(num_groups=2))
+    build_index(spark, spark.createDataFrame(b), str(d / "b"), BuildConfig(num_groups=2))
+    mi = MultiIndex(spark, [str(d / "a"), str(d / "b")])
+    for qs in (
+        "+term0001 term0002 -term0003",
+        'term000* +"term0001 term0002"',
+        "+role:assistant term0001 term0002",
+    ):
+        meta = xs_df if "role:" in qs else None
+        pdf = xs_pdf if "role:" in qs else None
+        got = _rows(search_query_string(mi, qs, 10, meta=meta))
+        want = _oracle_rows(
+            oracle_query_string(xs_oracle, qs, 10, transcripts=pdf)
+        )
+        assert got == want
+        assert count_query_string(mi, qs, meta=meta) == (
+            oracle_query_string_count(xs_oracle, qs, transcripts=pdf)
+        )
+
+
+def test_null_field_filter_contract(spark, tmp_path_factory):
+    """A NULL tool never equals a positive filter value and always
+    passes a negated one — pinned on a corpus with an explicit NULL."""
+    pdf = pd.DataFrame({
+        "conv_id": ["c0", "c0", "c1"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user", "assistant", "user"],
+        "text": ["alpha beta", "alpha gamma", "alpha delta"],
+        "tool": ["bash", None, None],
+        "ts": pd.to_datetime(["2026-01-01"] * 3),
+    })
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("qs_null") / "idx")
+    build_index(spark, df, out, BuildConfig(num_groups=1))
+    idx = CompressedIndex(spark, out)
+    oidx = build_oracle_index(pdf)
+    for qs in ("alpha tool:bash", "alpha -tool:bash"):
+        got = _rows(search_query_string(idx, qs, 10, meta=df))
+        want = _oracle_rows(
+            oracle_query_string(oidx, qs, 10, transcripts=pdf)
+        )
+        assert got == want
+    assert count_query_string(idx, "alpha -tool:bash", meta=df) == 2
