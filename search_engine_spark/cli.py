@@ -289,7 +289,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         scope = load_transcripts(spark, args.input).filter(args.where)
     t0 = time.time()  # before expansion: its Spark jobs are part of query latency
     query_text, analyzed = args.query, False
-    expanded = idx.expand_query(args.query)
+    expanded = None if args.mode == "qs" else idx.expand_query(args.query)
     if expanded is not None:
         if args.mode != "disjunctive":
             raise SystemExit(
@@ -312,6 +312,51 @@ def cmd_query(args: argparse.Namespace) -> None:
             raise SystemExit(
                 f'--search-after must be JSON [score, "conv_id", turn_idx]: {e}'
             )
+    if args.mode == "qs":
+        # unified query string (operators/querystring.py): occurrence,
+        # phrases, field filters, expansion markers, and boosts in ONE
+        # string — expansion/synonym rewrites and --algo do not apply
+        # (the grammar carries its own markers; candidates+exact path)
+        if getattr(args, "sort_field", None) or _recency_opts(args) or (
+            getattr(args, "synonyms", False)
+        ):
+            raise SystemExit(
+                "--mode qs does not compose with --sort-field/"
+                "--recency-now/--synonyms"
+            )
+        from .operators.querystring import search_query_string
+
+        meta = None
+        if args.input:
+            from .sources import load_transcripts
+
+            meta = load_transcripts(spark, args.input)
+        rows = search_query_string(
+            idx, args.query, args.k, meta=meta,
+            min_should_match=(min_match if min_match > 1 else None),
+            tombstones=_load_tombstones(args.tombstones),
+            search_after=search_after,
+            collapse=getattr(args, "collapse", False),
+            scope=scope,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "query": args.query,
+                    "mode": "qs",
+                    "seconds": round(time.time() - t0, 3),
+                    "results": [
+                        {
+                            "conv_id": r["conv_id"],
+                            "turn_idx": r["turn_idx"],
+                            "score": r["score"],
+                        }
+                        for r in rows
+                    ],
+                }
+            )
+        )
+        return
     if getattr(args, "sort_field", None):
         if getattr(args, "collapse", False) or _recency_opts(args) or (
             search_after is not None
@@ -1240,8 +1285,12 @@ def main(argv: list[str] | None = None) -> None:
     )
     se.add_argument("--input", required=True, help="transcripts (parquet/table:) for text")
     se.add_argument("--query", required=True)
-    se.add_argument("--mode", default="disjunctive",
-                    choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"])
+    se.add_argument(
+        "--mode", default="disjunctive",
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean", "qs"],
+        help="qs = unified query string (occurrence/phrases/field "
+        "filters/markers/boosts in one string)",
+    )
     se.add_argument("--k", type=int, default=10)
     se.add_argument("--page", type=int, default=1)
     se.add_argument(
@@ -1295,8 +1344,13 @@ def main(argv: list[str] | None = None) -> None:
         help="index root, or comma-separated base,delta,... segment roots",
     )
     q.add_argument("--query", required=True)
-    q.add_argument("--mode", default="disjunctive",
-                   choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"])
+    q.add_argument(
+        "--mode", default="disjunctive",
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean", "qs"],
+        help="qs = unified query string: +must/-must_not/should, "
+        'phrases ("a b"~N), field:value filters (needs --input), '
+        "expansion markers (* ? ~ /re/), ^boosts — one string, one plan",
+    )
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--algo", default="auto", choices=["auto", "exact", "wand"])
     q.add_argument(

@@ -945,6 +945,7 @@ class MultiIndex:
         scope: DataFrame | None = None,
         analyzed: bool = False,
         min_match: int = 1,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """Matching-doc counts grouped by a metadata column → DataFrame
         (facet_col, n), across all segments — same contract as
@@ -953,7 +954,7 @@ class MultiIndex:
 
         cand = self.matches(
             query_text, mode, tombstones=tombstones, scope=scope,
-            analyzed=analyzed, min_match=min_match,
+            analyzed=analyzed, min_match=min_match, spec=spec,
         )
         return _facet_join(cand, meta, facet_col)
 

@@ -1306,6 +1306,7 @@ class CompressedIndex:
         scope: DataFrame | None = None,
         analyzed: bool = False,
         min_match: int = 1,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """Matching-doc counts grouped by a metadata column → DataFrame
         (facet_col, n) — the search-facet panel (count per role, tool,
@@ -1318,7 +1319,7 @@ class CompressedIndex:
         column-pruned to the three needed columns."""
         cand = self.matches(
             query_text, mode, tombstones=tombstones, scope=scope,
-            analyzed=analyzed, min_match=min_match,
+            analyzed=analyzed, min_match=min_match, spec=spec,
         )
         return _facet_join(cand, meta, facet_col)
 

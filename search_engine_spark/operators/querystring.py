@@ -95,9 +95,15 @@ def filters_condition(filters) -> "F.Column":
     return cond
 
 
-def _scope_for(meta: DataFrame | None, filters, query_text: str):
+def _scope_for(
+    meta: DataFrame | None, filters, query_text: str,
+    scope: DataFrame | None = None,
+):
+    """Combine the query's field filters with an optional structured
+    ``scope`` predicate (both filter-context).  Two scopes intersect by
+    a key semi-join — declarative, so Catalyst prunes both sides."""
     if not filters:
-        return None
+        return scope
     if meta is None:
         raise ValueError(
             f"query string {query_text!r} has field filters "
@@ -105,7 +111,14 @@ def _scope_for(meta: DataFrame | None, filters, query_text: str):
             "transcripts frame or any frame with conv_id/turn_idx + the "
             "filtered columns)"
         )
-    return meta.filter(filters_condition(filters))
+    out = meta.filter(filters_condition(filters))
+    if scope is not None:
+        out = out.join(
+            scope.select("conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+            "leftsemi",
+        )
+    return out
 
 
 def search_query_string(
@@ -117,6 +130,7 @@ def search_query_string(
     tombstones: list | None = None,
     search_after: tuple | None = None,
     collapse: bool = False,
+    scope: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k for a unified query string → DataFrame(conv_id, turn_idx,
     score), oracle-identical (``oracle_query_string``).
@@ -125,9 +139,10 @@ def search_query_string(
     fields by Catalyst) is required iff the query carries
     ``field:value`` filters.  ``collapse=True`` returns one best turn
     per conversation (the field-collapsing contract).  ``tombstones``
-    and ``search_after`` compose exactly as on :meth:`topk`."""
+    and ``search_after`` compose exactly as on :meth:`topk`; an
+    explicit ``scope`` frame intersects with the field filters."""
     spec, filters = compile_query_string(index, query_text, min_should_match)
-    scope = _scope_for(meta, filters, query_text)
+    scope = _scope_for(meta, filters, query_text, scope)
     if not spec.bool_clauses.all_terms:
         # every clause analyzer-dropped or expansion-emptied: no
         # postings to scan — return the typed empty frame directly
@@ -156,12 +171,13 @@ def count_query_string(
     meta: DataFrame | None = None,
     min_should_match: int | None = None,
     tombstones: list | None = None,
+    scope: DataFrame | None = None,
 ) -> int:
     """Matching-document count (totalResults) for a unified query
     string — sizes the exact candidate set :func:`search_query_string`
     ranks (oracle: ``oracle_query_string_count``)."""
     spec, filters = compile_query_string(index, query_text, min_should_match)
-    scope = _scope_for(meta, filters, query_text)
+    scope = _scope_for(meta, filters, query_text, scope)
     if not spec.bool_clauses.all_terms:
         return 0
     return index.match_count(

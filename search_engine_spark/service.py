@@ -49,6 +49,19 @@ def _raw_terms(query_text: str, mode: str = "disjunctive") -> list[str]:
             if mode == "boolean" and m and m.group(1) == "NOT":
                 phrases = phrases[:1]
             query_text = " ".join(phrases)
+    elif mode == "qs":
+        # positive clauses only (results must not contain must_not
+        # text), literal surface forms only: term values, phrase bodies,
+        # and prefix/fuzzy stems (their literal part still locates the
+        # match); wildcard/regexp patterns have no literal surface form
+        from .boolquery import parse_query_string
+
+        parts = []
+        for c in parse_query_string(query_text).clauses:
+            if c.occur == "not" or c.marker in ("wildcard", "regexp"):
+                continue
+            parts.append(c.value)
+        query_text = " ".join(parts)
     return [w for w in re.split(r"[^0-9a-z]+", query_text.lower()) if w]
 
 
@@ -140,11 +153,30 @@ def search(
             "hybrid composes with scope/facets/paging/highlight only"
         )
     user_query = query_text
+    qspec = None
+    if mode == "qs":
+        # unified query string (operators/querystring.py): the grammar
+        # carries its own occurrence/phrase/filter/expansion/boost
+        # syntax, so the facade's rewrite layers must not touch it —
+        # compile ONCE here and feed the spec to topk / match_count /
+        # facet_counts below (parse and vocabulary expansion happen a
+        # single time per request, like the reference's one-pass
+        # query analysis)
+        if hybrid is not None or recency or synonyms or analyzed:
+            raise ValueError(
+                "mode='qs' does not compose with hybrid/recency/synonyms/"
+                "analyzed (the query string carries its own grammar)"
+            )
+        from .operators.querystring import _scope_for, compile_query_string
+
+        qspec, qs_filters = compile_query_string(index, query_text)
+        scope = transcripts.filter(where) if where else None
+        scope = _scope_for(transcripts, qs_filters, query_text, scope)
     # ``analyzed=True`` = query_text is already index vocabulary (e.g. a
     # did_you_mean rewrite being resubmitted): skip re-analysis AND the
     # marker expansion — Porter is not idempotent, so a second pass
     # would corrupt non-fixed-point vocab terms.
-    if not analyzed and _has_expansion_tokens(query_text):
+    if mode != "qs" and not analyzed and _has_expansion_tokens(query_text):
         # Lucene-style prefix/fuzzy expansion: trailing-* / trailing-~
         # tokens rewrite to index-vocabulary terms.  The rewrite is
         # FULLY ANALYZED (vocab terms must not be re-stemmed — Porter
@@ -164,7 +196,8 @@ def search(
         mapping = synonyms if isinstance(synonyms, dict) else None
         query_text = index.expand_synonyms(query_text, mapping, analyzed=analyzed)
         analyzed = True
-    scope = transcripts.filter(where) if where else None
+    if mode != "qs":  # qs resolved scope above (field filters ∩ where)
+        scope = transcripts.filter(where) if where else None
     if hybrid is not None:
         # ``hybrid`` = {"embeddings": df[, "method", "depth", "rrf_k",
         # "w_lex", "w_sem", "dim"]} — the ES hybrid-search request body.
@@ -203,12 +236,12 @@ def search(
     elif collapse:
         deep = index.topk_conversations(
             query_text, mode, page * k,
-            tombstones=tombstones, scope=scope, analyzed=analyzed,
+            tombstones=tombstones, scope=scope, analyzed=analyzed, spec=qspec,
         )
     else:
         deep = index.topk(
             query_text, mode, page * k,
-            tombstones=tombstones, scope=scope, analyzed=analyzed,
+            tombstones=tombstones, scope=scope, analyzed=analyzed, spec=qspec,
         )
     rows = deep.collect()[(page - 1) * k : page * k]
     totals = {}
@@ -216,7 +249,8 @@ def search(
         # totalResults/totalPages, served on every reference response
         # (QueryService pagination) — one grouped count pass
         total = index.match_count(
-            query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+            query_text, mode, tombstones=tombstones, scope=scope,
+            analyzed=analyzed, spec=qspec,
         )
         totals = {"total_results": total, "total_pages": -(-total // k)}
     if facet_col:
@@ -225,6 +259,7 @@ def search(
             for r in index.facet_counts(
                 query_text, transcripts, facet_col, mode,
                 tombstones=tombstones, scope=scope, analyzed=analyzed,
+                spec=qspec,
             ).collect()
         }
     if not rows:

@@ -427,3 +427,59 @@ def test_search_hybrid_rejects_incompatible(spark, xs_full_setup):
             search(idx, tr, "term0001", k=5, hybrid=hy, **kw)
     with pytest.raises(ValueError):
         search(idx, tr, "kuber*", k=5, hybrid=hy)
+
+
+def test_search_query_string_mode(spark, xs_full_setup):
+    """mode='qs': the page equals the standalone query-string operator's
+    ranking; totals count the same candidate set; field filters compose
+    with --where; facade rewrite layers are rejected."""
+    from search_engine_spark.operators.querystring import (
+        count_query_string,
+        search_query_string,
+    )
+
+    idx, tr = xs_full_setup
+    qs = '+term0001 "term0002 term0003" -term0004 role:assistant'
+    page = search(idx, tr, qs, mode="qs", k=5)
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in page["results"]
+    ]
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9))
+        for r in search_query_string(idx, qs, 5, meta=tr).collect()
+    ]
+    assert got == want
+    assert page["total_results"] == count_query_string(idx, qs, meta=tr)
+    # snippets never show must_not text; positive literals locate
+    for r in page["results"]:
+        assert "term0001" in r["snippet"] or "term0002" in r["snippet"]
+
+
+def test_search_query_string_where_intersects_filters(spark, xs_full_setup):
+    from search_engine_spark.operators.querystring import search_query_string
+
+    idx, tr = xs_full_setup
+    qs = "role:assistant +term0001 term0002"
+    both = search(
+        idx, tr, qs, mode="qs", k=10, where="tool = 'bash'"
+    )
+    manual = search_query_string(
+        idx, "+term0001 term0002", 10,
+        scope=tr.filter("role = 'assistant' AND tool = 'bash'"),
+    ).collect()
+    assert [
+        (r["conv_id"], r["turn_idx"]) for r in both["results"]
+    ] == [(r.conv_id, r.turn_idx) for r in manual]
+
+
+def test_search_query_string_facets_and_rejections(spark, xs_full_setup):
+    idx, tr = xs_full_setup
+    page = search(idx, tr, "+term0001 -term0002", mode="qs", k=5,
+                  facet_col="role")
+    assert sum(page["facets"].values()) == page["total_results"]
+    with pytest.raises(ValueError, match="qs"):
+        search(idx, tr, "term0001", mode="qs", synonyms=True)
+    with pytest.raises(ValueError, match="qs"):
+        search(idx, tr, "term0001", mode="qs",
+               recency={"now": "2026-01-01T00:00:00", "scale_s": 3600})
