@@ -745,6 +745,34 @@ def main() -> None:
         )
     )
 
+    from search_engine_spark.operators.querystring import search_query_string
+
+    sections.append(
+        (
+            "Unified query string (bool query: must/should/must_not + "
+            "phrase + filter + expansion)",
+            "Expected: the IDENTICAL single-kernel shape as every other "
+            "mode — one postings scan with bucket PartitionFilters + "
+            "pushed term IN-list covering ALL clause terms (must_not "
+            "terms included: their doc lists drive the exclusion inside "
+            "the kernel, costing zero plan nodes); the field-filter "
+            "scope branch scans the corpus parquet with the role "
+            "predicate PUSHED and ReadSchema pruned to keys + role — "
+            "never text; ONE cogrouped FlatMapGroupsInPandas; "
+            "TakeOrderedAndProject.  Clause composition adds NO "
+            "exchanges over the scoped-BM25 plan.",
+            cap(
+                search_query_string(
+                    idx,
+                    '+term0001 "term0002 term0003" -term0004 '
+                    "term000* role:assistant",
+                    10,
+                    meta=spark.read.parquet(pq),
+                )
+            ),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "

@@ -851,6 +851,7 @@ class MultiIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """ALL matching documents WITH exact BM25 scores across segments
         → DataFrame(conv_id, turn_idx, score) — the segmented analog of
@@ -859,7 +860,8 @@ class MultiIndex:
         time), feeding rescoring operators like recency decay."""
         from .reader import RESULT_SCHEMA, _make_scored_matches_kernel
 
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )

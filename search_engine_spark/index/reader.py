@@ -1172,6 +1172,7 @@ class CompressedIndex:
         tombstones: list | None = None,
         scope: DataFrame | None = None,
         analyzed: bool = False,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """ALL matching documents WITH exact BM25 scores → DataFrame
         (conv_id, turn_idx, score) — :meth:`matches` plus the score
@@ -1179,7 +1180,8 @@ class CompressedIndex:
         whose final order is not monotone in BM25 (recency decay —
         ``operators/recency.py``).  Output is O(matches); kernel cost
         is the same O(postings) class as :meth:`match_count`."""
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed))
         empty = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, score double"
         )

@@ -43,13 +43,16 @@ def topk_by_field(
     scope: DataFrame | None = None,
     analyzed: bool = False,
     min_match: int = 1,
+    spec=None,
 ) -> DataFrame:
     """Top-k matches by a metadata field → DataFrame(conv_id, turn_idx,
     ``sort_col``), ES ``sort`` semantics (missing last, deterministic
-    key tie-break)."""
+    key tie-break).  ``spec`` (a compiled ``QuerySpec``, e.g. from
+    ``compile_query_string``) bypasses parsing — the unified
+    query-string composition hook shared by every match-set operator."""
     matched = index.matches(
         query_text, mode, tombstones=tombstones, scope=scope,
-        analyzed=analyzed, min_match=min_match,
+        analyzed=analyzed, min_match=min_match, spec=spec,
     )
     col = (
         F.col(sort_col).asc_nulls_last()

@@ -66,6 +66,7 @@ def cardinality(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """Distinct ``col`` values among the matching turns → one-row
     DataFrame(value long).  Oracle: ``oracle.oracle_cardinality``.
@@ -74,7 +75,7 @@ def cardinality(
     join at all) or any transcripts column (keys + that column joined,
     text never read unless it IS the column)."""
     matched = index.matches(
-        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
     )
     if col in ("conv_id", "turn_idx"):
         src = matched
@@ -105,6 +106,7 @@ def _matched_values(
     tombstones: list | None,
     scope: DataFrame | None,
     analyzed: bool,
+    spec=None,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The shared scan for every metric aggregation: the numeric field
@@ -115,7 +117,7 @@ def _matched_values(
     expr = _FIELDS[field]()
     src_col = "text" if field == "chars" else field
     matched = index.matches(
-        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
     )
     cols = ["conv_id", "turn_idx", src_col, *extra_cols]
     return (
@@ -134,12 +136,14 @@ def match_stats(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES ``stats`` aggregation over the match set → one row
     (count long, min long, max long, avg double·5dp, sum long).
     Oracle: ``oracle.oracle_match_stats``."""
     vals = _matched_values(
-        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+        index, transcripts, query_text, field, mode, tombstones, scope,
+        analyzed, spec,
     )
     return vals.agg(
         F.count("v").alias("count"),
@@ -159,6 +163,7 @@ def extended_stats(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES ``extended_stats``: ``match_stats`` columns + sum_sq (long),
     variance / std_dev (POPULATION, double·5dp — the ES default).
@@ -169,7 +174,8 @@ def extended_stats(
     order-independent, so Spark and the pure-Python oracle produce the
     identical IEEE value (``oracle.oracle_extended_stats``)."""
     vals = _matched_values(
-        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+        index, transcripts, query_text, field, mode, tombstones, scope,
+        analyzed, spec,
     )
     agg = vals.agg(
         F.count("v").alias("count"),
@@ -208,6 +214,7 @@ def percentiles(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES ``percentiles`` aggregation over the match set → one row, one
     double·5dp column per requested percent (``p50``, ``p99_9``, …).
@@ -225,7 +232,8 @@ def percentiles(
     if any(not 0.0 <= f <= 1.0 for f in fracs):
         raise ValueError(f"percents must lie in [0, 100], got {percents}")
     vals = _matched_values(
-        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+        index, transcripts, query_text, field, mode, tombstones, scope,
+        analyzed, spec,
     )
     frac_arr = F.array(*[F.lit(f) for f in fracs])
     agg_col = (
@@ -257,6 +265,7 @@ def percentile_ranks(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES ``percentile_ranks`` aggregation over the match set → one row,
     one double·5dp column per probe value (``r100``, ``r2_5``, …): the
@@ -274,7 +283,8 @@ def percentile_ranks(
     if not values:
         raise ValueError("values must be non-empty")
     vals = _matched_values(
-        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+        index, transcripts, query_text, field, mode, tombstones, scope,
+        analyzed, spec,
     )
 
     def _name(x) -> str:
@@ -301,6 +311,7 @@ def stats_by(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES ``terms`` bucket aggregation with a ``stats`` sub-aggregation:
     per-``bucket_col`` count/min/max/avg/sum of ``field`` across the
@@ -320,6 +331,7 @@ def stats_by(
         tombstones,
         scope,
         analyzed,
+        spec,
         extra_cols=(bucket_col,),
     )
     return (
@@ -347,6 +359,7 @@ def value_histogram(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES numeric ``histogram`` aggregation over the match set →
     (bucket long, n long) ascending.  ``bucket = v - (v mod interval)``
@@ -364,7 +377,8 @@ def value_histogram(
     if min_doc_count not in (0, 1):
         raise ValueError("min_doc_count must be 0 or 1 (the ES-useful pair)")
     vals = _matched_values(
-        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+        index, transcripts, query_text, field, mode, tombstones, scope,
+        analyzed, spec,
     )
     key = (F.col("v") - F.pmod(F.col("v"), F.lit(interval))).alias("bucket")
     counts = vals.groupBy(key).agg(F.count("*").alias("n"))
@@ -403,6 +417,7 @@ def range_agg(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES ``range`` aggregation over the match set → one row PER
     REQUESTED RANGE in request order: (idx int, key string, n long).
@@ -426,7 +441,8 @@ def range_agg(
             raise ValueError(f"range {i}: from {lo!r} must be < to {hi!r}")
         specs.append((i, _range_key(lo, hi), lo, hi))
     vals = _matched_values(
-        index, transcripts, query_text, field, mode, tombstones, scope, analyzed
+        index, transcripts, query_text, field, mode, tombstones, scope,
+        analyzed, spec,
     )
     lit_specs = F.array(
         *[
@@ -470,6 +486,7 @@ def composite_agg(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES ``composite`` aggregation: paginated buckets over the match
     set → ``size`` rows of (``*sources``, n long) in ascending source
@@ -493,7 +510,7 @@ def composite_agg(
             f"after key arity {len(after)} != sources arity {len(sources)}"
         )
     matched = index.matches(
-        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
     )
     cols = ["conv_id", "turn_idx", *[c for c in sources if c not in
             ("conv_id", "turn_idx")]]

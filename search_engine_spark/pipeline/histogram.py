@@ -31,6 +31,7 @@ def date_histogram(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """Per-interval match counts → DataFrame(bucket timestamp, n long),
     ascending by bucket; empty buckets are omitted (the ES
@@ -38,7 +39,7 @@ def date_histogram(
     if interval not in INTERVALS:
         raise ValueError(f"interval must be one of {INTERVALS}, got {interval!r}")
     matched = index.matches(
-        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
     )
     return (
         transcripts.select("conv_id", "turn_idx", "ts")
@@ -60,6 +61,7 @@ def date_histogram_pipeline(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """ES PIPELINE aggregations over the date histogram →
     DataFrame(bucket, n, cumulative_sum, derivative, moving_avg·5dp),
@@ -101,7 +103,7 @@ def date_histogram_pipeline(
         raise ValueError(f"min_doc_count must be 0 or 1, got {min_doc_count}")
     base = date_histogram(
         index, transcripts, query_text, mode, interval,
-        tombstones=tombstones, scope=scope, analyzed=analyzed,
+        tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec,
     ).filter(F.col("bucket").isNotNull())
     spark = transcripts.sparkSession
     hist = spark.createDataFrame(base.collect(), schema=base.schema)

@@ -66,6 +66,7 @@ def significant_terms(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """Top-n distinctive terms of the match set →
     DataFrame(term, fg, bg, score) ordered by (score desc, term asc).
@@ -80,7 +81,7 @@ def significant_terms(
     # match kernel, doubling the dominant cost.  O(matches) keys only;
     # Spark evicts LRU if memory is tight.
     matched = index.matches(
-        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
     ).persist()
     fg_total = matched.count()
     if fg_total == 0:
@@ -95,11 +96,13 @@ def significant_terms(
         .filter(F.col("fg") >= min_fg)
     )
     if not include_query_terms:
-        spec = parse_query(query_text, mode, analyzed=analyzed)
-        qterms = sorted(
-            set(spec.score_terms) | set(spec.phrase_a or []) | set(spec.phrase_b or [])
+        from ..index.reader import _fetch_terms
+
+        qspec = spec if spec is not None else parse_query(
+            query_text, mode, analyzed=analyzed
         )
-        fg = fg.filter(~F.col("term").isin(qterms))
+        if qspec is not None:
+            fg = fg.filter(~F.col("term").isin(_fetch_terms(qspec)))
     # background df from the one-row-per-term idf table (bucket layout
     # cannot prune an unknown term set — this is the table built to pay
     # that scan, same trade as prefix expansion); every foreground term

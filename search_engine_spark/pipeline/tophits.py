@@ -30,12 +30,13 @@ def top_hits_by(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """Best ``k`` hits per value of transcripts column ``by`` →
     DataFrame(<by>, rank, conv_id, turn_idx, score) ordered by
     (<by> asc, rank asc).  Oracle: ``oracle.oracle_top_hits_by``."""
     scored = index.matches_scored(
-        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
     )
     joined = scored.join(
         transcripts.select("conv_id", "turn_idx", by), ["conv_id", "turn_idx"]

@@ -363,3 +363,35 @@ def test_null_field_filter_contract(spark, tmp_path_factory):
         )
         assert got == want
     assert count_query_string(idx, "alpha -tool:bash", meta=df) == 2
+
+
+# -- composition with the analytics surface ---------------------------
+
+def test_aggregations_over_query_string_match_set(xs_index, xs_df, xs_pdf, xs_oracle):
+    """A compiled qs spec feeds every match-set operator: stats count
+    the oracle's candidate set; significant terms never emit the
+    query's own clause terms (must_not included)."""
+    from search_engine_spark.operators.querystring import compile_query_string
+    from search_engine_spark.pipeline.aggs import cardinality, match_stats
+    from search_engine_spark.pipeline.significant import significant_terms
+    from search_engine_spark.pipeline.tophits import top_hits_by
+
+    qs = "+term0001 -term0004"
+    spec, _filters = compile_query_string(xs_index, qs)
+    want_n = oracle_query_string_count(xs_oracle, qs)
+    stats = match_stats(xs_index, xs_df, "", spec=spec).collect()[0]
+    assert stats["count"] == want_n
+    card = cardinality(
+        xs_index, xs_df, "", col="turn_idx", spec=spec
+    ).collect()[0]["value"]
+    assert 0 < card <= want_n
+    sig = significant_terms(xs_index, xs_df, "", spec=spec, n=10).collect()
+    assert {r["term"] for r in sig}.isdisjoint({"term0001", "term0004"})
+    th = top_hits_by(xs_index, xs_df, "", by="role", k=2, spec=spec)
+    rows = th.collect()
+    assert rows and all(r["rank"] <= 2 for r in rows)
+    got_keys = {(r["conv_id"], r["turn_idx"]) for r in rows}
+    want_keys = {
+        key for key, _s in oracle_query_string(xs_oracle, qs, 10**6)
+    }
+    assert got_keys <= want_keys
