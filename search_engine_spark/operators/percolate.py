@@ -60,6 +60,11 @@ class SavedQuery:
 
     query_id: str
     spec: QuerySpec
+    #: mode="qs" only: filter-context field clauses, evaluated against
+    #: the incoming document's OWN metadata columns (role/tool/conv_id)
+    #: — percolation is the one place a "filter" checks the doc in
+    #: hand, not a corpus scan
+    filters: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -96,6 +101,41 @@ def register(queries) -> list[SavedQuery]:
         if qid in seen:
             raise ValueError(f"duplicate query_id {qid!r}")
         seen.add(qid)
+        if mode == "qs":
+            # unified query strings percolate too: occurrence groups,
+            # phrases, boosts, msm, and FIELD FILTERS (matched against
+            # the doc's own metadata).  Expansion markers are rejected —
+            # a frozen registry has no live vocabulary to expand
+            # against (same rationale as phrase-prefix below).
+            from ..boolquery import parse_query_string, resolve_query_string
+
+            parsed = parse_query_string(qt)
+            bad = [c.value for c in parsed.clauses if c.marker]
+            if bad:
+                raise ValueError(
+                    f"saved query {qid!r}: expansion markers "
+                    f"({', '.join(bad)}) are not percolatable (no "
+                    "vocabulary to expand against)"
+                )
+            res = resolve_query_string(
+                parsed, {}, min_should_match=(mm if mm > 1 else None)
+            )
+            bc = res.clauses
+            if not bc.positive_terms:
+                continue  # every positive clause analyzer-dropped
+            out.append(
+                SavedQuery(
+                    qid,
+                    QuerySpec(
+                        "bool",
+                        list(bc.positive_terms),
+                        weights=res.weights,
+                        bool_clauses=bc,
+                    ),
+                    parsed.filters,
+                )
+            )
+            continue
         spec = parse_query(qt, mode, min_match=mm)
         if spec is not None:
             if spec.phrase_prefix is not None:
@@ -150,6 +190,25 @@ def _trigger_map(saved: list[SavedQuery]) -> dict:
         elif s.mode == "near":
             # all distinct terms required → one representative suffices
             add(s.score_terms[0], i)
+        elif s.mode == "bool":
+            bc = s.bool_clauses
+            # a match contains >=1 term of EVERY must group -> the
+            # smallest group's alternatives cover all matches; a must
+            # phrase needs all its terms -> one representative; with
+            # neither, min_should>=1 guarantees >=1 matched should
+            # clause -> all group alternatives + one rep per phrase
+            nonempty_musts = [g for g in bc.must_groups if g]
+            if nonempty_musts:
+                for t in min(nonempty_musts, key=len):
+                    add(t, i)
+            elif bc.must_phrases:
+                add(bc.must_phrases[0][0][0], i)
+            else:
+                for g in bc.should_groups:
+                    for t in g:
+                        add(t, i)
+                for terms, _slop in bc.should_phrases:
+                    add(terms[0], i)
         else:  # boolean — sides are exact phrases
             add((s.phrase_a or [""])[0], i)
             if s.bool_op == "OR":
@@ -209,6 +268,31 @@ def _matches(pos: dict, spec: QuerySpec) -> bool:
             all(any(a <= p <= a + w for p in lst) for lst in lists)
             for a in anchors
         )
+    if spec.mode == "bool":
+        bc = spec.bool_clauses
+        for g in bc.must_groups:
+            if not any(t in pos for t in g):
+                return False
+        for terms, slop in bc.must_phrases:
+            if not _phrase_in_doc(pos, list(terms), slop):
+                return False
+        if bc.min_should >= 1:
+            n = sum(
+                1 for g in bc.should_groups if any(t in pos for t in g)
+            ) + sum(
+                1
+                for terms, slop in bc.should_phrases
+                if _phrase_in_doc(pos, list(terms), slop)
+            )
+            if n < bc.min_should:
+                return False
+        for g in bc.not_groups:
+            if any(t in pos for t in g):
+                return False
+        for terms, slop in bc.not_phrases:
+            if _phrase_in_doc(pos, list(terms), slop):
+                return False
+        return True
     if spec.mode == "boolean":
         left = _phrase_in_doc(pos, spec.phrase_a or [], 0)
         if spec.bool_op == "AND":
@@ -241,6 +325,20 @@ def _score(pos: dict, spec: QuerySpec, dl: int, stats: ScoringStats) -> float:
     return score
 
 
+def _passes_filters(fields: dict, filters) -> bool:
+    """Field filters against ONE document's own metadata — the same
+    NULL contract as the forward engine's ``eqNullSafe`` scope (a NULL
+    field never equals a positive value, always passes a negated one)."""
+    for f in filters:
+        v = fields.get(f.field)
+        if v is not None and not isinstance(v, str) and v != v:
+            v = None  # pandas NaN
+        eq = v is not None and str(v) == f.value
+        if eq if f.negated else not eq:
+            return False
+    return True
+
+
 def percolate(
     docs: DataFrame,
     saved: list[SavedQuery],
@@ -261,6 +359,12 @@ def percolate(
     scored = stats is not None
     schema = SCORED_SCHEMA if scored else MATCH_SCHEMA
     cols = ["conv_id", "turn_idx", "query_id"] + (["score"] if scored else [])
+    # qs filter fields ride the same column-pruned scan (conv_id is a
+    # key column already; role/tool add only when some query filters
+    # on them — the text column still dominates scan bytes)
+    extra = sorted(
+        {f.field for sq in saved for f in sq.filters} - {"conv_id", "turn_idx"}
+    )
 
     def kernel(batches):
         saved_l, st = payload.value
@@ -268,14 +372,17 @@ def percolate(
         stem_cache: dict = {}
         for pdf in batches:
             out: list[tuple] = []
-            for conv, turn, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            extras = [pdf[c] for c in extra]
+            for conv, turn, text, *fvals in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], *extras
             ):
                 toks = analyze_text(
                     text if isinstance(text, str) else "", _stem_cache=stem_cache
                 )
                 if not toks:
                     continue
+                fields = dict(zip(extra, fvals))
+                fields["conv_id"] = conv
                 pos: dict = {}
                 for i, t in enumerate(toks):
                     pos.setdefault(t, []).append(i)
@@ -284,6 +391,8 @@ def percolate(
                     cand.update(trig.get(t, ()))
                 for qi in sorted(cand):
                     sq = saved_l[qi]
+                    if sq.filters and not _passes_filters(fields, sq.filters):
+                        continue
                     if _matches(pos, sq.spec):
                         row = (conv, int(turn), sq.query_id)
                         if st is not None:
@@ -291,6 +400,6 @@ def percolate(
                         out.append(row)
             yield pd.DataFrame(out, columns=cols)
 
-    return docs.select("conv_id", "turn_idx", "text").mapInPandas(
+    return docs.select("conv_id", "turn_idx", "text", *extra).mapInPandas(
         kernel, schema=schema
     )

@@ -200,3 +200,57 @@ def test_streaming_alerts_equal_batch_percolate(
     n_before = alerter.alerts().count()
     alerter.process_batch(xs_df, 0)
     assert alerter.alerts().count() == n_before
+
+
+# ------------------------------------------------- unified query strings
+
+
+QS_REGISTRY = [
+    ("qs_mixed", '+term0001 "term0002 term0003" -term0004', "qs"),
+    ("qs_msm", "term0001 term0002 term0003", "qs", 2),
+    ("qs_filtered", "+role:assistant term0001 term0002", "qs"),
+    ("qs_negfilter", "-tool:bash +term0001", "qs"),
+    ("qs_notphrase", '+term0001 -"term0002 term0003"', "qs"),
+]
+
+
+def test_query_string_percolation_equals_forward(xs_df, xs_pdf, xs_oracle):
+    from search_engine_spark.oracle import oracle_query_string
+
+    saved = register(QS_REGISTRY)
+    rows = percolate(xs_df, saved).collect()
+    got: dict[str, set] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add((r.conv_id, r.turn_idx))
+    for entry in QS_REGISTRY:
+        qid, qt = entry[0], entry[1]
+        mm = entry[3] if len(entry) > 3 else 1
+        want = {
+            key
+            for key, _s in oracle_query_string(
+                xs_oracle, qt, 10**6, transcripts=xs_pdf,
+                min_should_match=(mm if mm > 1 else None),
+            )
+        }
+        assert got.get(qid, set()) == want, qid
+
+
+def test_query_string_percolation_scores_match_forward(
+    xs_df, xs_index,
+):
+    from search_engine_spark.operators.querystring import search_query_string
+
+    qt = '+term0001 term0002^2 -term0004'
+    saved = register([("q", qt, "qs")])
+    st = scoring_stats(xs_index, saved)
+    rows = percolate(xs_df, saved, stats=st).collect()
+    perc = {(r.conv_id, r.turn_idx): r.score for r in rows}
+    fwd = search_query_string(xs_index, qt, 10**6).collect()
+    assert perc  # nonempty
+    for r in fwd:
+        assert perc[(r.conv_id, r.turn_idx)] == r.score
+
+
+def test_query_string_percolation_rejects_markers():
+    with pytest.raises(ValueError, match="markers"):
+        register([("q", "term000* other", "qs")])
