@@ -132,8 +132,11 @@ def _load_tombstones(path: str | None) -> list | None:
 
 def _open_index(spark, index_arg: str):
     """One root → CompressedIndex; comma-separated roots → MultiIndex
-    (LSM read path over base + delta segments)."""
-    roots = [p for p in index_arg.split(",") if p]
+    (LSM read path over base + delta segments); ``alias:<catalog>/<name>``
+    resolves through the catalog first (zero-downtime flips)."""
+    from .catalog import resolve_index_arg
+
+    roots = [p for p in resolve_index_arg(index_arg).split(",") if p]
     if len(roots) == 1:
         from .index.reader import CompressedIndex
 
@@ -1191,6 +1194,64 @@ def cmd_curate(args: argparse.Namespace) -> None:
     print(json.dumps(summary))
 
 
+def cmd_alias(args: argparse.Namespace) -> None:
+    """Catalog aliases — no Spark session needed (pointer files only)."""
+    from . import catalog
+
+    if args.action == "set":
+        if not args.name or not args.roots:
+            raise SystemExit("alias set needs --name and --roots")
+        roots = [p for p in args.roots.split(",") if p]
+        catalog.alias_set(args.catalog, args.name, roots)
+        print(json.dumps({"alias": args.name, "roots": roots}))
+    elif args.action == "show":
+        if not args.name:
+            raise SystemExit("alias show needs --name")
+        print(json.dumps(
+            {"alias": args.name,
+             "roots": catalog.alias_get(args.catalog, args.name)}
+        ))
+    elif args.action == "list":
+        print(json.dumps(catalog.alias_list(args.catalog)))
+    else:  # rm
+        if not args.name:
+            raise SystemExit("alias rm needs --name")
+        catalog.alias_delete(args.catalog, args.name)
+        print(json.dumps({"deleted": args.name}))
+
+
+def cmd_snapshot(args: argparse.Namespace) -> None:
+    """Snapshot repository ops — no Spark session needed."""
+    from . import catalog
+
+    if args.action == "create":
+        if not args.name or not args.roots:
+            raise SystemExit("snapshot create needs --name and --roots")
+        m = catalog.snapshot_create(
+            args.repo, args.name, [p for p in args.roots.split(",") if p]
+        )
+        print(json.dumps(
+            {"snapshot": args.name, "segments": len(m["roots"]),
+             "linked": m["linked"], "copied": m["copied"]}
+        ))
+    elif args.action == "list":
+        print(json.dumps(catalog.snapshot_list(args.repo)))
+    elif args.action == "verify":
+        if not args.name:
+            raise SystemExit("snapshot verify needs --name")
+        print(json.dumps(catalog.snapshot_verify(args.repo, args.name)))
+    elif args.action == "restore":
+        if not args.name or not args.dest:
+            raise SystemExit("snapshot restore needs --name and --dest")
+        roots = catalog.snapshot_restore(args.repo, args.name, args.dest)
+        print(json.dumps({"restored": args.name, "roots": roots}))
+    else:  # rm
+        if not args.name:
+            raise SystemExit("snapshot rm needs --name")
+        catalog.snapshot_delete(args.repo, args.name)
+        print(json.dumps({"deleted": args.name}))
+
+
 def cmd_analyze(args: argparse.Namespace) -> None:
     """Query analysis — the /api/process-query + /api/query-analysis
     analog (SearchController.java:281-307, QueryController.java:171-186)."""
@@ -1750,6 +1811,32 @@ def main(argv: list[str] | None = None) -> None:
     an.add_argument("--titles", nargs="*", default=[],
                     help="top result titles feeding suggested_queries")
     an.set_defaults(fn=cmd_analyze)
+
+    al = sub.add_parser(
+        "alias",
+        help="named index pointers with atomic flips (blue/green reindex)",
+    )
+    al.add_argument("action", choices=["set", "show", "list", "rm"])
+    al.add_argument("--catalog", required=True, help="catalog directory")
+    al.add_argument("--name", help="alias name (set/show/rm)")
+    al.add_argument(
+        "--roots",
+        help="comma-separated index roots, oldest first (set)",
+    )
+    al.set_defaults(fn=cmd_alias)
+
+    sn = sub.add_parser(
+        "snapshot",
+        help="immutable index snapshots (hard-link incremental) + restore",
+    )
+    sn.add_argument(
+        "action", choices=["create", "list", "verify", "restore", "rm"]
+    )
+    sn.add_argument("--repo", required=True, help="snapshot repository dir")
+    sn.add_argument("--name", help="snapshot name")
+    sn.add_argument("--roots", help="comma-separated index roots (create)")
+    sn.add_argument("--dest", help="restore destination directory")
+    sn.set_defaults(fn=cmd_snapshot)
 
     args = ap.parse_args(argv)
     args.fn(args)
