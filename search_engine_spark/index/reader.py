@@ -330,11 +330,21 @@ def _parse_batch(
     queries: list[tuple], default_k: int, analyzed: bool = False
 ) -> list[tuple[int, QuerySpec, int]]:
     """(query_text, mode[, k]) list → [(caller_index, spec, k)] for the
-    parseable queries — shared by both readers' batch paths."""
-    parsed = [
-        (parse_query(q[0], q[1], analyzed=analyzed), (q[2] if len(q) > 2 else default_k))
-        for q in queries
-    ]
+    parseable queries — shared by both readers' batch paths.
+
+    An element may instead be ``(QuerySpec[, k])`` — a PRE-COMPILED
+    spec (e.g. a unified query string from ``compile_query_string``,
+    whose vocabulary expansion cannot happen here), passed through
+    unchanged."""
+    parsed = []
+    for q in queries:
+        if isinstance(q[0], QuerySpec):
+            parsed.append((q[0], int(q[1]) if len(q) > 1 else default_k))
+        else:
+            parsed.append((
+                parse_query(q[0], q[1], analyzed=analyzed),
+                (q[2] if len(q) > 2 else default_k),
+            ))
     return [(i, s, kk) for i, (s, kk) in enumerate(parsed) if s is not None]
 
 
@@ -355,7 +365,7 @@ def _batch_term_sets(specs: list[tuple[int, QuerySpec, int]]) -> tuple[set, set]
     fetch_terms: set[str] = set()
     score_terms: set[str] = set()
     for _, s, _ in specs:
-        fetch_terms |= set(s.score_terms) | set(s.phrase_a or []) | set(s.phrase_b or [])
+        fetch_terms |= set(_fetch_terms(s))
         score_terms |= set(s.score_terms)
     return fetch_terms, score_terms
 

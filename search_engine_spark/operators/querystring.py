@@ -183,3 +183,65 @@ def count_query_string(
     return index.match_count(
         query_text, "bool", tombstones=tombstones, scope=scope, spec=spec
     )
+
+
+def compile_query_strings(
+    index, texts: list[str], min_should_match: int | None = None
+) -> list[QuerySpec]:
+    """Compile MANY query strings with the vocabulary work batched:
+    marker expansions for the whole batch run as one pushed idf-table
+    job per marker kind (not per query).  Field filters are rejected —
+    the batch path applies one SHARED scope to every query (pass
+    ``scope=`` to the batch entry point instead)."""
+    parsed = [parse_query_string(t) for t in texts]
+    for p, t in zip(parsed, texts):
+        if p.filters:
+            raise ValueError(
+                f"batched query string {t!r} has field filters; the batch "
+                "path applies ONE shared scope — filter with scope= instead"
+            )
+    exp = _engine_expansions(
+        index, ParsedQS(tuple(c for p in parsed for c in p.clauses), ())
+    )
+    out = []
+    for p in parsed:
+        res = resolve_query_string(p, exp, min_should_match)
+        out.append(
+            QuerySpec(
+                "bool",
+                list(res.clauses.positive_terms),
+                weights=res.weights,
+                bool_clauses=res.clauses,
+            )
+        )
+    return out
+
+
+def search_query_string_batch(
+    index,
+    queries: list,
+    k: int = 10,
+    min_should_match: int | None = None,
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k for MANY query strings in ONE job →
+    DataFrame(query_id, conv_id, turn_idx, score) — the batch execution
+    contract of ``topk_batch`` (union-pruned postings scan, one decode
+    per group shared across queries, per-query top-k), row-identical to
+    calling :func:`search_query_string` per string (pinned by tests).
+
+    ``queries``: list of strings or ``(string, k)`` pairs; ``query_id``
+    is the list position."""
+    items = [
+        (q, None) if isinstance(q, str) else (q[0], int(q[1]))
+        for q in queries
+    ]
+    specs = compile_query_strings(
+        index, [t for t, _ in items], min_should_match
+    )
+    batch = [
+        (s, kk if kk is not None else k)
+        for s, (_t, kk) in zip(specs, items)
+    ]
+    return index.topk_batch(batch, k=k, tombstones=tombstones, scope=scope)

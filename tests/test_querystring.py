@@ -395,3 +395,52 @@ def test_aggregations_over_query_string_match_set(xs_index, xs_df, xs_pdf, xs_or
         key for key, _s in oracle_query_string(xs_oracle, qs, 10**6)
     }
     assert got_keys <= want_keys
+
+
+def test_batch_row_identical_to_per_query(xs_index):
+    from search_engine_spark.operators.querystring import (
+        search_query_string_batch,
+    )
+
+    qs_list = [
+        "+term0001 term0002",
+        'term0003 -"term0001 term0002"',
+        "term000* -term0001",
+        ("+term0001 +term0002", 3),
+    ]
+    batch = search_query_string_batch(xs_index, qs_list, 5).collect()
+    by_qid: dict[int, list] = {}
+    for r in batch:
+        by_qid.setdefault(r.query_id, []).append(
+            ((r.conv_id, r.turn_idx), round(float(r.score), 9))
+        )
+    for qid, q in enumerate(qs_list):
+        text, kk = (q, 5) if isinstance(q, str) else q
+        want = _rows(search_query_string(xs_index, text, kk))
+        assert by_qid.get(qid, []) == want, text
+
+
+def test_batch_mixes_specs_and_plain_modes(xs_index):
+    spec, _f = compile_query_string(xs_index, "+term0001 -term0004")
+    batch = xs_index.topk_batch(
+        [(spec, 5), ("term0001 term0002", "disjunctive", 5)]
+    ).collect()
+    got0 = [
+        ((r.conv_id, r.turn_idx), round(float(r.score), 9))
+        for r in batch if r.query_id == 0
+    ]
+    got1 = [
+        ((r.conv_id, r.turn_idx), round(float(r.score), 9))
+        for r in batch if r.query_id == 1
+    ]
+    assert got0 == _rows(search_query_string(xs_index, "+term0001 -term0004", 5))
+    assert got1 == _rows(xs_index.topk("term0001 term0002", "disjunctive", 5))
+
+
+def test_batch_rejects_field_filters(xs_index):
+    from search_engine_spark.operators.querystring import (
+        search_query_string_batch,
+    )
+
+    with pytest.raises(ValueError, match="shared scope"):
+        search_query_string_batch(xs_index, ["role:assistant term0001"])
