@@ -38,6 +38,7 @@ PRIORITY = [
     # -- new or semantics-changed in r4 (need their first fresh row)
     "transcripts_query_string",  # r4: unified query string (ES bool query)
     "transcripts_query_string_filtered",  # r4: + field filters/boost/msm
+    "transcripts_query_string_batch",  # r4: N bool queries in one job
     "decontaminate_overlap",  # r4: benchmark n-gram decontamination
     "repetition_stats",  # r4: Gopher repetition/boilerplate measures
     "span_dedup_stats",  # r4: RefinedWeb exact duplicate-span measure
@@ -3134,6 +3135,47 @@ def transcripts_query_string_filtered(spark, sf_dir):
     return search_query_string(
         idx, _QS_FILTERED, 10, meta=meta, min_should_match=2
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+_QS_BATCH = [
+    "+term0001 term0002",
+    'term0003 -"term0001 term0002"',
+    "term000* -term0001",
+    "+term0001 +term0002",
+]
+
+
+def _qs_batch_oracle_sql(texts, k: int = 5) -> str:
+    """VALUES oracle for batched query strings: the pure-Python bool
+    scorer run per string, tagged with the string's list position."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_query_string
+
+    idx = build_oracle_index(generate_transcripts("xs"))
+    values = []
+    for qid, qt in enumerate(texts):
+        for key, score in oracle_query_string(idx, qt, k):
+            values.append(f"({qid}, '{key[0]}', {key[1]}, {float(score)!r})")
+    body = ",\n  ".join(values)
+    return (
+        "SELECT query_id, conv_id, turn_idx, round(score + 1e-9, 5) AS score "
+        f"FROM (VALUES\n  {body}\n) t(query_id, conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_query_string_batch", _qs_batch_oracle_sql(_QS_BATCH, 5))
+def transcripts_query_string_batch(spark, sf_dir):
+    """Batched unified query strings: four bool queries in ONE job —
+    compile_query_strings batches the vocabulary expansion (one pushed
+    idf-table job per marker kind for the whole set), topk_batch
+    union-prunes the postings scan and decodes each group once for all
+    queries; row-identical to per-string execution."""
+    from .operators.querystring import search_query_string_batch
+
+    idx = _xs_index(spark)
+    return search_query_string_batch(idx, _QS_BATCH, 5).select(
+        "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
 
 
 def _prefix_oracle_sql(query_text: str, k: int = 10) -> str:
