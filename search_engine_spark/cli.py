@@ -783,6 +783,19 @@ def cmd_correct(args: argparse.Namespace) -> None:
     print(json.dumps(out))
 
 
+def _maybe_qs_spec(idx, tr, args, scope):
+    """--mode qs on an analytics command: compile the query string ONCE
+    (vocabulary expansion included); field filters fold into the scope
+    alongside any --where predicate.  Returns (spec, scope) — spec is
+    None for the standard modes."""
+    if args.mode != "qs":
+        return None, scope
+    from .operators.querystring import _scope_for, compile_query_string
+
+    spec, filters = compile_query_string(idx, args.query)
+    return spec, _scope_for(tr, filters, args.query, scope)
+
+
 def cmd_significant(args: argparse.Namespace) -> None:
     """Significant terms: what is distinctive about the match set
     (ES significant_terms, JLH scoring)."""
@@ -793,10 +806,11 @@ def cmd_significant(args: argparse.Namespace) -> None:
     idx = _open_index(spark, args.index)
     tr = load_transcripts(spark, args.input)
     scope = tr.filter(args.where) if args.where else None
+    spec, scope = _maybe_qs_spec(idx, tr, args, scope)
     t0 = time.time()
     rows = significant_terms(
         idx, tr, args.query, args.mode, n=args.n, min_fg=args.min_fg,
-        include_query_terms=args.include_query_terms, scope=scope,
+        include_query_terms=args.include_query_terms, scope=scope, spec=spec,
     ).collect()
     print(
         json.dumps(
@@ -823,6 +837,7 @@ def cmd_histogram(args: argparse.Namespace) -> None:
     idx = _open_index(spark, args.index)
     tr = load_transcripts(spark, args.input)
     scope = tr.filter(args.where) if args.where else None
+    spec, scope = _maybe_qs_spec(idx, tr, args, scope)
     t0 = time.time()
     if getattr(args, "pipeline", False):
         from .pipeline.histogram import date_histogram_pipeline
@@ -830,6 +845,7 @@ def cmd_histogram(args: argparse.Namespace) -> None:
         rows = date_histogram_pipeline(
             idx, tr, args.query, args.mode, args.interval,
             window=args.window, min_doc_count=args.min_doc_count, scope=scope,
+            spec=spec,
         ).collect()
         buckets = [
             {"bucket": str(r["bucket"]), "n": r["n"],
@@ -839,7 +855,8 @@ def cmd_histogram(args: argparse.Namespace) -> None:
         ]
     else:
         rows = date_histogram(
-            idx, tr, args.query, args.mode, args.interval, scope=scope
+            idx, tr, args.query, args.mode, args.interval, scope=scope,
+            spec=spec,
         ).collect()
         buckets = [{"bucket": str(r["bucket"]), "n": r["n"]} for r in rows]
     print(
@@ -863,8 +880,12 @@ def cmd_top_hits(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     idx = _open_index(spark, args.index)
     tr = load_transcripts(spark, args.input)
+    spec, scope = _maybe_qs_spec(idx, tr, args, None)
     t0 = time.time()
-    rows = top_hits_by(idx, tr, args.query, args.by, args.mode, args.k).collect()
+    rows = top_hits_by(
+        idx, tr, args.query, args.by, args.mode, args.k, scope=scope,
+        spec=spec,
+    ).collect()
     print(
         json.dumps(
             {
@@ -906,25 +927,26 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
     idx = _open_index(spark, args.index)
     tr = load_transcripts(spark, args.input)
     scope = tr.filter(args.where) if args.where else None
+    spec, scope = _maybe_qs_spec(idx, tr, args, scope)
     t0 = time.time()
     out = {"query": args.query, "mode": args.mode, "agg": args.agg}
     if args.agg == "cardinality":
         row = cardinality(
             idx, tr, args.query, args.col, args.mode,
-            approx=args.approx, scope=scope,
+            approx=args.approx, scope=scope, spec=spec,
         ).collect()[0]
         out.update({"col": args.col, "approx": args.approx, "value": row["value"]})
     elif args.agg == "percentiles":
         pct = tuple(float(p) for p in args.percents.split(","))
         row = percentiles(
             idx, tr, args.query, args.field, pct, args.mode,
-            approx=args.approx, scope=scope,
+            approx=args.approx, scope=scope, spec=spec,
         ).collect()[0]
         out.update({"field": args.field, "approx": args.approx, **row.asDict()})
     elif args.agg == "histogram":
         rows = value_histogram(
             idx, tr, args.query, args.field, args.interval, args.mode,
-            min_doc_count=args.min_doc_count, scope=scope,
+            min_doc_count=args.min_doc_count, scope=scope, spec=spec,
         ).collect()
         out.update({"field": args.field, "interval": args.interval,
                     "buckets": [r.asDict() for r in rows]})
@@ -937,7 +959,7 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
                  None if hi in ("", "*") else float(hi))
             )
         rows = range_agg(
-            idx, tr, args.query, ranges, args.field, args.mode, scope=scope
+            idx, tr, args.query, ranges, args.field, args.mode, scope=scope, spec=spec,
         ).collect()
         out.update({"field": args.field,
                     "buckets": [r.asDict() for r in rows]})
@@ -946,7 +968,7 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
         after = tuple(json.loads(args.after)) if args.after else None
         rows = composite_agg(
             idx, tr, args.query, sources, args.size, after, args.mode,
-            scope=scope,
+            scope=scope, spec=spec,
         ).collect()
         buckets = [r.asDict() for r in rows]
         out.update({
@@ -962,19 +984,19 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
 
         vals = tuple(float(v) for v in args.values.split(","))
         row = percentile_ranks(
-            idx, tr, args.query, vals, args.field, args.mode, scope=scope
+            idx, tr, args.query, vals, args.field, args.mode, scope=scope, spec=spec,
         ).collect()[0]
         out.update({"field": args.field, **row.asDict()})
     elif args.agg == "stats_by":
         rows = stats_by(
-            idx, tr, args.query, args.col, args.field, args.mode, scope=scope
+            idx, tr, args.query, args.col, args.field, args.mode, scope=scope, spec=spec,
         ).collect()
         out.update({"col": args.col, "field": args.field,
                     "buckets": [r.asDict() for r in rows]})
     else:
         fn = extended_stats if args.agg == "extended_stats" else match_stats
         row = fn(
-            idx, tr, args.query, args.field, args.mode, scope=scope
+            idx, tr, args.query, args.field, args.mode, scope=scope, spec=spec,
         ).collect()[0]
         out.update({"field": args.field, **row.asDict()})
     out["seconds"] = round(time.time() - t0, 3)
@@ -1607,7 +1629,7 @@ def main(argv: list[str] | None = None) -> None:
     sg.add_argument("--query", required=True)
     sg.add_argument(
         "--mode", default="disjunctive",
-        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"],
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean", "qs"],
     )
     sg.add_argument("--n", type=int, default=10)
     sg.add_argument("--min-fg", type=int, default=2)
@@ -1626,7 +1648,7 @@ def main(argv: list[str] | None = None) -> None:
     hg.add_argument("--query", required=True)
     hg.add_argument(
         "--mode", default="disjunctive",
-        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"],
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean", "qs"],
     )
     hg.add_argument(
         "--interval", default="hour",
@@ -1662,7 +1684,7 @@ def main(argv: list[str] | None = None) -> None:
     th.add_argument("--by", required=True, help="transcripts bucket column (e.g. role)")
     th.add_argument(
         "--mode", default="disjunctive",
-        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"],
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean", "qs"],
     )
     th.add_argument("--k", type=int, default=3)
     th.set_defaults(fn=cmd_top_hits)
@@ -1733,7 +1755,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     ag.add_argument(
         "--mode", default="disjunctive",
-        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"],
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean", "qs"],
     )
     ag.add_argument(
         "--where",
