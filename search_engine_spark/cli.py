@@ -471,10 +471,22 @@ def cmd_explain(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     idx = _open_index(spark, args.index)
     t0 = time.time()
+    spec = None
+    if args.mode == "qs":
+        from .operators.querystring import compile_query_string
+
+        spec, filters = compile_query_string(idx, args.query)
+        if filters:
+            raise SystemExit(
+                "explain scores ONE known document — field filters do not "
+                "score and have no membership hook here; drop them from "
+                "the query string"
+            )
     rows = idx.explain(
         args.query, args.conv_id, args.turn_idx, args.mode,
         tombstones=_load_tombstones(args.tombstones),
         min_match=getattr(args, "min_match", 1),
+        spec=spec,
     ).collect()
     total = 0.0
     for r in sorted(rows, key=lambda r: r["term"]):
@@ -1488,8 +1500,10 @@ def main(argv: list[str] | None = None) -> None:
     exq.add_argument("--query", required=True)
     exq.add_argument("--conv-id", required=True, dest="conv_id")
     exq.add_argument("--turn-idx", required=True, type=int, dest="turn_idx")
-    exq.add_argument("--mode", default="disjunctive",
-                     choices=["disjunctive", "conjunctive", "phrase", "near", "boolean"])
+    exq.add_argument(
+        "--mode", default="disjunctive",
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean", "qs"],
+    )
     exq.add_argument(
         "--tombstones",
         help="JSONL of {conv_id[, turn_idx]} rows to exclude (deleted docs)",

@@ -897,6 +897,7 @@ class MultiIndex:
         tombstones: list | None = None,
         analyzed: bool = False,
         min_match: int = 1,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """Per-term score breakdown of ONE document across segments —
         same contract as :meth:`CompressedIndex.explain`, with GLOBAL
@@ -912,7 +913,8 @@ class MultiIndex:
         occurrences explain as absent — the ES ``matched: false``."""
         from .reader import EXPLAIN_SCHEMA, _assemble_explain
 
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], EXPLAIN_SCHEMA)
         if spec is None:
             return empty

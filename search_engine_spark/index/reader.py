@@ -1268,6 +1268,7 @@ class CompressedIndex:
         tombstones: list | None = None,
         analyzed: bool = False,
         min_match: int = 1,
+        spec: "QuerySpec | None" = None,
     ) -> DataFrame:
         """Per-term score breakdown of ONE document for one query — the
         Elasticsearch ``_explain`` analog (an extension; the reference
@@ -1288,7 +1289,8 @@ class CompressedIndex:
         postings scan — the membership check runs the tested
         ``_candidates_spec`` dispatch over ONE group's pruned postings,
         so the kernel work is 1/num_groups of a full query's."""
-        spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
+        if spec is None:
+            spec = self._resolve_spec(parse_query(query_text, mode, analyzed=analyzed, min_match=min_match))
         empty = self.spark.createDataFrame([], EXPLAIN_SCHEMA)
         if spec is None:
             return empty

@@ -444,3 +444,27 @@ def test_batch_rejects_field_filters(xs_index):
 
     with pytest.raises(ValueError, match="shared scope"):
         search_query_string_batch(xs_index, ["role:assistant term0001"])
+
+
+def test_explain_contributions_sum_to_qs_score(xs_index):
+    """ES _explain over a bool query: per-term contributions (positive
+    terms only) sum to the search score bit-for-bit; a must_not-excluded
+    doc explains as unmatched."""
+    qs = '+term0001 term0002^2 -term0004'
+    spec, _f = compile_query_string(xs_index, qs)
+    top = search_query_string(xs_index, qs, 3).collect()
+    for r in top:
+        rows = xs_index.explain(
+            qs, r.conv_id, r.turn_idx, "bool", spec=spec
+        ).collect()
+        total = 0.0
+        for e in sorted(rows, key=lambda e: e["term"]):
+            total += e["contribution"]
+        assert total == r.score
+        assert all(e["term"] != "term0004" for e in rows)
+    # a doc containing the must_not term is outside the match set
+    excluded = xs_index.topk("term0004", "conjunctive", 1).collect()[0]
+    rows = xs_index.explain(
+        qs, excluded.conv_id, excluded.turn_idx, "bool", spec=spec
+    ).collect()
+    assert rows == []
