@@ -339,6 +339,12 @@ def _parse_batch(
     parsed = []
     for q in queries:
         if isinstance(q[0], QuerySpec):
+            if len(q) > 1 and not isinstance(q[1], int):
+                raise ValueError(
+                    "a pre-compiled batch element is (QuerySpec[, k]) — "
+                    f"got second item {q[1]!r} (the spec already carries "
+                    "its mode)"
+                )
             parsed.append((q[0], int(q[1]) if len(q) > 1 else default_k))
         else:
             parsed.append((
