@@ -39,6 +39,7 @@ PRIORITY = [
     "transcripts_query_string",  # r4: unified query string (ES bool query)
     "transcripts_query_string_filtered",  # r4: + field filters/boost/msm
     "transcripts_query_string_batch",  # r4: N bool queries in one job
+    "transcripts_percolate_qs",  # r4: saved query strings on the firehose
     "decontaminate_overlap",  # r4: benchmark n-gram decontamination
     "repetition_stats",  # r4: Gopher repetition/boilerplate measures
     "span_dedup_stats",  # r4: RefinedWeb exact duplicate-span measure
@@ -4403,6 +4404,57 @@ def transcripts_percolate(spark, sf_dir):
 
     idx = _xs_index(spark)
     saved = register(_PERC_REGISTRY)
+    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    out = percolate(corpus, saved, scoring_stats(idx, saved))
+    return out.select(
+        "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
+
+
+_PERC_QS_REGISTRY = [
+    ("p_mixed", '+term0001 "term0002 term0003" -term0004', "qs"),
+    ("p_msm", "term0001 term0002 term0003", "qs", 2),
+    ("p_filtered", "+role:assistant term0001 term0002", "qs"),
+    ("p_negf", "-tool:bash +term0001", "qs"),
+]
+
+
+def _transcripts_percolate_qs_oracle() -> str:
+    """VALUES oracle for query-string percolation: the full match set
+    of each saved query string from the independent pure-Python bool
+    scorer (field filters resolved against the corpus metadata — the
+    percolator checks them against each doc's OWN row)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_query_string
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    vals = []
+    for entry in _PERC_QS_REGISTRY:
+        qid, qt = entry[0], entry[1]
+        mm = entry[3] if len(entry) > 3 else None
+        for key, score in oracle_query_string(
+            idx, qt, 10**6, transcripts=pdf, min_should_match=mm
+        ):
+            vals.append(f"('{qid}', '{key[0]}', {key[1]}, {float(score)!r})")
+    body = ",\n  ".join(vals)
+    return (
+        "SELECT query_id, conv_id, turn_idx, round(score + 1e-9, 5) AS score"
+        f" FROM (VALUES\n  {body}\n) t(query_id, conv_id, turn_idx, score)"
+    )
+
+
+@q("transcripts_percolate_qs", _transcripts_percolate_qs_oracle())
+def transcripts_percolate_qs(spark, sf_dir):
+    """Query-string percolation: saved searches registered as unified
+    query strings (occurrence groups, phrase clauses, msm, and FIELD
+    FILTERS checked against each incoming doc's own role/tool metadata)
+    match and score identically to the forward bool engine."""
+    from .corpus import generate_transcripts
+    from .operators.percolate import percolate, register, scoring_stats
+
+    idx = _xs_index(spark)
+    saved = register(_PERC_QS_REGISTRY)
     corpus = spark.createDataFrame(generate_transcripts("xs"))
     out = percolate(corpus, saved, scoring_stats(idx, saved))
     return out.select(
