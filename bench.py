@@ -119,6 +119,10 @@ CONTRACT_QUERIES = [
     "pack_sequences",
     "sft_pack_spans",
     "chunk_windows",
+    "transcripts_query_string",
+    "transcripts_query_string_filtered",
+    "transcripts_query_string_batch",
+    "transcripts_percolate_qs",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
