@@ -16,6 +16,10 @@ Grammar (whitespace-separated clauses; ``"..."`` groups a phrase):
   metadata;
 * ``"a b c"`` — positional phrase, optional ``~N`` ordered-slop suffix
   (the engine's existing phrase contract);
+* ``(a b c)`` — alternatives group: ONE clause matching ANY of its
+  terms (Lucene ``+(error failure)`` grouping; flat plain terms only —
+  markers, filters, and nesting inside a group are rejected loudly);
+  optional ``^w`` boost applies to every alternative;
 * term markers, identical to the standalone expansion modes: trailing
   ``*`` prefix, ``*``/``?`` anywhere wildcard, ``/re/`` regexp,
   trailing ``~`` fuzzy (edit distance ≤ 1 — higher distances are
@@ -64,16 +68,21 @@ FILTER_FIELDS = ("role", "tool", "conv_id")
 _FIELD_TOKEN = re.compile(rf"^({'|'.join(FILTER_FIELDS)}):(\S+)$")
 _BOOST_SUFFIX = re.compile(r"^(.*[^^])\^(\d+(?:\.\d+)?)$")
 _BAD_FUZZY = re.compile(r"^[0-9A-Za-z]+~(\d+)$")
-#: lexer: an optional +/- prefix, then a quoted phrase (optional ~slop)
-#: or a bare token; anything else (an unbalanced quote) fails loud.
-_LEX = re.compile(r'([+-]?)(?:"([^"]*)"(?:~(\d+))?|([^\s"]+))')
+#: lexer: an optional +/- prefix, then a quoted phrase (optional ~slop),
+#: a parenthesized alternatives group (optional ^boost), or a bare
+#: token; anything else (an unbalanced quote/paren) fails loud.
+_LEX = re.compile(
+    r'([+-]?)(?:"([^"]*)"(?:~(\d+))?'
+    r'|\(([^()"]*)\)(?:\^(\d+(?:\.\d+)?))?'
+    r'|([^\s"()]+))'
+)
 
 
 @dataclass(frozen=True)
 class QSClause:
     occur: str  # "must" | "should" | "not"
-    kind: str  # "term" | "phrase"
-    value: str  # raw term token (boost stripped) or phrase body
+    kind: str  # "term" | "group" | "phrase"
+    value: str  # raw term token (boost stripped), group body, or phrase body
     boost: float | None = None
     slop: int = 0  # phrase clauses only
     marker: str | None = None  # term clauses: prefix|wildcard|fuzzy|regexp
@@ -145,8 +154,27 @@ def parse_query_string(query_text: str) -> ParsedQS:
     clauses: list[QSClause] = []
     filters: list[QSFilter] = []
     for m in _LEX.finditer(query_text):
-        sign, phrase, slop, tok = m.group(1), m.group(2), m.group(3), m.group(4)
+        sign, phrase, slop, group, gboost, tok = m.groups()
         occur = {"+": "must", "-": "not", "": "should"}[sign]
+        if group is not None:
+            # parenthesized alternatives: ONE clause matching ANY of
+            # its terms (the Lucene `+(error failure)` grouping form —
+            # exactly the resolver's existing group structure, so the
+            # grammar is the only addition).  Flat plain terms only:
+            # markers/filters/nesting inside a group fail loud.
+            if not group.split():
+                raise ValueError(f"empty group in query string: {query_text!r}")
+            for gt in group.split():
+                [(kind, _v)] = classify_expansion_tokens(gt)
+                if kind != "plain" or ":" in gt:
+                    raise ValueError(
+                        f"only plain terms are supported inside groups: {gt!r}"
+                    )
+            boost = float(gboost) if gboost else None
+            if boost is not None and boost <= 0.0:
+                raise ValueError(f"non-positive boost in query group {m.group(0)!r}")
+            clauses.append(QSClause(occur, "group", group.strip(), boost=boost))
+            continue
         if phrase is not None:
             if _BOOST_SUFFIX.match(phrase):
                 # catches `"a b"^2` only when the ^ lands INSIDE the

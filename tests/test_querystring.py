@@ -468,3 +468,65 @@ def test_explain_contributions_sum_to_qs_score(xs_index):
         qs, excluded.conv_id, excluded.turn_idx, "bool", spec=spec
     ).collect()
     assert rows == []
+
+
+# -- parenthesized alternatives groups --------------------------------
+
+def test_parse_groups():
+    p = parse_query_string('+(alpha beta) -(gamma delta) (epsilon zeta)^2')
+    assert [(c.occur, c.kind, c.value, c.boost) for c in p.clauses] == [
+        ("must", "group", "alpha beta", None),
+        ("not", "group", "gamma delta", None),
+        ("should", "group", "epsilon zeta", 2.0),
+    ]
+    with pytest.raises(ValueError, match="inside groups"):
+        parse_query_string("+(alpha bet*) term")
+    with pytest.raises(ValueError, match="inside groups"):
+        parse_query_string("(role:user alpha) term")
+    with pytest.raises(ValueError, match="empty group"):
+        parse_query_string("() term")
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_query_string("(alpha term")
+
+
+def test_group_resolution_is_any_of():
+    r = resolve_query_string(parse_query_string("+(alpha beta) gamma"), {})
+    assert r.clauses.must_groups == (("alpha", "beta"),)
+    assert r.clauses.should_groups == (("gamma",),)
+    assert r.clauses.min_should == 0
+    # boost applies to every alternative
+    r2 = resolve_query_string(parse_query_string("(alpha beta)^3"), {})
+    assert r2.weights == {"alpha": 3.0, "beta": 3.0}
+
+
+GROUP_BATTERY = [
+    "+(term0001 term0002) -term0003",
+    "(term0001 term0002) (term0003 term0004)",
+    "+(term0001 term0005) +(term0002 term0006)",
+    "term0001 -(term0002 term0003)",
+    '+(term0001 term0002)^2 "term0003 term0004"',
+]
+
+
+@pytest.mark.parametrize("qs", GROUP_BATTERY)
+def test_group_engine_matches_oracle(xs_index, xs_oracle, qs):
+    got = _rows(search_query_string(xs_index, qs, 10))
+    want = _oracle_rows(oracle_query_string(xs_oracle, qs, 10))
+    assert got == want
+    assert count_query_string(xs_index, qs) == (
+        oracle_query_string_count(xs_oracle, qs)
+    )
+
+
+def test_group_percolation_matches_forward(xs_df, xs_pdf, xs_oracle):
+    from search_engine_spark.operators.percolate import percolate, register
+
+    saved = register([("g", "+(term0001 term0002) -term0003", "qs")])
+    rows = percolate(xs_df, saved).collect()
+    got = {(r.conv_id, r.turn_idx) for r in rows}
+    want = {
+        key for key, _s in oracle_query_string(
+            xs_oracle, "+(term0001 term0002) -term0003", 10**6
+        )
+    }
+    assert got == want
