@@ -64,8 +64,10 @@ from dataclasses import dataclass
 from .textproc import analyze_query, analyze_text
 
 FILTER_FIELDS = ("role", "tool", "conv_id")
+RANGE_FIELDS = ("ts", "turn_idx")
 
 _FIELD_TOKEN = re.compile(rf"^({'|'.join(FILTER_FIELDS)}):(\S+)$")
+_RANGE_TOKEN = re.compile(rf"^({'|'.join(RANGE_FIELDS)})(>=|<=|>|<)(\S+)$")
 _BOOST_SUFFIX = re.compile(r"^(.*[^^])\^(\d+(?:\.\d+)?)$")
 _BAD_FUZZY = re.compile(r"^[0-9A-Za-z]+~(\d+)$")
 #: lexer: an optional +/- prefix, then a quoted phrase (optional ~slop),
@@ -93,6 +95,9 @@ class QSFilter:
     field: str
     value: str
     negated: bool
+    #: "eq" (role/tool/conv_id equality) or a range comparator over the
+    #: ordered fields (ts — ISO date/datetime, T-separated; turn_idx)
+    op: str = "eq"
 
 
 @dataclass(frozen=True)
@@ -186,6 +191,29 @@ def parse_query_string(query_text: str) -> ParsedQS:
             continue
         if tok.startswith('"') or tok.endswith('^'):
             raise ValueError(f"malformed token in query string: {tok!r}")
+        rm = None if tok.startswith("/") else _RANGE_TOKEN.match(tok)
+        if rm:
+            field, op, value = rm.group(1), rm.group(2), rm.group(3)
+            # fail loud at parse time, not deep in a Spark job
+            if field == "ts":
+                from datetime import datetime
+
+                try:
+                    datetime.fromisoformat(value)
+                except ValueError:
+                    raise ValueError(
+                        f"bad ts range value {value!r} (ISO date or "
+                        "T-separated datetime)"
+                    ) from None
+            else:
+                try:
+                    int(value)
+                except ValueError:
+                    raise ValueError(
+                        f"bad {field} range value {value!r} (integer)"
+                    ) from None
+            filters.append(QSFilter(field, value, occur == "not", op))
+            continue
         fm = None if tok.startswith("/") else _FIELD_TOKEN.match(tok)
         if fm:
             field, value = fm.group(1), fm.group(2)

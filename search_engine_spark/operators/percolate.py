@@ -327,14 +327,26 @@ def _score(pos: dict, spec: QuerySpec, dl: int, stats: ScoringStats) -> float:
 
 def _passes_filters(fields: dict, filters) -> bool:
     """Field filters against ONE document's own metadata — the same
-    NULL contract as the forward engine's ``eqNullSafe`` scope (a NULL
-    field never equals a positive value, always passes a negated one)."""
+    NULL contract as the forward engine's scope condition (a NULL field
+    never satisfies a positive filter, always passes a negated one).
+    Equality on the keyword fields; range comparators on ts (pandas
+    Timestamp) and turn_idx (int)."""
+    import operator as _op
+
+    ops = {">=": _op.ge, "<=": _op.le, ">": _op.gt, "<": _op.lt}
     for f in filters:
         v = fields.get(f.field)
         if v is not None and not isinstance(v, str) and v != v:
-            v = None  # pandas NaN
-        eq = v is not None and str(v) == f.value
-        if eq if f.negated else not eq:
+            v = None  # pandas NaN/NaT
+        if getattr(f, "op", "eq") == "eq":
+            hit = v is not None and str(v) == f.value
+        elif v is None:
+            hit = False
+        elif f.field == "ts":
+            hit = bool(ops[f.op](pd.Timestamp(v), pd.Timestamp(f.value)))
+        else:
+            hit = bool(ops[f.op](int(v), int(f.value)))
+        if hit if f.negated else not hit:
             return False
     return True
 
@@ -383,6 +395,7 @@ def percolate(
                     continue
                 fields = dict(zip(extra, fvals))
                 fields["conv_id"] = conv
+                fields["turn_idx"] = int(turn)
                 pos: dict = {}
                 for i, t in enumerate(toks):
                     pos.setdefault(t, []).append(i)

@@ -86,12 +86,26 @@ def compile_query_string(
 def filters_condition(filters) -> "F.Column":
     """Field filters → ONE boolean Column over the corpus metadata.
     NULL contract (pinned by tests + oracle `qs_filter_keys`): a NULL
-    field never equals a positive value and always passes a negated
-    one — ``eqNullSafe``, not ``=``/``!=`` (whose NULL rows vanish)."""
+    field never satisfies a positive filter and always passes a negated
+    one — ``eqNullSafe`` for equality, ``coalesce(cmp, false)`` for
+    ranges (a bare ``~cmp`` would DROP null rows instead)."""
+    ops = {
+        ">=": lambda c, v: c >= v, "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v, "<": lambda c, v: c < v,
+    }
     cond = F.lit(True)
     for f in filters:
-        eq = F.col(f.field).eqNullSafe(F.lit(f.value))
-        cond = cond & (~eq if f.negated else eq)
+        col = F.col(f.field)
+        if f.op == "eq":
+            hit = col.eqNullSafe(F.lit(f.value))
+        else:
+            val = (
+                F.to_timestamp(F.lit(f.value.replace("T", " ")))
+                if f.field == "ts"
+                else F.lit(int(f.value))
+            )
+            hit = F.coalesce(ops[f.op](col, val), F.lit(False))
+        cond = cond & (~hit if f.negated else hit)
     return cond
 
 

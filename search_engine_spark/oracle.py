@@ -1976,10 +1976,22 @@ def qs_filter_keys(transcripts: pd.DataFrame, filters) -> set:
     missing-value contract both sides pin: a NULL field never equals a
     positive filter value and always passes a negated one (the engine's
     ``eqNullSafe`` mirror)."""
+    import operator as _op
+
+    ops = {
+        ">=": _op.ge, "<=": _op.le, ">": _op.gt, "<": _op.lt,
+    }
     mask = pd.Series(True, index=transcripts.index)
     for f in filters:
-        eq = (transcripts[f.field] == f.value).fillna(False)
-        mask &= ~eq if f.negated else eq
+        col = transcripts[f.field]
+        if getattr(f, "op", "eq") == "eq":
+            hit = (col == f.value).fillna(False)
+        else:
+            val = (
+                pd.Timestamp(f.value) if f.field == "ts" else int(f.value)
+            )
+            hit = ops[f.op](col, val).fillna(False)
+        mask &= ~hit if f.negated else hit
     sub = transcripts[mask]
     return {
         (str(c), int(t))

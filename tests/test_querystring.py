@@ -530,3 +530,54 @@ def test_group_percolation_matches_forward(xs_df, xs_pdf, xs_oracle):
         )
     }
     assert got == want
+
+
+# -- range filters ----------------------------------------------------
+
+RANGE_BATTERY = [
+    "+term0001 term0002 ts>=2026-01-01T00:30:00",
+    "+term0001 term0002 turn_idx<3",
+    "+term0001 term0002 -turn_idx>=3",
+    "+term0001 ts>=2026-01-01T00:10:00 ts<2026-01-01T01:00:00",
+    "+term0001 role:assistant turn_idx>=1",
+]
+
+
+@pytest.mark.parametrize("qs", RANGE_BATTERY)
+def test_range_filters_match_oracle(xs_index, xs_df, xs_pdf, xs_oracle, qs):
+    got = _rows(search_query_string(xs_index, qs, 10, meta=xs_df))
+    want = _oracle_rows(
+        oracle_query_string(xs_oracle, qs, 10, transcripts=xs_pdf)
+    )
+    assert got == want
+    assert count_query_string(xs_index, qs, meta=xs_df) == (
+        oracle_query_string_count(xs_oracle, qs, transcripts=xs_pdf)
+    )
+
+
+def test_range_filter_parse_validation():
+    p = parse_query_string("term0001 ts>=2026-01-01 -turn_idx<2")
+    assert [(f.field, f.op, f.value, f.negated) for f in p.filters] == [
+        ("ts", ">=", "2026-01-01", False),
+        ("turn_idx", "<", "2", True),
+    ]
+    with pytest.raises(ValueError, match="bad ts range"):
+        parse_query_string("term0001 ts>=notadate")
+    with pytest.raises(ValueError, match="integer"):
+        parse_query_string("term0001 turn_idx>five")
+
+
+def test_range_filter_percolation(xs_df, xs_pdf, xs_oracle):
+    from search_engine_spark.operators.percolate import percolate, register
+
+    qt = "+term0001 ts>=2026-01-01T00:30:00 -turn_idx>=4"
+    saved = register([("r", qt, "qs")])
+    rows = percolate(xs_df, saved).collect()
+    got = {(r.conv_id, r.turn_idx) for r in rows}
+    want = {
+        key
+        for key, _s in oracle_query_string(
+            xs_oracle, qt, 10**6, transcripts=xs_pdf
+        )
+    }
+    assert got == want and got
