@@ -40,6 +40,7 @@ PRIORITY = [
     "transcripts_query_string_filtered",  # r4: + field filters/boost/msm
     "transcripts_query_string_batch",  # r4: N bool queries in one job
     "transcripts_percolate_qs",  # r4: saved query strings on the firehose
+    "transcripts_query_string_grouped",  # r4: (a b) groups + range filters
     "decontaminate_overlap",  # r4: benchmark n-gram decontamination
     "repetition_stats",  # r4: Gopher repetition/boilerplate measures
     "span_dedup_stats",  # r4: RefinedWeb exact duplicate-span measure
@@ -3136,6 +3137,32 @@ def transcripts_query_string_filtered(spark, sf_dir):
     return search_query_string(
         idx, _QS_FILTERED, 10, meta=meta, min_should_match=2
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
+
+
+_QS_GROUPED = (
+    "+(term0001 term0005) -(term0002 term0003) "
+    "ts>=2026-01-01T00:10:00 turn_idx<4"
+)
+
+
+@q(
+    "transcripts_query_string_grouped",
+    _query_string_oracle_sql(_QS_GROUPED, 10),
+)
+def transcripts_query_string_grouped(spark, sf_dir):
+    """Query-string grammar extensions: parenthesized alternatives
+    groups (+(a b) = one clause matching ANY member — the Lucene
+    grouping form) and filter-context RANGE filters (ts>=ISO,
+    turn_idx<N; NULL-safe coalesce-false comparisons on the pruned
+    metadata scan)."""
+    from .corpus import generate_transcripts
+    from .operators.querystring import search_query_string
+
+    idx = _xs_index(spark)
+    meta = spark.createDataFrame(generate_transcripts("xs"))
+    return search_query_string(idx, _QS_GROUPED, 10, meta=meta).select(
+        "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
+    )
 
 
 _QS_BATCH = [
