@@ -329,3 +329,16 @@ def resolve_query_string(
         min_should,
     )
     return ResolvedQS(bc, weights or None)
+
+
+def positive_text(parsed: ParsedQS) -> str:
+    """Literal surface text of the POSITIVE clauses — what snippet
+    locators and dual-encoder query embedding should see: term/group
+    values and phrase bodies; must_not text never (results must not
+    match it), wildcard/regexp patterns never (no literal surface)."""
+    parts = []
+    for c in parsed.clauses:
+        if c.occur == "not" or c.marker in ("wildcard", "regexp"):
+            continue
+        parts.append(c.value)
+    return " ".join(parts)

@@ -259,3 +259,54 @@ def search_query_string_batch(
         for s, (_t, kk) in zip(specs, items)
     ]
     return index.topk_batch(batch, k=k, tombstones=tombstones, scope=scope)
+
+
+def recency_query_string(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    now: str,
+    scale_s: float,
+    k: int = 10,
+    meta: DataFrame | None = None,
+    min_should_match: int | None = None,
+    tombstones: list | None = None,
+    **decay,
+) -> DataFrame:
+    """Freshness-decayed bool-query top-k (operators/recency.py over the
+    compiled spec): decay reorders the EXACT bool match set, filters
+    compose as scope."""
+    from .recency import recency_topk
+
+    spec, filters = compile_query_string(index, query_text, min_should_match)
+    scope = _scope_for(meta, filters, query_text)
+    return recency_topk(
+        index, transcripts, query_text, now, scale_s, "bool", k,
+        tombstones=tombstones, scope=scope, spec=spec, **decay,
+    )
+
+
+def hybrid_query_string(
+    index,
+    embeddings: DataFrame,
+    query_text: str,
+    k: int = 10,
+    meta: DataFrame | None = None,
+    min_should_match: int | None = None,
+    **hy,
+) -> DataFrame:
+    """Hybrid (BM25 ∪ embedding-cosine) retrieval driven by a unified
+    query string: the LEXICAL leg executes the compiled bool spec, the
+    SEMANTIC leg embeds only the positive literal text
+    (``boolquery.positive_text`` — must_not text and wildcard patterns
+    never reach the encoder), and field filters scope BOTH legs."""
+    from ..boolquery import parse_query_string, positive_text
+    from ..pipeline.hybrid import hybrid_topk
+
+    spec, filters = compile_query_string(index, query_text, min_should_match)
+    scope = _scope_for(meta, filters, query_text, hy.pop("scope", None))
+    sem_text = positive_text(parse_query_string(query_text))
+    return hybrid_topk(
+        index, embeddings, sem_text, k, mode="bool", scope=scope, spec=spec,
+        **hy,
+    )

@@ -53,6 +53,7 @@ def recency_topk(
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
+    spec=None,
 ) -> DataFrame:
     """Freshness-decayed top-k → DataFrame(conv_id, turn_idx, score,
     recency_score), ordered by (recency_score desc, conv_id, turn_idx).
@@ -70,7 +71,7 @@ def recency_topk(
         raise ValueError(f"decay_rate must be in (0, 1), got {decay_rate}")
     lam = math.log(decay_rate) / float(scale_s)
     scored = index.matches_scored(
-        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
     )
     ts = transcripts.select("conv_id", "turn_idx", "ts")
     now_s = F.to_timestamp(F.lit(now)).cast("long")

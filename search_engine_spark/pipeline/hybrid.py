@@ -558,6 +558,7 @@ def hybrid_topk(
     dim: int = 64,
     scope: DataFrame | None = None,
     ann_index: str | list[str] | None = None,
+    spec=None,
 ) -> DataFrame:
     """BM25 ∪ vector top-k, fused → (conv_id, turn_idx, score).
 
@@ -583,7 +584,7 @@ def hybrid_topk(
     if method not in ("rrf", "linear"):
         raise ValueError(f"unknown fusion method {method!r}")
     qv = query_vec if query_vec is not None else embed_query(query_text, dim)
-    lex = index.topk(query_text, mode, depth, scope=scope).select(*_KEYS, "score")
+    lex = index.topk(query_text, mode, depth, scope=scope, spec=spec).select(*_KEYS, "score")
     lists: list[tuple[DataFrame, str, float]] = [(lex, "score", w_lex)]
     if any(v != 0.0 for v in qv):
         sem = (

@@ -51,17 +51,11 @@ def _raw_terms(query_text: str, mode: str = "disjunctive") -> list[str]:
             query_text = " ".join(phrases)
     elif mode == "qs":
         # positive clauses only (results must not contain must_not
-        # text), literal surface forms only: term values, phrase bodies,
-        # and prefix/fuzzy stems (their literal part still locates the
-        # match); wildcard/regexp patterns have no literal surface form
-        from .boolquery import parse_query_string
+        # text), literal surface forms only — shared rule with the
+        # hybrid embedding side (boolquery.positive_text)
+        from .boolquery import parse_query_string, positive_text
 
-        parts = []
-        for c in parse_query_string(query_text).clauses:
-            if c.occur == "not" or c.marker in ("wildcard", "regexp"):
-                continue
-            parts.append(c.value)
-        query_text = " ".join(parts)
+        query_text = positive_text(parse_query_string(query_text))
     return [w for w in re.split(r"[^0-9a-z]+", query_text.lower()) if w]
 
 
@@ -162,10 +156,12 @@ def search(
         # facet_counts below (parse and vocabulary expansion happen a
         # single time per request, like the reference's one-pass
         # query analysis)
-        if hybrid is not None or recency or synonyms or analyzed:
+        if hybrid is not None or synonyms or analyzed:
             raise ValueError(
-                "mode='qs' does not compose with hybrid/recency/synonyms/"
-                "analyzed (the query string carries its own grammar)"
+                "mode='qs' does not compose with hybrid/synonyms/analyzed "
+                "in the facade (the query string carries its own grammar; "
+                "for a hybrid bool query use "
+                "operators.querystring.hybrid_query_string)"
             )
         from .operators.querystring import _scope_for, compile_query_string
 
@@ -231,7 +227,7 @@ def search(
             mode, page * k,
             offset_s=recency.get("offset_s", 0.0),
             decay_rate=recency.get("decay_rate", DECAY_RATE),
-            tombstones=tombstones, scope=scope, analyzed=analyzed,
+            tombstones=tombstones, scope=scope, analyzed=analyzed, spec=qspec,
         )
     elif collapse:
         deep = index.topk_conversations(

@@ -581,3 +581,66 @@ def test_range_filter_percolation(xs_df, xs_pdf, xs_oracle):
         )
     }
     assert got == want and got
+
+
+# -- recency and hybrid over query strings ----------------------------
+
+def test_recency_query_string(xs_index, xs_df, xs_pdf, xs_oracle):
+    from search_engine_spark.operators.querystring import (
+        recency_query_string,
+    )
+
+    qs = "+term0001 -term0004"
+    out = recency_query_string(
+        xs_index, xs_df, qs, "2026-01-01T01:00:00", 600.0, k=10**6
+    ).collect()
+    # decay reorders, never filters: the match set and the BM25 scores
+    # are exactly the bool query's
+    want = {
+        key: round(float(s), 9)
+        for key, s in oracle_query_string(xs_oracle, qs, 10**6)
+    }
+    got = {
+        (r.conv_id, r.turn_idx): round(float(r.score), 9) for r in out
+    }
+    assert got == want
+    # ordered by the decayed score
+    rs = [r.recency_score for r in out]
+    assert rs == sorted(rs, reverse=True)
+
+
+def test_hybrid_query_string_degenerates_to_plain(spark, xs_index, xs_pdf):
+    from search_engine_spark.operators.querystring import (
+        hybrid_query_string,
+    )
+    from search_engine_spark.pipeline.hybrid import hash_embed, hybrid_topk
+
+    emb = hash_embed(spark.createDataFrame(xs_pdf), dim=16)
+    got = hybrid_query_string(
+        xs_index, emb, "term0001 term0002", 5, dim=16
+    ).collect()
+    want = hybrid_topk(
+        xs_index, emb, "term0001 term0002", 5, mode="disjunctive", dim=16
+    ).collect()
+    assert [(r.conv_id, r.turn_idx, r.score) for r in got] == [
+        (r.conv_id, r.turn_idx, r.score) for r in want
+    ]
+
+
+def test_hybrid_query_string_filters_scope_both_legs(
+    spark, xs_index, xs_df, xs_pdf,
+):
+    from search_engine_spark.operators.querystring import (
+        hybrid_query_string,
+    )
+    from search_engine_spark.pipeline.hybrid import hash_embed
+
+    emb = hash_embed(spark.createDataFrame(xs_pdf), dim=16)
+    out = hybrid_query_string(
+        xs_index, emb, "+term0001 role:assistant", 10, meta=xs_df, dim=16,
+    ).collect()
+    allowed = {
+        (r.conv_id, r.turn_idx)
+        for r in xs_df.filter("role = 'assistant'").collect()
+    }
+    assert out and all((r.conv_id, r.turn_idx) in allowed for r in out)

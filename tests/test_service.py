@@ -480,6 +480,9 @@ def test_search_query_string_facets_and_rejections(spark, xs_full_setup):
     assert sum(page["facets"].values()) == page["total_results"]
     with pytest.raises(ValueError, match="qs"):
         search(idx, tr, "term0001", mode="qs", synonyms=True)
-    with pytest.raises(ValueError, match="qs"):
-        search(idx, tr, "term0001", mode="qs",
-               recency={"now": "2026-01-01T00:00:00", "scale_s": 3600})
+    # recency DOES compose with qs (decay reorders the bool match set)
+    page = search(idx, tr, "+term0001 -term0002", mode="qs", k=5,
+                  recency={"now": "2026-01-01T01:00:00", "scale_s": 600})
+    assert page["results"]
+    rs = [r["recency_score"] for r in page["results"]]
+    assert rs == sorted(rs, reverse=True)
