@@ -69,12 +69,12 @@ RANGE_FIELDS = ("ts", "turn_idx")
 _FIELD_TOKEN = re.compile(rf"^({'|'.join(FILTER_FIELDS)}):(\S+)$")
 _RANGE_TOKEN = re.compile(rf"^({'|'.join(RANGE_FIELDS)})(>=|<=|>|<)(\S+)$")
 _BOOST_SUFFIX = re.compile(r"^(.*[^^])\^(\d+(?:\.\d+)?)$")
-_BAD_FUZZY = re.compile(r"^[0-9A-Za-z]+~(\d+)$")
+_BAD_FUZZY = re.compile(r"^\S+~(\d+)$")
 #: lexer: an optional +/- prefix, then a quoted phrase (optional ~slop),
 #: a parenthesized alternatives group (optional ^boost), or a bare
 #: token; anything else (an unbalanced quote/paren) fails loud.
 _LEX = re.compile(
-    r'([+-]?)(?:"([^"]*)"(?:~(\d+))?'
+    r'([+-]?)(?:"([^"]*)"(?:~(\d+)|\^(\d+(?:\.\d+)?))?'
     r'|\(([^()"]*)\)(?:\^(\d+(?:\.\d+)?))?'
     r'|([^\s"()]+))'
 )
@@ -155,11 +155,13 @@ def parse_query_string(query_text: str) -> ParsedQS:
         r"\s+", "", "".join(m.group(0) for m in _LEX.finditer(query_text))
     )
     if consumed != re.sub(r"\s+", "", query_text):
-        raise ValueError(f"unbalanced quote in query string: {query_text!r}")
+        raise ValueError(
+            f"unbalanced quote or parenthesis in query string: {query_text!r}"
+        )
     clauses: list[QSClause] = []
     filters: list[QSFilter] = []
     for m in _LEX.finditer(query_text):
-        sign, phrase, slop, group, gboost, tok = m.groups()
+        sign, phrase, slop, pboost, group, gboost, tok = m.groups()
         occur = {"+": "must", "-": "not", "": "should"}[sign]
         if group is not None:
             # parenthesized alternatives: ONE clause matching ANY of
@@ -181,9 +183,9 @@ def parse_query_string(query_text: str) -> ParsedQS:
             clauses.append(QSClause(occur, "group", group.strip(), boost=boost))
             continue
         if phrase is not None:
-            if _BOOST_SUFFIX.match(phrase):
-                # catches `"a b"^2` only when the ^ lands INSIDE the
-                # quotes; the outside form lexes as phrase + stray token
+            if pboost is not None or _BOOST_SUFFIX.match(phrase):
+                # both placements a Lucene user might type: `"a b"^2`
+                # and `"a b^2"` fail loud, never silently drop the boost
                 raise ValueError(f"phrase boosts are not supported: {phrase!r}")
             clauses.append(
                 QSClause(occur, "phrase", phrase, slop=int(slop or 0))
@@ -217,17 +219,30 @@ def parse_query_string(query_text: str) -> ParsedQS:
         fm = None if tok.startswith("/") else _FIELD_TOKEN.match(tok)
         if fm:
             field, value = fm.group(1), fm.group(2)
+            if not re.match(r"^[\w.-]+$", value):
+                raise ValueError(
+                    f"bad filter value {value!r} for field {field!r} "
+                    "(word characters, dots, dashes only — boosts and "
+                    "markers do not apply to filters)"
+                )
             if occur == "must":
                 occur = "should"  # +field:v == field:v — filters are binary
             filters.append(QSFilter(field, value, occur == "not"))
             continue
         if ":" in tok and not tok.startswith("/"):
             head = tok.split(":", 1)[0]
-            if head.isalpha() and head.lower() not in FILTER_FIELDS:
-                raise ValueError(
-                    f"unknown filter field {head!r} (supported: "
-                    f"{', '.join(FILTER_FIELDS)})"
-                )
+            if re.match(r"^[A-Za-z_]\w*$", head):
+                if head.lower() in RANGE_FIELDS:
+                    raise ValueError(
+                        f"field {head!r} is ordered — use a range "
+                        f"comparator ({head}>=value), not ':'"
+                    )
+                if head.lower() not in FILTER_FIELDS:
+                    raise ValueError(
+                        f"unknown filter field {head!r} (supported: "
+                        f"{', '.join(FILTER_FIELDS)}; ranges: "
+                        f"{', '.join(RANGE_FIELDS)})"
+                    )
         bm = _BOOST_SUFFIX.match(tok)
         boost = None
         if bm:

@@ -138,7 +138,11 @@ def snapshot_create(
         raise ValueError(f"invalid snapshot name {name!r}")
     snap = os.path.join(repo, SNAP_DIR, name)
     if os.path.exists(snap):
-        raise ValueError(f"snapshot {name!r} already exists in {repo}")
+        if os.path.exists(os.path.join(snap, "_manifest.json")):
+            raise ValueError(f"snapshot {name!r} already exists in {repo}")
+        # a crashed earlier attempt left a manifest-less remnant that
+        # list hides and delete refuses — clear it so the retry works
+        shutil.rmtree(snap)
     manifest: dict = {"name": name, "roots": [], "linked": 0, "copied": 0}
     for i, root in enumerate(roots):
         if not os.path.exists(os.path.join(root, "meta.json")):

@@ -305,7 +305,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             raise SystemExit("--synonyms requires --mode disjunctive")
         query_text = idx.expand_synonyms(query_text, analyzed=analyzed)
         analyzed = True
-    min_match = getattr(args, "min_match", 1)
+    min_match = getattr(args, "min_match", None)
     search_after = None
     if getattr(args, "search_after", None):
         try:
@@ -336,7 +336,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             meta = load_transcripts(spark, args.input)
         rows = search_query_string(
             idx, args.query, args.k, meta=meta,
-            min_should_match=(min_match if min_match > 1 else None),
+            min_should_match=min_match,
             tombstones=_load_tombstones(args.tombstones),
             search_after=search_after,
             collapse=getattr(args, "collapse", False),
@@ -377,7 +377,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         rows = topk_by_field(
             idx, tr, query_text, args.sort_field, args.sort_asc, args.k,
             args.mode, tombstones=_load_tombstones(args.tombstones),
-            scope=scope, analyzed=analyzed, min_match=min_match,
+            scope=scope, analyzed=analyzed, min_match=min_match or 1,
         ).collect()
         print(
             json.dumps(
@@ -403,7 +403,7 @@ def cmd_query(args: argparse.Namespace) -> None:
     if recency:
         if getattr(args, "collapse", False):
             raise SystemExit("--recency-now does not compose with --collapse")
-        if search_after is not None or min_match > 1:
+        if search_after is not None or (min_match or 1) > 1:
             raise SystemExit(
                 "--recency-now does not compose with --search-after/--min-match "
                 "(the decayed order is not monotone in the BM25 cursor)"
@@ -427,13 +427,13 @@ def cmd_query(args: argparse.Namespace) -> None:
         rows = idx.topk_conversations(
             query_text, args.mode, args.k,
             tombstones=_load_tombstones(args.tombstones), scope=scope,
-            analyzed=analyzed, min_match=min_match, search_after=search_after,
+            analyzed=analyzed, min_match=min_match or 1, search_after=search_after,
         ).collect()
     else:
         rows = idx.topk(
             query_text, args.mode, args.k, algo=args.algo,
             tombstones=_load_tombstones(args.tombstones), scope=scope,
-            analyzed=analyzed, min_match=min_match, search_after=search_after,
+            analyzed=analyzed, min_match=min_match or 1, search_after=search_after,
         ).collect()
     print(
         json.dumps(
@@ -1466,9 +1466,10 @@ def main(argv: list[str] | None = None) -> None:
         help="one result per CONVERSATION (best turn as representative)",
     )
     q.add_argument(
-        "--min-match", type=int, default=1,
-        help="disjunctive: require ≥ m distinct query terms per match "
-        "(ES minimum_should_match)",
+        "--min-match", type=int, default=None,
+        help="disjunctive: require ≥ m distinct query terms per match; "
+        "qs: minimum_should_match (an explicit 1 forces ≥1 should "
+        "clause even alongside must clauses — the ES contract)",
     )
     q.add_argument(
         "--search-after",

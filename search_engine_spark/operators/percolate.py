@@ -92,12 +92,12 @@ def register(queries) -> list[SavedQuery]:
             qid = str(q["query_id"])
             qt = q["query_text"]
             mode = q.get("mode", "disjunctive")
-            mm = int(q.get("min_match", 1))
+            mm = q.get("min_match")
         else:
             qid = str(q[0])
             qt = q[1]
             mode = q[2] if len(q) > 2 else "disjunctive"
-            mm = int(q[3]) if len(q) > 3 else 1
+            mm = int(q[3]) if len(q) > 3 else None
         if qid in seen:
             raise ValueError(f"duplicate query_id {qid!r}")
         seen.add(qid)
@@ -117,9 +117,7 @@ def register(queries) -> list[SavedQuery]:
                     f"({', '.join(bad)}) are not percolatable (no "
                     "vocabulary to expand against)"
                 )
-            res = resolve_query_string(
-                parsed, {}, min_should_match=(mm if mm > 1 else None)
-            )
+            res = resolve_query_string(parsed, {}, min_should_match=mm)
             bc = res.clauses
             if not bc.positive_terms:
                 continue  # every positive clause analyzer-dropped
@@ -136,7 +134,7 @@ def register(queries) -> list[SavedQuery]:
                 )
             )
             continue
-        spec = parse_query(qt, mode, min_match=mm)
+        spec = parse_query(qt, mode, min_match=int(mm) if mm else 1)
         if spec is not None:
             if spec.phrase_prefix is not None:
                 # match_phrase_prefix expands against a LIVE vocabulary;

@@ -300,12 +300,19 @@ def hybrid_query_string(
     SEMANTIC leg embeds only the positive literal text
     (``boolquery.positive_text`` — must_not text and wildcard patterns
     never reach the encoder), and field filters scope BOTH legs."""
-    from ..boolquery import parse_query_string, positive_text
+    from ..boolquery import positive_text
     from ..pipeline.hybrid import hybrid_topk
 
-    spec, filters = compile_query_string(index, query_text, min_should_match)
-    scope = _scope_for(meta, filters, query_text, hy.pop("scope", None))
-    sem_text = positive_text(parse_query_string(query_text))
+    parsed = parse_query_string(query_text)
+    res = resolve_query_string(
+        parsed, _engine_expansions(index, parsed), min_should_match
+    )
+    spec = QuerySpec(
+        "bool", list(res.clauses.positive_terms),
+        weights=res.weights, bool_clauses=res.clauses,
+    )
+    scope = _scope_for(meta, parsed.filters, query_text, hy.pop("scope", None))
+    sem_text = positive_text(parsed)
     return hybrid_topk(
         index, embeddings, sem_text, k, mode="bool", scope=scope, spec=spec,
         **hy,

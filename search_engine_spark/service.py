@@ -147,6 +147,7 @@ def search(
             "hybrid composes with scope/facets/paging/highlight only"
         )
     user_query = query_text
+    scope = transcripts.filter(where) if where else None
     qspec = None
     if mode == "qs":
         # unified query string (operators/querystring.py): the grammar
@@ -166,7 +167,6 @@ def search(
         from .operators.querystring import _scope_for, compile_query_string
 
         qspec, qs_filters = compile_query_string(index, query_text)
-        scope = transcripts.filter(where) if where else None
         scope = _scope_for(transcripts, qs_filters, query_text, scope)
     # ``analyzed=True`` = query_text is already index vocabulary (e.g. a
     # did_you_mean rewrite being resubmitted): skip re-analysis AND the
@@ -192,8 +192,6 @@ def search(
         mapping = synonyms if isinstance(synonyms, dict) else None
         query_text = index.expand_synonyms(query_text, mapping, analyzed=analyzed)
         analyzed = True
-    if mode != "qs":  # qs resolved scope above (field filters ∩ where)
-        scope = transcripts.filter(where) if where else None
     if hybrid is not None:
         # ``hybrid`` = {"embeddings": df[, "method", "depth", "rrf_k",
         # "w_lex", "w_sem", "dim"]} — the ES hybrid-search request body.

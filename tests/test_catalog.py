@@ -133,3 +133,21 @@ def test_snapshot_verify_catches_tamper_and_guards(two_indexes, tmp_path):
     assert catalog.snapshot_list(repo) == ["s1"]
     catalog.snapshot_delete(repo, "s1")
     assert catalog.snapshot_list(repo) == []
+
+
+def test_snapshot_retry_after_crashed_attempt(two_indexes, tmp_path):
+    """A manifest-less remnant (crashed create) must not wedge the
+    snapshot name — the retry clears it and succeeds."""
+    _d, blue, _green = two_indexes
+    repo = str(tmp_path / "repo3")
+    remnant = os.path.join(repo, catalog.SNAP_DIR, "s1", "seg0000")
+    os.makedirs(remnant)
+    with open(os.path.join(remnant, "partial"), "w") as f:
+        f.write("x")
+    m = catalog.snapshot_create(repo, "s1", [blue])
+    assert catalog.snapshot_verify(repo, "s1")["ok"]
+    assert not os.path.exists(os.path.join(
+        repo, catalog.SNAP_DIR, "s1", "seg0000", "partial"
+    ))
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.snapshot_create(repo, "s1", [blue])

@@ -644,3 +644,36 @@ def test_hybrid_query_string_filters_scope_both_legs(
         for r in xs_df.filter("role = 'assistant'").collect()
     }
     assert out and all((r.conv_id, r.turn_idx) in allowed for r in out)
+
+
+# -- review fixes: loud failures and msm=1 ----------------------------
+
+@pytest.mark.parametrize("bad, msg", [
+    ("role:assistant^2 error", "bad filter value"),
+    ('"pod evict"^2 error', "phrase boost"),
+    ("turn_idx:3 error", "range comparator"),
+    ("ts:2026 error", "range comparator"),
+    ("foo-bar~2 x", "fuzzy distance"),
+    ("(error failure x", "unbalanced"),
+])
+def test_review_loud_failures(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_query_string(bad)
+
+
+def test_explicit_min_should_match_one_with_must(xs_index, xs_oracle):
+    """ES contract: an explicit minimum_should_match=1 alongside must
+    clauses requires >=1 should clause too (the default would be 0)."""
+    qs = "+term0001 term0002 term0003"
+    strict = _rows(search_query_string(xs_index, qs, 10**6, min_should_match=1))
+    loose = _rows(search_query_string(xs_index, qs, 10**6))
+    assert len(strict) < len(loose)
+    want = _oracle_rows(
+        oracle_query_string(xs_oracle, qs, 10**6, min_should_match=1)
+    )
+    assert strict == want
+    # percolation respects the explicit 1 the same way
+    from search_engine_spark.operators.percolate import register
+
+    saved = register([("s", qs, "qs", 1)])
+    assert saved[0].spec.bool_clauses.min_should == 1
