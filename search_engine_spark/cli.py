@@ -526,11 +526,24 @@ def cmd_query_batch(args: argparse.Namespace) -> None:
     spark = _spark(args.cores)
     idx = _open_index(spark, args.index)
     with open(args.queries) as f:
-        queries = [
-            (q["query_text"], q.get("mode", "disjunctive"), q.get("k", args.k))
-            for q in (json.loads(line) for line in f if line.strip())
-        ]
-    t0 = time.time()
+        raw = [json.loads(line) for line in f if line.strip()]
+    queries: list = [
+        (q["query_text"], q.get("mode", "disjunctive"), q.get("k", args.k))
+        for q in raw
+    ]
+    t0 = time.time()  # qs compilation's vocabulary jobs count as latency
+    qs_rows = [i for i, q in enumerate(raw) if q.get("mode") == "qs"]
+    if qs_rows:
+        # mode "qs" rows compile through the batched vocabulary pass
+        # (one pushed idf-table job per marker kind for the whole file)
+        # and ride the same single topk_batch job as the plain rows
+        from .operators.querystring import compile_query_strings
+
+        specs = compile_query_strings(
+            idx, [raw[i]["query_text"] for i in qs_rows]
+        )
+        for i, spec in zip(qs_rows, specs):
+            queries[i] = (spec, raw[i].get("k", args.k))
     rows = idx.topk_batch(queries, k=args.k, algo=args.algo).collect()
     by_q: dict[int, list] = {}
     for r in rows:
@@ -545,7 +558,7 @@ def cmd_query_batch(args: argparse.Namespace) -> None:
                 "n_queries": len(queries),
                 "seconds": round(time.time() - t0, 3),
                 "results": [
-                    {"query": queries[i][0], "topk": by_q.get(i, [])}
+                    {"query": raw[i]["query_text"], "topk": by_q.get(i, [])}
                     for i in range(len(queries))
                 ],
             }
