@@ -24,7 +24,14 @@ def main() -> None:
     from search_engine_spark.index.reader import CompressedIndex
 
     idx = CompressedIndex(spark, args.index)
-    rows = idx.topk(args.query, args.mode, args.k).collect()
+    if args.mode == "qs":
+        from search_engine_spark.operators.querystring import (
+            search_query_string,
+        )
+
+        rows = search_query_string(idx, args.query, args.k).collect()
+    else:
+        rows = idx.topk(args.query, args.mode, args.k).collect()
     print(json.dumps([
         {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "score": r["score"]}
         for r in rows
