@@ -74,13 +74,33 @@ def compile_query_string(
     res = resolve_query_string(
         parsed, _engine_expansions(index, parsed), min_should_match
     )
-    spec = QuerySpec(
-        "bool",
-        list(res.clauses.positive_terms),
-        weights=res.weights,
-        bool_clauses=res.clauses,
+    return _spec_from(res), parsed.filters
+
+
+def _spec_from(res) -> QuerySpec:
+    """Resolved clauses → kernel spec, with the DEGENERATE-disjunctive
+    rewrite: a query of pure should clauses at min_should=1 (the most
+    common shape — every plain multi-term query) matches exactly the
+    disjunctive union of its clause terms (matching ANY term matches
+    its clause), so it compiles to mode="disjunctive" and gets the
+    block-max pruned kernel instead of candidates+exact — the 3.7-31×
+    head-term win at large groups (BASELINE.md "Block-max vs exact").
+    Any must/not/phrase clause or msm>1 needs the bool set algebra
+    (clause-count semantics ≠ distinct-term count) and stays "bool".
+    Scores are identical either way (same weighted-idf summation);
+    the cross-mode degeneracy identities in tests pin it."""
+    bc = res.clauses
+    degenerate = (
+        not bc.must_groups and not bc.not_groups
+        and not bc.must_phrases and not bc.should_phrases
+        and not bc.not_phrases and bc.min_should == 1
     )
-    return spec, parsed.filters
+    return QuerySpec(
+        "disjunctive" if degenerate else "bool",
+        list(bc.positive_terms),
+        weights=res.weights,
+        bool_clauses=bc,
+    )
 
 
 def filters_condition(filters) -> "F.Column":
@@ -217,18 +237,10 @@ def compile_query_strings(
     exp = _engine_expansions(
         index, ParsedQS(tuple(c for p in parsed for c in p.clauses), ())
     )
-    out = []
-    for p in parsed:
-        res = resolve_query_string(p, exp, min_should_match)
-        out.append(
-            QuerySpec(
-                "bool",
-                list(res.clauses.positive_terms),
-                weights=res.weights,
-                bool_clauses=res.clauses,
-            )
-        )
-    return out
+    return [
+        _spec_from(resolve_query_string(p, exp, min_should_match))
+        for p in parsed
+    ]
 
 
 def search_query_string_batch(
@@ -307,10 +319,7 @@ def hybrid_query_string(
     res = resolve_query_string(
         parsed, _engine_expansions(index, parsed), min_should_match
     )
-    spec = QuerySpec(
-        "bool", list(res.clauses.positive_terms),
-        weights=res.weights, bool_clauses=res.clauses,
-    )
+    spec = _spec_from(res)
     scope = _scope_for(meta, parsed.filters, query_text, hy.pop("scope", None))
     sem_text = positive_text(parsed)
     return hybrid_topk(

@@ -677,3 +677,25 @@ def test_explicit_min_should_match_one_with_must(xs_index, xs_oracle):
 
     saved = register([("s", qs, "qs", 1)])
     assert saved[0].spec.bool_clauses.min_should == 1
+
+
+def test_degenerate_compiles_to_blockmax_mode(xs_index):
+    """Pure-should min_should=1 strings compile to mode='disjunctive'
+    (block-max pruned kernel — the scale path); any must/not/phrase or
+    msm>1 keeps the bool set-algebra kernel."""
+    deg, _ = compile_query_string(xs_index, "term0001 term0002 (term0003 term0004)")
+    assert deg.mode == "disjunctive"
+    degw, _ = compile_query_string(xs_index, "term0001^2 term000*")
+    assert degw.mode == "disjunctive"
+    for qs, msm in [
+        ("+term0001 term0002", None),
+        ("term0001 -term0002", None),
+        ('"term0001 term0002" term0003', None),
+        ("term0001 term0002", 2),
+    ]:
+        spec, _f = compile_query_string(xs_index, qs, min_should_match=msm)
+        assert spec.mode == "bool", qs
+    # rewrite preserves results exactly (belt over the identity tests)
+    got = _rows(search_query_string(xs_index, "term0001 term0002 (term0003 term0004)", 10))
+    want = _rows(xs_index.topk("term0001 term0002 term0003 term0004", "disjunctive", 10))
+    assert got == want
