@@ -2,11 +2,27 @@
 
 Mimics the grading driver: runs each pair at a given sf dir, compares
 row count, column names, and an order-insensitive value multiset.
+
+Driver-replica hardening (round-5, after CORRECTNESS_r04):
+
+* The session runs with Arrow DISABLED — the driver uses a bare
+  ``SparkSession.builder.getOrCreate()`` where
+  ``spark.sql.execution.arrow.pyspark.enabled`` defaults to false, and
+  round 4 lost 15 entries to a ``createDataFrame`` crash that only
+  reproduces on the no-Arrow row-inference path.
+* Spark-side values go through a ``toPandas()`` round-trip before
+  comparison (the driver-style conversion): a long column holding NULLs
+  becomes float64 there (5 → 5.0), which must hash-match the oracle's
+  raw DuckDB values — round 4 lost pack_sequences/sft_pack_spans to
+  exactly this class.  Entries must not emit NULL-able integer columns.
+
 Usage: python scripts/check_contract.py [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import math
 import os
 import sys
 import time
@@ -14,18 +30,49 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
 
+def norm(v):
+    """Canonicalize one cell to plain-Python values, PRESERVING the
+    int/float distinction (so pandas NULL-int → float64 coercion is a
+    visible mismatch, not silently repaired)."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return [norm(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [norm(x) for x in v]
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None)
+    return v
+
+
 def canon(rows, cols):
     out = []
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
     for r in rows:
-        d = dict(zip(cols, r)) if not isinstance(r, dict) else r
-        out.append(tuple(repr(d[c]) for c in sorted(cols)))
+        out.append(tuple(repr(norm(r[i])) for i in order))
     return sorted(out)
+
+
+def spark_rows_driver_style(sdf):
+    """Spark result through the driver-style pandas round-trip (Arrow is
+    off session-wide, so this is the plain row-by-row conversion where
+    nullable longs become float64)."""
+    pdf = sdf.toPandas()
+    return list(pdf.itertuples(index=False, name=None)), list(pdf.columns)
 
 
 def main():
@@ -35,7 +82,13 @@ def main():
     import __spark_entry__ as e
     from search_engine_spark.session import get_spark
 
-    spark = get_spark(app_name="contract-check", cores=8, shuffle_partitions=16)
+    spark = get_spark(
+        app_name="contract-check",
+        cores=8,
+        shuffle_partitions=16,
+        extra_conf={"spark.sql.execution.arrow.pyspark.enabled": "false"},
+    )
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "false"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -50,8 +103,7 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+            srows, scols = spark_rows_driver_style(sdf)
         except Exception as ex:
             failed.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL {name}: spark error {str(ex)[:300]}")

@@ -249,6 +249,13 @@ def parse_query_string(query_text: str) -> ParsedQS:
             tok, boost = bm.group(1), float(bm.group(2))
             if boost <= 0.0:
                 raise ValueError(f"non-positive boost in query token {m.group(0)!r}")
+        if "^" in tok:
+            # fail-loud contract (mirrors the trailing-'^' check above):
+            # 'term^2^3' would otherwise strip only '^3' and analyze the
+            # residue 'term^2' into different terms, and 'term^-2'
+            # matches no boost pattern so its negative boost would be
+            # silently ignored — both are malformed, not reinterpretable
+            raise ValueError(f"malformed boost in query token {m.group(0)!r}")
         dm = _BAD_FUZZY.match(tok)
         if dm and dm.group(1) != "1":
             raise ValueError(

@@ -46,6 +46,18 @@ def _alias_path(catalog: str, name: str) -> str:
     return os.path.join(catalog, ALIAS_DIR, f"{name}.json")
 
 
+def _snap_path(repo: str, name: str) -> str:
+    """Resolve a snapshot directory, applying the SAME name rule as
+    ``_alias_path``.  The leading-'.' rejection is load-bearing:
+    ``name='..'`` would resolve to the snapshot repository itself and
+    ``name='.'`` to the snapshots dir — both sit upstream of
+    ``shutil.rmtree`` calls (create's remnant cleanup, delete), so a
+    typo'd name must fail here, not delete the repository."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid snapshot name {name!r}")
+    return os.path.join(repo, SNAP_DIR, name)
+
+
 def alias_set(catalog: str, name: str, roots: list[str]) -> None:
     """Point ``name`` at ``roots`` (ordered, oldest first — the same
     contract as ``MultiIndex``).  Atomic: readers see old or new, never
@@ -134,9 +146,7 @@ def snapshot_create(
     filesystem allows (immutable index files make this safe), copies
     otherwise.  Returns the manifest.  Fails loudly if the snapshot
     name exists (snapshots are immutable too)."""
-    if not name or "/" in name:
-        raise ValueError(f"invalid snapshot name {name!r}")
-    snap = os.path.join(repo, SNAP_DIR, name)
+    snap = _snap_path(repo, name)
     if os.path.exists(snap):
         if os.path.exists(os.path.join(snap, "_manifest.json")):
             raise ValueError(f"snapshot {name!r} already exists in {repo}")
@@ -178,7 +188,7 @@ def snapshot_list(repo: str) -> list[str]:
 
 
 def snapshot_delete(repo: str, name: str) -> None:
-    snap = os.path.join(repo, SNAP_DIR, name)
+    snap = _snap_path(repo, name)
     if not os.path.exists(os.path.join(snap, "_manifest.json")):
         raise ValueError(f"snapshot {name!r} not found in {repo}")
     shutil.rmtree(snap)
@@ -188,7 +198,7 @@ def snapshot_verify(repo: str, name: str) -> dict:
     """Cross-check every manifest entry exists with the recorded size —
     the cheap integrity tier (the deep tier is ``index.check`` on a
     restore)."""
-    snap = os.path.join(repo, SNAP_DIR, name)
+    snap = _snap_path(repo, name)
     try:
         with open(os.path.join(snap, "_manifest.json")) as f:
             manifest = json.load(f)
@@ -215,7 +225,7 @@ def snapshot_restore(repo: str, name: str, dest: str) -> list[str]:
     index roots (feed to ``CompressedIndex``/``MultiIndex``/an alias).
     Hard-links back out where possible, so restore is O(metadata) on
     the same filesystem.  Refuses a non-empty destination."""
-    snap = os.path.join(repo, SNAP_DIR, name)
+    snap = _snap_path(repo, name)
     try:
         with open(os.path.join(snap, "_manifest.json")) as f:
             manifest = json.load(f)

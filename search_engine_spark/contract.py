@@ -35,72 +35,42 @@ ORACLES: dict[str, str] = {}
 #: entries new this round go to the front; long-green veterans absorb
 #: any truncation at the tail.
 PRIORITY = [
-    # -- new or semantics-changed in r4 (need their first fresh row)
-    "transcripts_query_string",  # r4: unified query string (ES bool query)
-    "transcripts_query_string_filtered",  # r4: + field filters/boost/msm
-    "transcripts_query_string_batch",  # r4: N bool queries in one job
-    "transcripts_percolate_qs",  # r4: saved query strings on the firehose
-    "transcripts_query_string_grouped",  # r4: (a b) groups + range filters
-    "decontaminate_overlap",  # r4: benchmark n-gram decontamination
-    "repetition_stats",  # r4: Gopher repetition/boilerplate measures
-    "span_dedup_stats",  # r4: RefinedWeb exact duplicate-span measure
-    "span_dedup_scrub",  # r4: duplicate-span removal (C4-style scrub)
-    "pii_scrub_stats",  # r4: email/IP/digit-run redaction
-    "mixture_sample",  # r4: exact domain-mixture downsampling
-    "pack_sequences",  # r4: sequence-packing map (distributed prefix sum)
-    "sft_pack_spans",  # r4: SFT conversation packing + loss mask
-    "chunk_windows",  # r4: sliding token-window chunking
-    "transcripts_hybrid_rrf",  # r4: hybrid BM25+vector, RRF fusion
-    "transcripts_hybrid_linear",  # r4: hybrid, min-max linear fusion
-    "transcripts_hybrid_scoped",  # r4: filtered-kNN hybrid (scope both legs)
-    "transcripts_hybrid_ann",  # r4: ANN-probed semantic leg (scale path)
-    "transcripts_semantic_quantized",  # r4: int8 quantized vector scan + rerank
-    "transcripts_hybrid_conversations",  # r4: conversation-level fused ranking
-    "transcripts_rank_eval",  # r4: IR quality metrics (ES _rank_eval)
-    "transcripts_term_vectors",  # r4: per-doc term stats (ES _termvectors)
-    "transcripts_percolate",  # r4: reverse search (ES percolator analog)
-    "transcripts_explain",  # r4: ES _explain per-term score breakdown
-    "transcripts_weighted",  # r4: per-term query boosts (tok^w)
-    "transcripts_min_should_match",  # r4: ES minimum_should_match
-    "transcripts_search_after",  # r4: offset-free deep pagination
-    "transcripts_bm25_scoped",  # r4: metadata-filtered retrieval
-    "transcripts_facets",  # r4: per-role facet counts
-    "transcripts_near",  # r4: unordered proximity window queries
-    "transcripts_phrase_prefix",  # r4: ES match_phrase_prefix
-    "transcripts_wildcard",  # r4: general wildcard (*?) term queries
-    "transcripts_regexp",  # r4: regexp term queries
-    "transcripts_prefix",  # r4: wildcard/prefix expansion
-    "transcripts_fuzzy",  # r4: edit-distance-1 fuzzy matching
-    "transcripts_conversations",  # r4: conversation-collapsed ranking
-    "transcripts_bm25_updated",  # r4: turn-level UPDATE via shadow segments
-    "transcripts_recency",  # r4: freshness-decayed ranking
-    "transcripts_synonyms",  # r4: query-time synonym expansion
-    "transcripts_phrase_slop",  # r4: ordered sloppy phrase ("a b"~2)
-    "transcripts_more_like_this",  # r4: similar-turn retrieval (ES MLT)
-    "transcripts_did_you_mean",  # r4: spelling correction (ES term suggester)
-    "transcripts_significant_terms",  # r4: JLH aggregation over the match set
-    "transcripts_date_histogram",  # r4: per-interval match counts
-    "transcripts_histogram_pipeline",  # r4: ES pipeline aggs (deriv/cumsum/moving)
-    "transcripts_sort_by_ts",  # r4: ES field-sort retrieval (latest matches)
-    "transcripts_percentile_ranks",  # r4: ES percentile_ranks (empirical CDF)
-    "transcripts_top_hits_by_role",  # r4: per-bucket top-k (ES top_hits)
-    "highlight_terms",  # r4: <em>-tagged term occurrences (ES highlight)
-    "transcripts_cardinality",  # r4: distinct-conv count (ES cardinality)
-    "transcripts_match_stats",  # r4: count/min/max/avg/sum (ES stats)
-    "transcripts_extended_stats",  # r4: + sum_sq/variance/std_dev
-    "transcripts_percentiles",  # r4: exact interpolated quantiles
-    "transcripts_stats_by_role",  # r4: terms bucket + stats sub-agg
-    "transcripts_histogram",  # r4: ES numeric histogram (gap-filled)
-    "transcripts_range",  # r4: ES range agg (overlaps, empty buckets)
-    "transcripts_composite",  # r4: ES composite paginated buckets
-    "ann_lsh_topk_segmented",  # r4: ANN LSM freshness
-    "ivf_assign_cells",  # r4: k-means assignment parity
-    "ivf_ann_topk",  # r4: REWRITTEN over the persisted trained-quantizer index
-    "ivf_ann_topk_segmented",  # r4: IVF LSM freshness
-    "ivf_drift_stats",  # r4: quantizer-drift retrain signal
-    "media_decode_stats",  # r4: REAL netpbm/WAV decode round trip
-    # -- r4 rotation: the 8 entries whose last driver row is r2 (they
-    # were green there and judge-rerun in r3, but deserve a fresh row)
+    # -- red in CORRECTNESS_r04, fixed in r5 (15 × the pd.NA/no-Arrow
+    # createDataFrame crash, 2 × NULL-int hash poisoning + the latent
+    # histogram_pipeline instance the hardened checker caught) — these
+    # MUST re-sample first to turn green
+    "transcripts_query_string_filtered",
+    "transcripts_query_string_grouped",
+    "transcripts_percolate_qs",
+    "transcripts_percolate",
+    "transcripts_bm25_scoped",
+    "transcripts_facets",
+    "transcripts_recency",
+    "transcripts_more_like_this",
+    "transcripts_significant_terms",
+    "transcripts_date_histogram",
+    "transcripts_histogram_pipeline",
+    "transcripts_sort_by_ts",
+    "transcripts_percentile_ranks",
+    "transcripts_top_hits_by_role",
+    "transcripts_cardinality",
+    "pack_sequences",
+    "sft_pack_spans",
+    # -- never sampled in ANY round (they sat just past the 50-entry
+    # window in r4); same pd.NA fix applies to the analytics seven
+    "transcripts_match_stats",
+    "transcripts_extended_stats",
+    "transcripts_percentiles",
+    "transcripts_stats_by_role",
+    "transcripts_histogram",
+    "transcripts_range",
+    "transcripts_composite",
+    "ann_lsh_topk_segmented",
+    "ivf_assign_cells",
+    "ivf_ann_topk_segmented",
+    "ivf_drift_stats",
+    "media_decode_stats",
+    # -- stale: last driver row is round 2
     "boost_ladder",
     "frame_sample",
     "importance_weighted_topk",
@@ -109,21 +79,21 @@ PRIORITY = [
     "pagerank_terms",
     "tf_by_source",
     "transcripts_bm25_wand",
-    # -- compressed-index entries: the r4 kernel change (block-max
-    # default) must re-verify under the driver, not just pytest
-    "transcripts_phrase",
-    "transcripts_bm25_batch",
-    "transcripts_bm25_incremental",
-    "transcripts_bm25_multi",
-    "transcripts_bm25_compacted",
-    "transcripts_match_count",
-    # -- r3 newcomers with a single green row
+    # -- single r3 row, operators untouched since
     "mmr_rerank",
     "phrase_doc_score",
     "rank_blend",
     "ann_lsh_topk",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    # -- compressed-index family (r1/r3 rows; block-max kernel is the
+    # default since r4 — a fresh row keeps that change driver-verified)
+    "transcripts_phrase",
+    "transcripts_bm25_batch",
+    "transcripts_bm25_incremental",
+    "transcripts_bm25_multi",
+    "transcripts_bm25_compacted",
+    "transcripts_match_count",
 ]
 
 #: Long-green veterans pushed past the driver's 50-entry sample window
@@ -2287,7 +2257,7 @@ def _transcripts_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
     pure-Python scorer's output embedded as full-precision literals;
     DuckDB applies the same epsilon-nudged rounding as the Spark side.
     """
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -2326,7 +2296,7 @@ def _transcripts_explain_oracle() -> tuple[str, tuple[str, int]]:
     """(VALUES-literal oracle SQL, target doc key) for the explain entry:
     the pure-Python ``oracle_explain`` breakdown of the query's TOP doc
     (chosen by the oracle itself, so the entry is deterministic)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_explain, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -2409,7 +2379,7 @@ _BATCH_QUERIES = [
 def _transcripts_batch_oracle_sql(queries) -> str:
     """VALUES oracle for the batch path: the pure-Python scorer run per
     query, tagged with the query's list position."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -2452,7 +2422,7 @@ def _rankeval_judgments() -> list[tuple[int, str, int, int]]:
     query's pure-Python-oracle top-8 rated 3,3,2,2,1,1,0,0 (two rating-0
     rows exercise the unjudged-as-0 default) plus one deep relevant doc
     outside the top-k so recall < 1."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -2471,7 +2441,7 @@ def _rankeval_judgments() -> list[tuple[int, str, int, int]]:
 def _rankeval_oracle_sql() -> str:
     """VALUES oracle: the pure-Python `oracle_rank_eval` (independent
     metric implementation over the pure-Python scorer's rankings)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_rank_eval
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -2529,7 +2499,7 @@ def _hybrid_oracle_sql(method: str) -> str:
     """VALUES oracle: pure-Python hybrid fusion (oracle_hybrid_topk) —
     BM25 rankings from the independent scorer, cosine from the shared
     hashing-trick embedder, fused driver-side."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_hybrid_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -2574,7 +2544,7 @@ def _hybrid_scoped_oracle_sql() -> str:
     """VALUES oracle: scope = role='user', applied to BOTH legs
     (filter-context lexical + filtered-kNN semantic) in the pure-Python
     twin."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_hybrid_topk
 
     pdf = generate_transcripts("xs")
@@ -2619,7 +2589,7 @@ def _hybrid_ann_oracle_sql() -> str:
     LSH probe's candidate set (oracle_ann_candidates — same hyperplane
     generator and embedder, per-doc np.dot instead of the kernel's
     batched matmul)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import (
         build_oracle_index,
         oracle_ann_candidates,
@@ -2669,7 +2639,7 @@ def transcripts_hybrid_ann(spark, sf_dir):
 def _quantized_oracle_sql() -> str:
     """VALUES oracle: pure-Python int8-quantized ranking + exact rerank
     (oracle_quantized_semantic_topk over the shared quantize_vec)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_quantized_semantic_topk
     from .pipeline.hybrid import embed_query
 
@@ -2714,7 +2684,7 @@ def _hybrid_convs_oracle_sql() -> str:
     """VALUES oracle: pure-Python conversation-level fusion — collapsed
     BM25 (oracle_topk_conversations) ∪ mean-pooled-conversation cosine,
     both over the shared embedder/pooler kernels."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_hybrid_conversations
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -2762,7 +2732,7 @@ _TV_DOC = ("conv-000003", 2)
 def _tv_oracle_sql() -> str:
     """VALUES oracle: the pure-Python oracle's term vector (tf/positions
     from its OWN posting lists, df/idf from its corpus stats)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_term_vectors
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -2801,7 +2771,7 @@ def _xs_incremental_index(spark):
     reference freshens its index with row upserts, IndexerService.java:
     57-68; extend.py is the LSM-style Spark analog)."""
     if "inc_path" not in _XS_INDEX:
-        from .corpus import generate_transcripts
+        from .corpus import generate_transcripts, transcripts_spark_df
         from .index.build import build_index
         from .index.extend import extend_index
 
@@ -2837,7 +2807,7 @@ def _xs_multi_index(spark):
     merged global BM25 stats — the O(delta) freshness unit whose
     compaction is ``extend_index`` (see index/multi.py)."""
     if "multi_roots" not in _XS_INDEX:
-        from .corpus import generate_transcripts
+        from .corpus import generate_transcripts, transcripts_spark_df
         from .index.build import build_index
 
         d = _tmpdir("sgs_multi_")
@@ -2897,7 +2867,7 @@ def _updated_xs_pdfs():
     — (updated corpus, update delta)."""
     import pandas as pd
 
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
 
     pdf = generate_transcripts("xs")[["conv_id", "turn_idx", "text"]].copy()
     keys = list(
@@ -2950,7 +2920,7 @@ def _xs_updated_multi(spark):
     path (the reference's ``ON CONFLICT ... DO UPDATE`` upsert,
     IndexerService.java:57-68, driven by ReindexController.java:40-104)."""
     if "updated_roots" not in _XS_INDEX:
-        from .corpus import generate_transcripts
+        from .corpus import generate_transcripts, transcripts_spark_df
         from .index.build import build_index
         from .index.extend import ingest_update_segment
 
@@ -2992,7 +2962,7 @@ _COUNT_QUERIES = [
 
 
 def _match_count_oracle_sql() -> str:
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_match_count
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3017,7 +2987,7 @@ def transcripts_match_count(spark, sf_dir):
 
 
 def _xs_scope_keys(role: str) -> set:
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
 
     pdf = generate_transcripts("xs")
     sub = pdf[pdf.role == role]
@@ -3028,7 +2998,7 @@ def _scoped_oracle_sql(query_text: str, mode: str, role: str, k: int = 10) -> st
     """VALUES oracle for scoped search: the pure-Python scorer with the
     role predicate applied as a doc-key scope (filter-context
     semantics — global stats, filtered results)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3058,10 +3028,10 @@ def transcripts_bm25_scoped(spark, sf_dir):
     set; scores keep corpus-global stats.  No reference analog (its
     corpus is untyped web pages); semantics follow Lucene filter
     contexts, verified against the pure-Python oracle."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return idx.topk(
         "term0001 term0002", "disjunctive", 10,
         scope=corpus.filter("role = 'assistant'"),
@@ -3074,7 +3044,7 @@ def _query_string_oracle_sql(
     """VALUES oracle for unified query strings: the pure-Python bool
     resolver + scorer (oracle_query_string — shares only the grammar
     module with the engine) over the deterministic xs corpus."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_query_string
 
     pdf = generate_transcripts("xs")
@@ -3129,11 +3099,11 @@ def transcripts_query_string_filtered(spark, sf_dir):
     predicate on the corpus metadata scan and reach the kernels as the
     existing cogrouped allow set (filter-context scoring: corpus-global
     stats)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .operators.querystring import search_query_string
 
     idx = _xs_index(spark)
-    meta = spark.createDataFrame(generate_transcripts("xs"))
+    meta = transcripts_spark_df(spark, "xs")
     return search_query_string(
         idx, _QS_FILTERED, 10, meta=meta, min_should_match=2
     ).select("conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score"))
@@ -3155,11 +3125,11 @@ def transcripts_query_string_grouped(spark, sf_dir):
     grouping form) and filter-context RANGE filters (ts>=ISO,
     turn_idx<N; NULL-safe coalesce-false comparisons on the pruned
     metadata scan)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .operators.querystring import search_query_string
 
     idx = _xs_index(spark)
-    meta = spark.createDataFrame(generate_transcripts("xs"))
+    meta = transcripts_spark_df(spark, "xs")
     return search_query_string(idx, _QS_GROUPED, 10, meta=meta).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
@@ -3176,7 +3146,7 @@ _QS_BATCH = [
 def _qs_batch_oracle_sql(texts, k: int = 5) -> str:
     """VALUES oracle for batched query strings: the pure-Python bool
     scorer run per string, tagged with the string's list position."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_query_string
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3210,7 +3180,7 @@ def _prefix_oracle_sql(query_text: str, k: int = 10) -> str:
     """VALUES oracle for prefix queries: the pure-Python expander
     (df-desc capped rewrite over the stemmed vocabulary) feeds the
     pure-Python scorer."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_expand_query, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3248,7 +3218,7 @@ def transcripts_prefix(spark, sf_dir):
 def _fuzzy_oracle_sql(query_text: str, k: int = 10) -> str:
     """VALUES oracle for fuzzy queries: the pure-Python delete-1
     expander (exact-first/df-desc capped rewrite) feeds the scorer."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_expand_query, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3293,7 +3263,7 @@ def _near_oracle_sql(query_text: str, k: int = 10) -> str:
     """VALUES oracle for unordered-near queries: the pure-Python anchor
     check (every distinct term within the window, any order) feeds the
     shared scorer."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3334,7 +3304,7 @@ def _phrase_prefix_oracle_sql(query_text: str, k: int = 10) -> str:
     """VALUES oracle for phrase-prefix queries: the pure-Python
     expander (trailing-* last phrase token → vocabulary variants)
     unions per-variant phrase match sets and the shared scorer ranks."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3410,7 +3380,7 @@ def transcripts_regexp(spark, sf_dir):
 
 
 def _conversations_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk_conversations
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3448,7 +3418,7 @@ def transcripts_conversations(spark, sf_dir):
 
 
 def _facets_oracle_sql(query_text: str, mode: str) -> str:
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_facet_counts
 
     pdf = generate_transcripts("xs")
@@ -3467,10 +3437,10 @@ def transcripts_facets(spark, sf_dir):
     emits the full candidate set from the grouped kernels (O(matches))
     and joins it to the column-pruned metadata table; counts equal the
     pure-Python oracle's grouped match set."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return idx.facet_counts("term0001 term0002", corpus, "role").select(
         "role", F.col("n").cast("long").alias("n")
     )
@@ -3484,7 +3454,7 @@ def _recency_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
     """VALUES oracle for freshness-decayed ranking: the pure-Python
     scorer's FULL match set decayed by the identical exp(ln(.5)/scale *
     age) expression and cut to k (oracle.oracle_recency_topk)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_recency_topk
 
     pdf = generate_transcripts("xs")
@@ -3518,11 +3488,11 @@ def transcripts_recency(spark, sf_dir):
     exact BM25 score times an exponential age decay, re-ranked — the
     ES function_score shape; full-match rescore because the decayed
     order is not monotone in BM25."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .operators.recency import recency_topk
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return recency_topk(
         idx, corpus, "term0001 term0002", _RECENCY_NOW, _RECENCY_SCALE_S, k=10
     ).select(
@@ -3546,7 +3516,7 @@ def _synonyms_oracle_sql(query_text: str, k: int = 10) -> str:
     """VALUES oracle: the independent synonym rewrite
     (oracle.oracle_expand_synonyms) executed by the pure-Python scorer
     in analyzed disjunctive mode (OR-semantics — what a synonym means)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_expand_synonyms, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3588,7 +3558,7 @@ def _mlt_oracle_sql(conv_id: str, turn_idx: int, k: int = 10) -> str:
     """VALUES oracle: the independent more-like-this ranking
     (oracle.oracle_more_like_this) — top tf*idf source terms, analyzed
     disjunctive BM25, source turn excluded."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_more_like_this
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3613,11 +3583,11 @@ def transcripts_more_like_this(spark, sf_dir):
     more_like_this shape): the source turn's top-25 tf*idf terms become
     a disjunctive BM25 query via the analyzed execution path; the
     source turn is excluded from the result."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .operators.mlt import more_like_this
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return more_like_this(idx, corpus, *_MLT_SRC, k=10).select(
         "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
     )
@@ -3632,7 +3602,7 @@ def _dym_oracle_sql(query_text: str) -> str:
     """VALUES oracle: the independent correction picks
     (oracle.oracle_suggest_correction) — per unmatched analyzed term,
     the highest-df edit-distance-<=1 vocabulary neighbor."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_suggest_correction
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3666,7 +3636,7 @@ def _sig_oracle_sql(query_text: str, mode: str, n: int = 10) -> str:
     """VALUES oracle: the independent significant-terms ranking
     (oracle.oracle_significant_terms — ES JLH: (fg%-bg%)*(fg%/bg%) over
     the matched turns' distinct terms vs the corpus background)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_significant_terms
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3695,11 +3665,11 @@ def transcripts_significant_terms(spark, sf_dir):
     match set vs the corpus background; foreground from one Arrow
     tokenize pass over ONLY the matched turns, background from the
     persisted idf table, query terms excluded."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.significant import significant_terms
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return significant_terms(
         idx, corpus, "term0003 term0004", "conjunctive", n=10
     ).select("term", "fg", "bg", rnd(F.col("score"), 5).alias("score"))
@@ -3709,7 +3679,7 @@ def _hist_oracle_sql(query_text: str, mode: str, interval: str) -> str:
     """VALUES oracle: the independent date-histogram buckets
     (oracle.oracle_date_histogram); buckets compared as strings so the
     check is timezone/type-representation-proof."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_date_histogram
 
     pdf = generate_transcripts("xs")
@@ -3733,11 +3703,11 @@ def transcripts_date_histogram(spark, sf_dir):
     """Date histogram (pipeline/histogram.py — the ES date_histogram
     aggregation, min_doc_count=1): the match set bucketed by calendar
     hour of ts; pure JVM expressions over a (keys, ts)-pruned scan."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.histogram import date_histogram
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return date_histogram(
         idx, corpus, "term0003 term0004", "conjunctive", "hour"
     ).select(
@@ -3750,7 +3720,7 @@ def _hist_pipeline_oracle_sql(
 ) -> str:
     """VALUES oracle for the pipeline aggregations: the independent
     oracle's (bucket, n, cumulative_sum, derivative, moving_avg) rows."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_date_histogram_pipeline
 
     pdf = generate_transcripts("xs")
@@ -3770,8 +3740,11 @@ def _hist_pipeline_oracle_sql(
         for b, n, c, d, ma in rows
     )
     return (
+        # derivative is NULL for the first bucket — a NULL-able integer
+        # column becomes float64 through the driver's pandas round-trip,
+        # so the contract casts it to double on BOTH sides.
         "SELECT bucket, n::BIGINT AS n, cumulative_sum::BIGINT AS "
-        "cumulative_sum, derivative::BIGINT AS derivative, "
+        "cumulative_sum, derivative::DOUBLE AS derivative, "
         "round(moving_avg + 1e-9, 5) AS moving_avg FROM (VALUES\n  "
         f"{values}\n) t({cols})"
     )
@@ -3787,11 +3760,11 @@ def transcripts_histogram_pipeline(spark, sf_dir):
     (pipeline/histogram.py date_histogram_pipeline): running total,
     adjacent-bucket difference (NULL first), trailing-3 moving average
     — window functions over O(buckets) rows, never O(matches)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.histogram import date_histogram_pipeline
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return date_histogram_pipeline(
         idx, corpus, "term0003 term0004", "conjunctive", "minute",
         window=3, min_doc_count=0,
@@ -3799,14 +3772,14 @@ def transcripts_histogram_pipeline(spark, sf_dir):
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "n",
         "cumulative_sum",
-        "derivative",
+        F.col("derivative").cast("double").alias("derivative"),
         rnd(F.col("moving_avg"), 5).alias("moving_avg"),
     )
 
 
 def _fieldsort_oracle_sql(query_text: str, mode: str, ascending: bool, k: int) -> str:
     """VALUES oracle from the independent field-sort reference."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk_by_field
 
     pdf = generate_transcripts("xs")
@@ -3840,11 +3813,11 @@ def transcripts_sort_by_ts(spark, sf_dir):
     turns matching the query — match-set semi-join to a (keys, ts)
     pruned scan, TakeOrderedAndProject cut, missing-last null order,
     (conv_id, turn_idx) tie-break."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .operators.fieldsort import topk_by_field
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return topk_by_field(
         idx, corpus, "term0001 term0002", "ts", ascending=False, k=10
     ).select(
@@ -3858,7 +3831,7 @@ _RANK_VALUES = (50.0, 120.5, 300.0)
 
 def _rank_oracle_sql(query_text: str, mode: str, values: tuple) -> str:
     """One-row VALUES oracle from the independent empirical-CDF ranks."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_percentile_ranks
 
     pdf = generate_transcripts("xs")
@@ -3882,11 +3855,11 @@ def transcripts_percentile_ranks(spark, sf_dir):
     each probe — one partially-aggregated indicator-avg pass, O(1)
     state per probe (the 100-TB shape; ES itself t-digest-approximates
     this exact quantity)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import percentile_ranks
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return percentile_ranks(
         idx, corpus, "term0001 term0002", _RANK_VALUES
     )
@@ -3895,7 +3868,7 @@ def transcripts_percentile_ranks(spark, sf_dir):
 def _tophits_oracle_sql(query_text: str, mode: str, by: str, k: int) -> str:
     """VALUES oracle: the independent per-bucket top-k
     (oracle.oracle_top_hits_by — ES terms+top_hits contract)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_top_hits_by
 
     pdf = generate_transcripts("xs")
@@ -3924,11 +3897,11 @@ def transcripts_top_hits_by_role(spark, sf_dir):
     """Top hits per bucket (pipeline/tophits.py — the ES terms+top_hits
     aggregation): best 2 turns per role for the query; exhaustive-score
     kernel + WindowGroupLimit per-bucket cut."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.tophits import top_hits_by
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return top_hits_by(
         idx, corpus, "term0001 term0002", "role", "disjunctive", 2
     ).select(
@@ -3958,7 +3931,7 @@ def _weighted_oracle_sql(query_text: str, mode: str, k: int = 10) -> str:
     """VALUES oracle for boosted queries: the pure-Python scorer with
     the identical ``tok^w`` weight resolution (oracle.parse_query_weights
     — largest boost wins per index term)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -3983,7 +3956,7 @@ def transcripts_weighted(spark, sf_dir):
 def _msm_oracle_sql(query_text: str, m: int, k: int = 10) -> str:
     """VALUES oracle for minimum_should_match: the pure-Python scorer
     restricted to docs matching ≥ m distinct terms (oracle._msm_docs)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -4013,7 +3986,7 @@ def _after_oracle_sql(query_text: str, mode: str, k: int) -> tuple[str, tuple]:
     """(VALUES oracle, cursor) for search_after: the cursor is the
     oracle's k-th row (exact float — engine scores are bit-identical,
     pinned by the suite), the oracle rows are the k AFTER it."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -4076,7 +4049,7 @@ def highlight_terms(spark, sf_dir):
 def _cardinality_oracle_sql(query_text: str, mode: str, col: str) -> str:
     """VALUES oracle: the independent distinct-value count
     (oracle.oracle_cardinality — ES cardinality aggregation)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_cardinality
 
     pdf = generate_transcripts("xs")
@@ -4095,18 +4068,18 @@ def transcripts_cardinality(spark, sf_dir):
     a match-key column, so no corpus join at all; exact here (the
     contract path), with approx_count_distinct (HLL++) as the documented
     100-TB option."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import cardinality
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return cardinality(idx, corpus, "term0003 term0004", "conv_id", "disjunctive")
 
 
 def _stats_oracle_sql(query_text: str, mode: str) -> str:
     """VALUES oracle: the independent ES ``stats`` aggregation
     (oracle.oracle_match_stats) over chars-per-matched-turn."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_match_stats
 
     pdf = generate_transcripts("xs")
@@ -4127,11 +4100,11 @@ def transcripts_match_stats(spark, sf_dir):
     count/min/max/avg/sum of chars per matched turn; match-set semi-join
     against a (keys, text)-pruned scan, ONE partially-aggregated global
     agg, O(1) aggregation state."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import match_stats
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return match_stats(idx, corpus, "term0001 term0002", "chars", "disjunctive")
 
 
@@ -4139,7 +4112,7 @@ def _extended_stats_oracle_sql(query_text: str, mode: str) -> str:
     """VALUES oracle: the independent ES ``extended_stats`` aggregation
     (oracle.oracle_extended_stats) — variance/std_dev already carry the
     cross-engine nudge-round, so they are emitted as plain literals."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_extended_stats
 
     pdf = generate_transcripts("xs")
@@ -4167,11 +4140,11 @@ def transcripts_extended_stats(spark, sf_dir):
     matched turn; variance derived from the exact integer sums
     (sum_sq/n - (sum/n)^2) so the double is engine-reproducible; same
     single partially-aggregated plan as ``transcripts_match_stats``."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import extended_stats
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return extended_stats(idx, corpus, "term0003 term0004", "chars", "conjunctive")
 
 
@@ -4182,7 +4155,7 @@ def _percentiles_oracle_sql(query_text: str, mode: str) -> str:
     """VALUES oracle: exact interpolated percentiles
     (oracle.oracle_percentiles — Spark SQL ``percentile``'s arithmetic
     written out, nudge-rounded at 5 dp)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_percentiles
 
     pdf = generate_transcripts("xs")
@@ -4203,11 +4176,11 @@ def transcripts_percentiles(spark, sf_dir):
     interpolation at rank p·(n-1)); ``approx=True``/``percentile_approx``
     is the documented bounded-memory 100-TB path (ES itself is t-digest
     approximate here)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import percentiles
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return percentiles(
         idx, corpus, "term0001 term0002", "chars", _PCT, "disjunctive"
     )
@@ -4216,7 +4189,7 @@ def transcripts_percentiles(spark, sf_dir):
 def _stats_by_oracle_sql(query_text: str, mode: str, bucket_col: str) -> str:
     """VALUES oracle: per-bucket stats rows (oracle.oracle_stats_by —
     the ES terms + stats sub-aggregation)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_stats_by
 
     pdf = generate_transcripts("xs")
@@ -4249,11 +4222,11 @@ def transcripts_stats_by_role(spark, sf_dir):
     count/min/max/avg/sum of chars across the match set; one hash
     aggregation keyed on the bucket, map-side partials, O(buckets)
     state."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import stats_by
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return stats_by(idx, corpus, "term0001", "role", "chars", "disjunctive")
 
 
@@ -4264,7 +4237,7 @@ def _value_histogram_oracle_sql(query_text: str, mode: str) -> str:
     """VALUES oracle: the independent ES numeric ``histogram``
     aggregation (oracle.oracle_value_histogram, min_doc_count=0 —
     gap-filled between the observed extremes)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_value_histogram
 
     pdf = generate_transcripts("xs")
@@ -4289,11 +4262,11 @@ def transcripts_histogram(spark, sf_dir):
     empty buckets between the observed extremes gap-filled by ONE
     ``sequence``+``explode`` expression (the ES min_doc_count=0 default
     shape); bucket key is the exact long ``v - pmod(v, interval)``."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import value_histogram
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return value_histogram(
         idx, corpus, "term0001 term0002", "chars", _HIST_INTERVAL, "disjunctive"
     )
@@ -4306,7 +4279,7 @@ def _range_oracle_sql(query_text: str, mode: str) -> str:
     """VALUES oracle: the independent ES ``range`` aggregation
     (oracle.oracle_range_agg — overlapping ranges each count the value,
     empty requested buckets kept)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_range_agg
 
     pdf = generate_transcripts("xs")
@@ -4329,11 +4302,11 @@ def transcripts_range(spark, sf_dir):
     an OVERLAPPING pair (200-500 and 300-*) proving a value counts in
     every containing range, all requested buckets returned in request
     order; one literal-array explode + broadcast-left-join plan."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import range_agg
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return range_agg(
         idx, corpus, "term0001 term0002", _RANGES, "chars", "disjunctive"
     )
@@ -4345,7 +4318,7 @@ def _composite_oracle_sql(
     """VALUES oracle: the independent ES ``composite`` aggregation page
     (oracle.oracle_composite_agg — ascending key order, exclusive
     ``after`` cursor, null sources dropped)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_composite_agg
 
     pdf = generate_transcripts("xs")
@@ -4373,11 +4346,11 @@ def transcripts_composite(spark, sf_dir):
     the match set — exclusive after-cursor via an ordered-struct
     comparison pushed below the final TakeOrdered, size-bounded, null
     sources dropped (missing_bucket=false)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .pipeline.aggs import composite_agg
 
     idx = _xs_index(spark)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     return composite_agg(
         idx, corpus, "term0001", ("role", "tool"), 2, ("tool", "bash"),
         "disjunctive",
@@ -4402,7 +4375,7 @@ def _transcripts_percolate_oracle() -> str:
     pure-Python scorer (``oracle_topk`` with k > corpus size ranks the
     full match set; the percolator verifies per doc over its own token
     stream — no shared match logic beyond the tokenizer)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_topk
 
     idx = build_oracle_index(generate_transcripts("xs"))
@@ -4426,12 +4399,12 @@ def transcripts_percolate(spark, sf_dir):
     the registered saved queries (all modes + min_match) and scores
     each match with the index's global BM25 stats; match sets AND
     scores must equal the forward oracle for every query."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .operators.percolate import percolate, register, scoring_stats
 
     idx = _xs_index(spark)
     saved = register(_PERC_REGISTRY)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     out = percolate(corpus, saved, scoring_stats(idx, saved))
     return out.select(
         "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
@@ -4451,7 +4424,7 @@ def _transcripts_percolate_qs_oracle() -> str:
     of each saved query string from the independent pure-Python bool
     scorer (field filters resolved against the corpus metadata — the
     percolator checks them against each doc's OWN row)."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .oracle import build_oracle_index, oracle_query_string
 
     pdf = generate_transcripts("xs")
@@ -4477,12 +4450,12 @@ def transcripts_percolate_qs(spark, sf_dir):
     query strings (occurrence groups, phrase clauses, msm, and FIELD
     FILTERS checked against each incoming doc's own role/tool metadata)
     match and score identically to the forward bool engine."""
-    from .corpus import generate_transcripts
+    from .corpus import generate_transcripts, transcripts_spark_df
     from .operators.percolate import percolate, register, scoring_stats
 
     idx = _xs_index(spark)
     saved = register(_PERC_QS_REGISTRY)
-    corpus = spark.createDataFrame(generate_transcripts("xs"))
+    corpus = transcripts_spark_df(spark, "xs")
     out = percolate(corpus, saved, scoring_stats(idx, saved))
     return out.select(
         "query_id", "conv_id", "turn_idx", rnd(F.col("score"), 5).alias("score")
@@ -4723,9 +4696,9 @@ c AS (
   FROM t
 )
 SELECT doc_id, n_tokens, tok_start,
-       CASE WHEN n_tokens > 0 THEN tok_start // 512 END AS seq_first,
-       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512 END AS seq_last,
-       CASE WHEN n_tokens > 0 THEN tok_start % 512 END AS seq_offset
+       CAST(CASE WHEN n_tokens > 0 THEN tok_start // 512 END AS DOUBLE) AS seq_first,
+       CAST(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512 END AS DOUBLE) AS seq_last,
+       CAST(CASE WHEN n_tokens > 0 THEN tok_start % 512 END AS DOUBLE) AS seq_offset
 FROM c
 """,
 )
@@ -4734,8 +4707,22 @@ def pack_sequences(spark, sf_dir):
     layout, seq_len=512): global token offsets via a DISTRIBUTED
     two-level prefix sum (range partition → per-partition totals →
     literal prefix offsets → per-partition window), never a
-    single-task global window."""
-    return curation.pack_mapping(load(spark, sf_dir, "documents"), 512)
+    single-task global window.
+
+    Contract projection only: the NULL-able seq columns are cast to
+    double on BOTH sides — a long column holding NULLs becomes float64
+    through any pandas round-trip (the driver's no-Arrow conversion),
+    which poisons the value hash while rows/schema still match
+    (CORRECTNESS_r04).  The library API (curation.pack_mapping) keeps
+    long semantics."""
+    return curation.pack_mapping(load(spark, sf_dir, "documents"), 512).select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.col("seq_first").cast("double").alias("seq_first"),
+        F.col("seq_last").cast("double").alias("seq_last"),
+        F.col("seq_offset").cast("double").alias("seq_offset"),
+    )
 
 
 @q(
@@ -4755,9 +4742,9 @@ c AS (
   FROM t
 )
 SELECT conv_id, turn_idx, role, n_tokens, tok_start,
-       CASE WHEN n_tokens > 0 THEN tok_start // 64 END AS seq_first,
-       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 64 END AS seq_last,
-       CASE WHEN n_tokens > 0 THEN tok_start % 64 END AS seq_offset,
+       CAST(CASE WHEN n_tokens > 0 THEN tok_start // 64 END AS DOUBLE) AS seq_first,
+       CAST(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 64 END AS DOUBLE) AS seq_last,
+       CAST(CASE WHEN n_tokens > 0 THEN tok_start % 64 END AS DOUBLE) AS seq_offset,
        role = 'assistant' AS loss_mask
 FROM c
 """,
@@ -4779,7 +4766,19 @@ def sft_pack_spans(spark, sf_dir):
         ).alias("role"),
         "text",
     )
-    return curation.sft_pack(tr, 64)
+    # Contract projection: NULL-able seq columns cast to double on both
+    # sides (pandas round-trip hash safety — see pack_sequences).
+    return curation.sft_pack(tr, 64).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "n_tokens",
+        "tok_start",
+        F.col("seq_first").cast("double").alias("seq_first"),
+        F.col("seq_last").cast("double").alias("seq_last"),
+        F.col("seq_offset").cast("double").alias("seq_offset"),
+        "loss_mask",
+    )
 
 
 @q(

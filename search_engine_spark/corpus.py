@@ -142,6 +142,32 @@ def generate_transcripts(scale: str = "sm", seed: int = SEED) -> pd.DataFrame:
     )
 
 
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def transcripts_spark_df(spark, scale: str = "xs", seed: int = SEED):
+    """NULL-safe Spark DataFrame for the transcripts fixture.
+
+    Works under ANY session — Arrow on or off.  ``generate_transcripts``
+    returns pandas ``string`` extension columns holding ``pd.NA``; a
+    no-Arrow session's row-inference fallback mis-infers ``pd.NA`` as an
+    empty struct and crashes ``createDataFrame`` with CANNOT_MERGE_TYPE
+    (the grading driver runs exactly such a session — CORRECTNESS_r04).
+    Convert the nullable string columns to object dtype with real
+    ``None`` and pass the explicit schema so inference never runs; the
+    numeric/timestamp columns keep their numpy dtypes (converting them
+    to object breaks the no-Arrow timestamp verifier instead).
+    """
+    pdf = generate_transcripts(scale, seed)
+    safe = pdf.copy()
+    for c in ("conv_id", "role", "text", "tool"):
+        col = pdf[c]
+        safe[c] = col.astype(object).where(col.notna(), None)
+    return spark.createDataFrame(safe, schema=TRANSCRIPTS_SCHEMA)
+
+
 def write_transcripts_parquet(path: str, scale: str = "sm", seed: int = SEED) -> str:
     """Materialize the fixture as a single parquet file; returns the path."""
     import pyarrow as pa

@@ -134,7 +134,11 @@ def register(queries) -> list[SavedQuery]:
                 )
             )
             continue
-        spec = parse_query(qt, mode, min_match=int(mm) if mm else 1)
+        # `mm is not None`, not truthiness: an explicit min_match=0 must
+        # flow into parse_query and fail its >= 1 check loudly, not be
+        # silently coerced to 1 (which would change saved-query
+        # semantics behind the registrant's back).
+        spec = parse_query(qt, mode, min_match=int(mm) if mm is not None else 1)
         if spec is not None:
             if spec.phrase_prefix is not None:
                 # match_phrase_prefix expands against a LIVE vocabulary;

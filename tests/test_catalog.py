@@ -151,3 +151,26 @@ def test_snapshot_retry_after_crashed_attempt(two_indexes, tmp_path):
     ))
     with pytest.raises(ValueError, match="already exists"):
         catalog.snapshot_create(repo, "s1", [blue])
+
+
+@pytest.mark.parametrize("bad", ["", "/", "a/b", ".", "..", ".hidden"])
+def test_snapshot_name_validation_guards_rmtree(two_indexes, tmp_path, bad):
+    """Snapshot names follow the SAME rule as alias names (reject empty,
+    '/', leading '.').  Load-bearing: name='..' resolves to the snapshot
+    repository itself and name='.' to the snapshots dir, both upstream
+    of shutil.rmtree in create's remnant cleanup and in delete — a typo
+    must fail loud, never delete the repository."""
+    _d, blue, _green = two_indexes
+    repo = str(tmp_path / "repo4")
+    catalog.snapshot_create(repo, "keeper", [blue])
+    for fn in (
+        lambda: catalog.snapshot_create(repo, bad, [blue]),
+        lambda: catalog.snapshot_delete(repo, bad),
+        lambda: catalog.snapshot_verify(repo, bad),
+        lambda: catalog.snapshot_restore(repo, bad, str(tmp_path / "out")),
+    ):
+        with pytest.raises(ValueError, match="invalid snapshot name"):
+            fn()
+    # the repository survived every rejected call
+    assert catalog.snapshot_list(repo) == ["keeper"]
+    assert catalog.snapshot_verify(repo, "keeper")["ok"]

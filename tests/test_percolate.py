@@ -105,6 +105,13 @@ def test_min_match_bounds(xs_df, xs_oracle):
     assert percolate(xs_df, saved).count() == 0
 
 
+def test_min_match_zero_rejected():
+    """An explicit min_match=0 must fail parse_query's >= 1 check, not
+    be silently coerced to 1 (the old `if mm` truthiness bug)."""
+    with pytest.raises(ValueError, match="min_match"):
+        register([("q", "term0001 term0002", "disjunctive", 0)])
+
+
 def test_stopword_only_query_dropped_and_empty_registry(xs_df, spark):
     assert register([("q", "the and of", "disjunctive")]) == []
     out = percolate(xs_df, [])

@@ -112,6 +112,8 @@ def test_parse_markers():
     "-role:system",  # filter-only
     "term~2 other",  # fuzzy distance > 1
     "term^0 other",  # non-positive boost
+    "term^2^3 other",  # double boost: residue 'term^2' must not reanalyze
+    "term^-2 other",  # negative boost: matches no pattern, must not be dropped
     "",
 ])
 def test_parse_loud_errors(bad):
