@@ -39,3 +39,8 @@ class BuildConfig:
     # on huge corpora); False → single-job tokenize (fast path, identical
     # on-disk layout).  build(resume=True) always uses the group loop.
     checkpoint: bool = False
+    # True → run the reference's cleanHTML char filter
+    # (PreIndexer.java:48-75; textproc/htmlclean.py) over ``text`` before
+    # tokenization — for HTML-bearing corpora.  Transcripts are plain
+    # text, so the default is the documented identity mapping (P1).
+    html_clean: bool = False

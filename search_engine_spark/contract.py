@@ -35,6 +35,8 @@ ORACLES: dict[str, str] = {}
 #: entries new this round go to the front; long-green veterans absorb
 #: any truncation at the tail.
 PRIORITY = [
+    # -- new in r5
+    "html_clean",  # r5: reference cleanHTML char filter (P1 parity)
     # -- red in CORRECTNESS_r04, fixed in r5 (15 × the pd.NA/no-Arrow
     # createDataFrame crash, 2 × NULL-int hash poisoning + the latent
     # histogram_pipeline instance the hardened checker caught) — these
@@ -4841,6 +4843,48 @@ def mixture_sample(spark, sf_dir):
     return curation.mixture_sample(
         load(spark, sf_dir, "documents"), _MIX_PARTS
     ).select("doc_id", "source")
+
+
+# HTML wrapper applied identically on both sides: markup exercising
+# every cleanHTML rule — comment, style subtree, void meta tag, entity
+# decode, code-content duplication, script removal (PreIndexer.java:48-75).
+_HTML_PRE = (
+    '<html><head><meta charset="utf-8"><style>h1{color:red}</style>'
+    "<!-- draft --></head><body><h1>Doc &amp; notes</h1><p>"
+)
+_HTML_POST = (
+    "</p><pre>arr[i] += 1; x &lt; y</pre>"
+    "<script>alert(1)</script></body></html>"
+)
+
+
+def _html_clean_oracle_sql() -> str:
+    from .textproc.htmlclean import clean_html_sql
+
+    wrapped = f"'{_HTML_PRE}' || text || '{_HTML_POST}'"
+    return (
+        f"SELECT doc_id, {clean_html_sql(wrapped)} AS clean_text "
+        "FROM documents"
+    )
+
+
+@q("html_clean", _html_clean_oracle_sql())
+def html_clean(spark, sf_dir):
+    """Reference cleanHTML char filter (P1, PreIndexer.java:48-75) over
+    deterministically HTML-wrapped documents: comment removal, code-tag
+    extraction WITH the reference's deliberate content duplication,
+    style/script/meta subtree drops, tag strip, entity decode, the
+    programming-char allowlist, whitespace collapse — ONE pure-JVM
+    regexp chain (textproc/htmlclean.py) fused into the scan
+    projection, no UDF, no shuffle; the DuckDB twin is built from the
+    SAME pattern table so parity is exact."""
+    from .textproc.htmlclean import clean_html_col
+
+    docs = load(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select(
+        "doc_id", clean_html_col(wrapped).alias("clean_text")
+    )
 
 
 def flagship(spark: SparkSession) -> DataFrame:

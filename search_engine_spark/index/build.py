@@ -737,6 +737,15 @@ class IndexBuilder:
     # -- entry point -------------------------------------------------
 
     def build(self, transcripts: DataFrame, resume: bool = False) -> IndexPaths:
+        if self.config.html_clean:
+            # reference cleanHTML parity (PreIndexer.java:48-75): a pure
+            # JVM regexp chain fused into the scan projection — zero
+            # extra shuffles at any corpus size.  Incremental callers
+            # (extend/stream) apply clean_html_col to their deltas
+            # themselves; the flag is a build-time property, not meta.
+            from ..textproc.htmlclean import clean_html_col
+
+            transcripts = transcripts.withColumn("text", clean_html_col("text"))
         if not resume:
             if os.path.exists(self.paths.root):
                 shutil.rmtree(self.paths.root)
