@@ -773,6 +773,60 @@ def main() -> None:
         )
     )
 
+    from search_engine_spark.operators.function_score import function_score_topk
+    from search_engine_spark.pipeline.aggs import multi_terms, top_metrics_by
+    from search_engine_spark.pipeline.significant import rare_terms
+
+    corpus_df = spark.read.parquet(pq)
+    sections.append(
+        (
+            "function_score rescoring (field_value_factor × weight × random)",
+            "Expected: the recency shape generalized — ONE match-kernel "
+            "pass (FlatMapGroupsInPandas over the bucket-pruned postings "
+            "scan), a corpus scan with ReadSchema pruned to keys + the "
+            "referenced fields only (never text), broadcast-able join, "
+            "every function a scalar JVM expression inside the projection "
+            "(md5/conv/log10 — no UDF), TakeOrderedAndProject.",
+            cap(
+                function_score_topk(
+                    idx,
+                    corpus_df,
+                    "term0001 term0002",
+                    [
+                        {"kind": "field_value_factor", "field": "turn_idx",
+                         "factor": 0.5, "modifier": "log1p"},
+                        {"kind": "random_score", "seed": "p"},
+                    ],
+                    k=10,
+                )
+            ),
+        )
+    )
+    sections.append(
+        (
+            "rare_terms long-tail aggregation",
+            "Expected: match-set semi-join (broadcast-able), text-only "
+            "ReadSchema for the matched turns, ONE Arrow mapInPandas "
+            "tokenize pass, hash aggregate on term with the "
+            "fg <= max_doc_count filter applied at the aggregate (Zipf "
+            "head dropped before the global sort), no background join.",
+            cap(rare_terms(idx, corpus_df, "term0001 term0002", max_doc_count=2, limit=20)),
+        )
+    )
+    sections.append(
+        (
+            "multi_terms + top_metrics bucket aggregations",
+            "Expected (both): keys+fields-pruned corpus scan (never "
+            "text), leftsemi match join, ONE hash aggregation with "
+            "map-side partials — multi_terms ends in "
+            "TakeOrderedAndProject on (n desc, keys); top_metrics reduces "
+            "a (sort, metric) struct max, O(buckets) state, no window.",
+            cap(multi_terms(idx, corpus_df, "term0001 term0002", ("role", "tool"), 10))
+            + "\n--- top_metrics_by ---\n"
+            + cap(top_metrics_by(idx, corpus_df, "term0001 term0002", "role", "ts", "turn_idx")),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "

@@ -37,6 +37,11 @@ ORACLES: dict[str, str] = {}
 PRIORITY = [
     # -- new in r5
     "html_clean",  # r5: reference cleanHTML char filter (P1 parity)
+    "transcripts_function_score",  # r5: ES function_score (fvf/weight/random)
+    "transcripts_serial_diff",  # r5: serial_diff + bucket_selector + bucket_sort
+    "transcripts_rare_terms",  # r5: ES rare_terms (long-tail complement)
+    "transcripts_multi_terms",  # r5: ES multi_terms composite-key counts
+    "transcripts_top_metrics",  # r5: ES top_metrics struct-max per bucket
     # -- red in CORRECTNESS_r04, fixed in r5 (15 × the pd.NA/no-Arrow
     # createDataFrame crash, 2 × NULL-int hash poisoning + the latent
     # histogram_pipeline instance the hardened checker caught) — these
@@ -4843,6 +4848,230 @@ def mixture_sample(spark, sf_dir):
     return curation.mixture_sample(
         load(spark, sf_dir, "documents"), _MIX_PARTS
     ).select("doc_id", "source")
+
+
+def _multi_terms_oracle_sql(query_text: str, mode: str, n: int) -> str:
+    """VALUES oracle: the pure-Python composite-key counter."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_multi_terms
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_multi_terms(idx, pdf, query_text, ("role", "tool"), n, mode)
+    if not rows:
+        return (
+            "SELECT role, tool, n FROM (VALUES ('', '', 0)) t(role, tool, n) "
+            "WHERE FALSE"
+        )
+    values = ",\n  ".join(f"('{r}', '{t}', {n_})" for r, t, n_ in rows)
+    return f"SELECT role, tool, n FROM (VALUES\n  {values}\n) t(role, tool, n)"
+
+
+@q("transcripts_multi_terms", _multi_terms_oracle_sql("term0001 term0002", "disjunctive", 10))
+def transcripts_multi_terms(spark, sf_dir):
+    """ES multi_terms aggregation (pipeline/aggs.py multi_terms):
+    composite-key (role, tool) counts over the match set, rows missing
+    any key skipped, ranked (n desc, key asc) — one hash aggregation
+    over the column-pruned match-set semi-join, TakeOrderedAndProject
+    cut.  No reference analog; public ES contract."""
+    from .corpus import transcripts_spark_df
+    from .pipeline.aggs import multi_terms
+
+    idx = _xs_index(spark)
+    corpus = transcripts_spark_df(spark, "xs")
+    return multi_terms(idx, corpus, "term0001 term0002", ("role", "tool"), 10)
+
+
+def _top_metrics_oracle_sql(query_text: str, mode: str) -> str:
+    """VALUES oracle: the pure-Python struct-max mirror."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_top_metrics_by
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_top_metrics_by(idx, pdf, query_text, "role", "ts", "turn_idx", mode)
+    if not rows:
+        return (
+            "SELECT bucket, top_sort, top_metric FROM (VALUES ('', '', 0)) "
+            "t(bucket, top_sort, top_metric) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{b}', '{s.strftime('%Y-%m-%d %H:%M:%S')}', {int(m)})"
+        for b, s, m in rows
+    )
+    return (
+        "SELECT bucket, top_sort, top_metric FROM (VALUES\n  "
+        f"{values}\n) t(bucket, top_sort, top_metric)"
+    )
+
+
+@q("transcripts_top_metrics", _top_metrics_oracle_sql("term0001 term0002", "disjunctive"))
+def transcripts_top_metrics(spark, sf_dir):
+    """ES top_metrics as a per-bucket sub-aggregation (pipeline/aggs.py
+    top_metrics_by): per role, the turn_idx of its most-recent matching
+    turn — deterministic struct-max reduction (ties on the sort value
+    break by metric), one O(buckets) hash aggregation."""
+    from .corpus import transcripts_spark_df
+    from .pipeline.aggs import top_metrics_by
+
+    idx = _xs_index(spark)
+    corpus = transcripts_spark_df(spark, "xs")
+    return top_metrics_by(
+        idx, corpus, "term0001 term0002", "role", "ts", "turn_idx"
+    ).select(
+        "bucket",
+        F.date_format("top_sort", "yyyy-MM-dd HH:mm:ss").alias("top_sort"),
+        "top_metric",
+    )
+
+
+def _serial_diff_oracle_sql() -> str:
+    """VALUES oracle: serial_diff(lag=2) + bucket_selector(min_n=1) +
+    bucket_sort(n desc, limit 10) over the gap-filled minute histogram.
+    serial_diff is NULL for the first lag buckets — emitted as DOUBLE on
+    both sides (NULL-able integer outputs poison pandas-round-trip value
+    hashes; CORRECTNESS_r04 lesson)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_date_histogram_buckets
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_date_histogram_buckets(
+        idx, pdf, "term0003 term0004", "conjunctive", "minute",
+        lag=2, min_n=1, sort="n", descending=True, limit=10, min_doc_count=0,
+    )
+    if not rows:
+        return (
+            "SELECT bucket, n, serial_diff FROM (VALUES ('', 0, 0.0)) "
+            "t(bucket, n, serial_diff) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{b.strftime('%Y-%m-%d %H:%M:%S')}', {n}, "
+        f"{'NULL' if d is None else d})"
+        for b, n, d in rows
+    )
+    return (
+        "SELECT bucket, n::BIGINT AS n, serial_diff::DOUBLE AS serial_diff "
+        f"FROM (VALUES\n  {values}\n) t(bucket, n, serial_diff)"
+    )
+
+
+@q("transcripts_serial_diff", _serial_diff_oracle_sql())
+def transcripts_serial_diff(spark, sf_dir):
+    """The remaining ES bucket-pipeline trio (pipeline/histogram.py
+    date_histogram_buckets): serial_diff (lag-2 differencing over the
+    gap-filled minute grid), bucket_selector (n >= 1 drops the filled
+    zeros), bucket_sort (n desc, top 10; ties by bucket) — pipeline
+    stages all O(buckets) over the once-materialized histogram."""
+    from .corpus import transcripts_spark_df
+    from .pipeline.histogram import date_histogram_buckets
+
+    idx = _xs_index(spark)
+    corpus = transcripts_spark_df(spark, "xs")
+    return date_histogram_buckets(
+        idx, corpus, "term0003 term0004", "conjunctive", "minute",
+        lag=2, min_n=1, sort="n", descending=True, limit=10, min_doc_count=0,
+    ).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        F.col("serial_diff").cast("double").alias("serial_diff"),
+    )
+
+
+def _rare_terms_oracle_sql(query_text: str, mode: str, mdc: int, limit: int) -> str:
+    """VALUES oracle: the pure-Python rare-terms counter."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_rare_terms
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_rare_terms(idx, query_text, mode, mdc, limit=limit)
+    if not rows:
+        return "SELECT term, fg FROM (VALUES ('', 0)) t(term, fg) WHERE FALSE"
+    values = ",\n  ".join(f"('{t}', {f})" for t, f in rows)
+    return f"SELECT term, fg FROM (VALUES\n  {values}\n) t(term, fg)"
+
+
+@q(
+    "transcripts_rare_terms",
+    _rare_terms_oracle_sql("term0001 term0002", "disjunctive", 2, 20),
+)
+def transcripts_rare_terms(spark, sf_dir):
+    """ES rare_terms over the match set (pipeline/significant.py
+    rare_terms): terms in ≤ 2 matched turns, query terms excluded,
+    (fg asc, term asc), first 20 — the long-tail complement of
+    significant_terms; foreground pass tokenizes ONLY matched turns
+    (Arrow kernel), the ≤-cutoff drops the Zipf head before the cut."""
+    from .corpus import transcripts_spark_df
+    from .pipeline.significant import rare_terms
+
+    idx = _xs_index(spark)
+    corpus = transcripts_spark_df(spark, "xs")
+    return rare_terms(
+        idx, corpus, "term0001 term0002", max_doc_count=2, limit=20
+    )
+
+
+_FS_FUNCTIONS = [
+    {"kind": "field_value_factor", "field": "turn_idx", "factor": 0.5,
+     "modifier": "log1p", "missing": 1.0},
+    {"kind": "weight", "weight": 1.2},
+    {"kind": "random_score", "seed": "fs1"},
+]
+
+
+def _function_score_oracle_sql(query_text: str, mode: str, k: int) -> str:
+    """VALUES oracle: the pure-Python function_score mirror (identical
+    fn expressions, combine order, and md5 uniform)."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_function_score_topk
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_function_score_topk(
+        idx, pdf, query_text, _FS_FUNCTIONS, mode, k,
+        score_mode="multiply", boost_mode="multiply",
+    )
+    if not rows:
+        return (
+            "SELECT conv_id, turn_idx, score, final_score FROM (VALUES "
+            "('', 0, 0.0, 0.0)) t(conv_id, turn_idx, score, final_score) "
+            "WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{key[0]}', {key[1]}, {float(bm25)!r}, {float(fin)!r})"
+        for key, bm25, fin in rows
+    )
+    return (
+        "SELECT conv_id, turn_idx, round(score + 1e-9, 5) AS score, "
+        "round(final_score + 1e-9, 5) AS final_score FROM (VALUES\n  "
+        f"{values}\n) t(conv_id, turn_idx, score, final_score)"
+    )
+
+
+@q(
+    "transcripts_function_score",
+    _function_score_oracle_sql("term0001 term0002", "disjunctive", 10),
+)
+def transcripts_function_score(spark, sf_dir):
+    """ES function_score (operators/function_score.py): BM25 shaped by
+    field_value_factor(log1p, turn_idx) × weight × deterministic md5
+    random_score, full-match rescore (the shaped order is not monotone
+    in BM25), TakeOrderedAndProject cut — generalizes the recency
+    operator to the public function_score contract."""
+    from .corpus import transcripts_spark_df
+    from .operators.function_score import function_score_topk
+
+    idx = _xs_index(spark)
+    corpus = transcripts_spark_df(spark, "xs")
+    return function_score_topk(
+        idx, corpus, "term0001 term0002", _FS_FUNCTIONS, k=10
+    ).select(
+        "conv_id",
+        "turn_idx",
+        rnd(F.col("score"), 5).alias("score"),
+        rnd(F.col("final_score"), 5).alias("final_score"),
+    )
 
 
 # HTML wrapper applied identically on both sides: markup exercising

@@ -2063,3 +2063,252 @@ def oracle_query_string_count(
     if scope is not None:
         docs &= scope
     return len(docs)
+
+
+def oracle_multi_terms(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    fields: tuple = ("role", "tool"),
+    n: int = 10,
+    mode: str = "disjunctive",
+) -> list[tuple]:
+    """Golden ES multi_terms: composite-key counts over the match set,
+    rows skipped when ANY key field is missing, ranked (n desc, key
+    asc), top n — matches ``pipeline.aggs.multi_terms``."""
+    docs = oracle_matches(index, query_text, mode)
+    counts: dict[tuple, int] = {}
+    cols = [transcripts[c] for c in fields]
+    for c, t, *vals in zip(
+        transcripts["conv_id"], transcripts["turn_idx"], *cols
+    ):
+        if (str(c), int(t)) not in docs:
+            continue
+        if any(v is None or pd.isna(v) for v in vals):
+            continue
+        key = tuple(str(v) for v in vals)
+        counts[key] = counts.get(key, 0) + 1
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+    return [(*k, v) for k, v in rows]
+
+
+def oracle_top_metrics_by(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    bucket_col: str = "role",
+    sort_field: str = "ts",
+    metric_field: str = "turn_idx",
+    mode: str = "disjunctive",
+) -> list[tuple]:
+    """Golden ES top_metrics-per-bucket: per ``bucket_col`` value of the
+    match set, (top_sort, top_metric) = the max (sort, metric) TUPLE
+    (ties on sort break by metric — the engine's struct-max contract),
+    rows with a missing bucket or sort skipped, ordered by bucket —
+    matches ``pipeline.aggs.top_metrics_by``."""
+    docs = oracle_matches(index, query_text, mode)
+    best: dict[str, tuple] = {}
+    for c, t, b, s, m in zip(
+        transcripts["conv_id"],
+        transcripts["turn_idx"],
+        transcripts[bucket_col],
+        transcripts[sort_field],
+        transcripts[metric_field],
+    ):
+        if (str(c), int(t)) not in docs:
+            continue
+        if b is None or pd.isna(b) or s is None or pd.isna(s):
+            continue
+        cand = (s, m)
+        cur = best.get(str(b))
+        if cur is None or cand > cur:
+            best[str(b)] = cand
+    return [(b, *best[b]) for b in sorted(best)]
+
+
+def oracle_date_histogram_buckets(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    interval: str = "hour",
+    lag: int = 1,
+    min_n: int | None = None,
+    sort: str = "bucket",
+    descending: bool = False,
+    limit: int | None = None,
+    min_doc_count: int = 1,
+) -> list[tuple]:
+    """Golden serial_diff + bucket_selector + bucket_sort over the date
+    histogram: (bucket, n, serial_diff·None-for-first-lag) computed on
+    the full ascending sequence, THEN filtered by ``n >= min_n``, THEN
+    sorted by ``sort`` (NULLs last, ties by bucket asc) and truncated —
+    matches ``pipeline.histogram.date_histogram_buckets``."""
+    rows = [
+        (b, n)
+        for b, n in oracle_date_histogram(index, transcripts, query_text, mode, interval)
+        if b is not None
+    ]
+    if min_doc_count == 0 and rows:
+        freq = {
+            "minute": "min", "hour": "h", "day": "D",
+            "week": "W-MON", "month": "MS", "year": "YS",
+        }[interval]
+        grid = pd.date_range(rows[0][0], rows[-1][0], freq=freq)
+        have = dict(rows)
+        rows = [(b, int(have.get(b, 0))) for b in grid]
+    out = [
+        (b, n, None if i < lag else n - rows[i - lag][1])
+        for i, (b, n) in enumerate(rows)
+    ]
+    if min_n is not None:
+        out = [r for r in out if r[1] >= min_n]
+    idx = {"bucket": 0, "n": 1, "serial_diff": 2}[sort]
+    out.sort(
+        key=lambda r: (
+            r[idx] is None,
+            (-1 if descending else 1)
+            * (r[idx].value if isinstance(r[idx], pd.Timestamp) else (r[idx] or 0)),
+            r[0],
+        )
+    )
+    return out[:limit] if limit is not None else out
+
+
+def oracle_rare_terms(
+    index: OracleIndex,
+    query_text: str,
+    mode: str = "disjunctive",
+    max_doc_count: int = 1,
+    include_query_terms: bool = False,
+    limit: int | None = None,
+) -> list[tuple[str, int]]:
+    """Golden ES rare_terms over the match set: (term, fg) for every
+    term in at most ``max_doc_count`` matched turns, query terms
+    excluded by default, ordered (fg asc, term asc) — matches
+    ``pipeline.significant.rare_terms``."""
+    docs = oracle_matches(index, query_text, mode)
+    fg: dict[str, int] = {}
+    for d in docs:
+        for t in set(index.tokens.get(d, ())):
+            fg[t] = fg.get(t, 0) + 1
+    qterms: set[str] = set()
+    if not include_query_terms:
+        if mode == "phrase":
+            m = PHRASE_PATTERN.search(query_text)
+            qterms = set(analyze_text(m.group(1) if m else query_text))
+        elif mode == "boolean":
+            qterms = {
+                t for p in PHRASE_PATTERN.findall(query_text) for t in analyze_text(p)
+            }
+        else:
+            qterms = set(analyze_query(query_text))
+    rows = [
+        (t, f)
+        for t, f in fg.items()
+        if f <= max_doc_count and t not in qterms
+    ]
+    rows.sort(key=lambda r: (r[1], r[0]))
+    return rows[:limit] if limit is not None else rows
+
+
+def _fs_modifier(v: float, modifier: str) -> float:
+    if modifier == "none":
+        return v
+    if modifier == "log1p":
+        return math.log10(1.0 + v)
+    if modifier == "ln1p":
+        return math.log1p(v)
+    if modifier == "sqrt":
+        return math.sqrt(v)
+    if modifier == "square":
+        return v * v
+    if modifier == "reciprocal":
+        # IEEE 1/0 = +Infinity (the engine's when-guard equivalent)
+        return math.inf if v == 0.0 else 1.0 / v
+    raise ValueError(f"unknown modifier {modifier!r}")
+
+
+def oracle_function_score_topk(
+    index: OracleIndex,
+    transcripts: pd.DataFrame,
+    query_text: str,
+    functions: list[dict],
+    mode: str = "disjunctive",
+    k: int = 10,
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+) -> list[tuple[DocKey, float, float]]:
+    """Golden function_score: EVERY match's BM25 score shaped by the
+    identical function expressions (field_value_factor / weight /
+    deterministic md5 random_score), combined per score_mode/boost_mode,
+    re-ranked, cut to k — matches
+    ``operators.function_score.function_score_topk``.  The md5 uniform
+    is float(int(md5(conv:turn:seed)[:15], 16)) / 16**15 — float() FIRST
+    so the rounding matches the engine's string→double cast."""
+    import hashlib
+
+    field_maps: dict[str, dict] = {}
+    for fn in functions:
+        if fn.get("kind") == "field_value_factor":
+            f = fn["field"]
+            if f not in field_maps:
+                field_maps[f] = {
+                    (str(c), int(t)): v
+                    for c, t, v in zip(
+                        transcripts["conv_id"],
+                        transcripts["turn_idx"],
+                        transcripts[f],
+                    )
+                }
+
+    def fn_val(key: DocKey, fn: dict) -> float:
+        kind = fn.get("kind")
+        if kind == "weight":
+            return float(fn["weight"])
+        if kind == "random_score":
+            seed = str(fn.get("seed", "0"))
+            h = hashlib.md5(
+                f"{key[0]}:{key[1]}:{seed}".encode()
+            ).hexdigest()[:15]
+            return float(int(h, 16)) / float(16 ** 15)
+        field = fn["field"]
+        v = field_maps[field].get(key)
+        missing = float(fn.get("missing", 1.0))
+        base = (
+            missing
+            if v is None or pd.isna(v)
+            else float(v)
+        ) * float(fn.get("factor", 1.0))
+        return _fs_modifier(base, fn.get("modifier", "none"))
+
+    def combine(vals: list[float]) -> float:
+        if score_mode == "multiply":
+            out = 1.0
+            for v in vals:
+                out *= v
+            return out
+        if score_mode == "sum":
+            return sum(vals)
+        if score_mode == "max":
+            return max(vals)
+        if score_mode == "min":
+            return min(vals)
+        if score_mode == "avg":
+            return sum(vals) / float(len(vals))
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+
+    out = []
+    for key, score in oracle_topk(index, query_text, mode, 1 << 62):
+        c = combine([fn_val(key, fn) for fn in functions])
+        if boost_mode == "multiply":
+            final = score * c
+        elif boost_mode == "sum":
+            final = score + c
+        elif boost_mode == "replace":
+            final = c
+        else:
+            raise ValueError(f"unknown boost_mode {boost_mode!r}")
+        out.append((key, score, final))
+    out.sort(key=lambda r: (-r[2], r[0][0], r[0][1]))
+    return out[:k]

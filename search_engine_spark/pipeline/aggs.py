@@ -526,3 +526,102 @@ def composite_agg(
         )
         buckets = buckets.filter(cursor)
     return buckets.orderBy(*sources).limit(size)
+
+
+def multi_terms(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    fields: tuple = ("role", "tool"),
+    n: int = 10,
+    mode: str = "disjunctive",
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+    spec=None,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: composite-KEY term counts over
+    the match set → top-``n`` rows of (``*fields``, n long) ordered by
+    (n desc, fields asc) — "which (role, tool) combinations dominate
+    the sessions matching 'timeout'".  Documents missing ANY key field
+    are skipped (the ES default).  Unlike ``composite_agg`` (ascending
+    cursor pagination over ALL buckets) this is the count-ranked view.
+
+    Scale shape: one hash aggregation keyed on the field tuple
+    (map-side partials, O(distinct combinations) state) over the
+    column-pruned match-set semi-join; final cut is a
+    TakeOrderedAndProject.  Oracle: ``oracle.oracle_multi_terms``."""
+    if not fields or len(fields) < 2:
+        raise ValueError(f"multi_terms needs >= 2 key fields, got {fields!r}")
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    matched = index.matches(
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
+    )
+    cols = ["conv_id", "turn_idx", *[c for c in fields if c not in
+            ("conv_id", "turn_idx")]]
+    src = transcripts.select(*dict.fromkeys(cols)).join(
+        matched, ["conv_id", "turn_idx"], "leftsemi"
+    )
+    for c in fields:
+        src = src.filter(F.col(c).isNotNull())
+    return (
+        src.groupBy(*fields)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), *[F.asc(c) for c in fields])
+        .limit(n)
+    )
+
+
+def top_metrics_by(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    bucket_col: str = "role",
+    sort_field: str = "ts",
+    metric_field: str = "turn_idx",
+    mode: str = "disjunctive",
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+    spec=None,
+) -> DataFrame:
+    """ES ``top_metrics`` as a per-bucket sub-aggregation: for every
+    ``bucket_col`` value in the match set, the ``metric_field`` value of
+    the matched turn with the LARGEST ``sort_field`` ("per role, the
+    turn_idx of its most recent matching turn") → (bucket, top_sort,
+    top_metric) ordered by bucket.
+
+    Determinism: the reduction is ``max`` over a (sort, metric) struct
+    (Spark orders structs lexicographically), so sort-value ties break
+    by metric value instead of partition order — ES top_metrics makes
+    no tie promise; this contract is strictly stronger and
+    engine-portable.  One hash aggregation, O(buckets) state, no
+    window, no shuffle beyond the bucket agg.  Oracle:
+    ``oracle.oracle_top_metrics_by``."""
+    matched = index.matches(
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
+    )
+    cols = dict.fromkeys(
+        ["conv_id", "turn_idx", bucket_col, sort_field, metric_field]
+    )
+    src = (
+        transcripts.select(*cols)
+        .join(matched, ["conv_id", "turn_idx"], "leftsemi")
+        .filter(F.col(bucket_col).isNotNull() & F.col(sort_field).isNotNull())
+    )
+    top = F.max(
+        F.struct(
+            F.col(sort_field).alias("s"), F.col(metric_field).alias("m")
+        )
+    ).alias("top")
+    return (
+        src.groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(top)
+        .select(
+            "bucket",
+            F.col("top.s").alias("top_sort"),
+            F.col("top.m").alias("top_metric"),
+        )
+        .orderBy("bucket")
+    )

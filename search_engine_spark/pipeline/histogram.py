@@ -135,3 +135,87 @@ def date_histogram_pipeline(
         )
         .orderBy("bucket")
     )
+
+
+def date_histogram_buckets(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    interval: str = "hour",
+    lag: int = 1,
+    min_n: int | None = None,
+    sort: str = "bucket",
+    descending: bool = False,
+    limit: int | None = None,
+    min_doc_count: int = 1,
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+    spec=None,
+) -> DataFrame:
+    """The remaining ES bucket-pipeline trio over the date histogram →
+    DataFrame(bucket, n, serial_diff):
+
+    * ``serial_diff`` — ``n - lag(n, lag)`` over ascending buckets, the
+      ES ``serial_diff`` aggregation (lag-N differencing for
+      seasonality removal); NULL for the first ``lag`` buckets (no
+      prior bucket to difference against).
+    * ``bucket_selector`` — ``min_n`` keeps only buckets with
+      ``n >= min_n`` (the ES script-predicate shape, specialized to the
+      one predicate transcript dashboards use).
+    * ``bucket_sort`` — ``sort`` ∈ (bucket, n, serial_diff) +
+      ``descending`` + ``limit`` reorder/truncate the surviving buckets
+      (ties, and NULL serial_diff rows, break by bucket ascending —
+      deterministic, unlike raw ES).
+
+    Pipeline order is the ES dependency order: serial_diff is computed
+    over the FULL ascending bucket sequence first, THEN the selector
+    filters, THEN the sort/limit — a selector can therefore never
+    change a difference, only hide its row.
+
+    Scale shape: identical to ``date_histogram_pipeline`` — the
+    distributed match-set aggregation runs exactly once, the bucket
+    rows are materialized (chart-sized), and every pipeline stage is
+    O(buckets).  ``min_doc_count=0`` gap-fills the calendar grid so
+    the differencing measures true rate-of-change.
+    Oracle: ``oracle.oracle_date_histogram_buckets``."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    if sort not in ("bucket", "n", "serial_diff"):
+        raise ValueError(f"sort must be bucket|n|serial_diff, got {sort!r}")
+    if limit is not None and limit <= 0:
+        raise ValueError(f"limit must be positive, got {limit}")
+    if min_doc_count not in (0, 1):
+        raise ValueError(f"min_doc_count must be 0 or 1, got {min_doc_count}")
+    base = date_histogram(
+        index, transcripts, query_text, mode, interval,
+        tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec,
+    ).filter(F.col("bucket").isNotNull())
+    spark = transcripts.sparkSession
+    hist = spark.createDataFrame(base.collect(), schema=base.schema)
+    if min_doc_count == 0:
+        grid = (
+            hist.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+            .select(
+                F.explode(
+                    F.sequence("lo", "hi", F.expr(f"interval 1 {interval}"))
+                ).alias("bucket")
+            )
+        )
+        hist = grid.join(hist, "bucket", "left").select(
+            "bucket", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    w = Window.orderBy("bucket")
+    out = hist.select(
+        "bucket",
+        "n",
+        (F.col("n") - F.lag("n", lag).over(w)).alias("serial_diff"),
+    )
+    if min_n is not None:
+        out = out.filter(F.col("n") >= int(min_n))
+    key = F.col(sort)
+    order = [key.desc_nulls_last() if descending else key.asc_nulls_last(),
+             F.asc("bucket")]
+    out = out.orderBy(*order)
+    return out.limit(int(limit)) if limit is not None else out

@@ -134,3 +134,62 @@ def significant_terms(
         .limit(n)
         .select("term", "fg", "bg", "score")
     )
+
+
+def rare_terms(
+    index,
+    transcripts: DataFrame,
+    query_text: str,
+    mode: str = "disjunctive",
+    max_doc_count: int = 1,
+    include_query_terms: bool = False,
+    limit: int | None = None,
+    tombstones: list | None = None,
+    scope: DataFrame | None = None,
+    analyzed: bool = False,
+    spec=None,
+) -> DataFrame:
+    """ES ``rare_terms`` over the match set: every term appearing in at
+    most ``max_doc_count`` matched turns → DataFrame(term, fg long)
+    ordered by (fg asc, term asc) — the long-tail complement of
+    ``significant_terms`` ("which unusual tokens show up in sessions
+    matching 'timeout'").  Query terms are excluded by default (they
+    are in every matched turn by construction under conjunctive mode —
+    never rare — and noise under disjunctive).
+
+    Scale shape: identical foreground pass to ``significant_terms`` —
+    tokenize ONLY the matched turns in one Arrow ``mapInPandas`` pass
+    (O(matched text), never a corpus scan), one hash aggregation on
+    term, and an early ``fg <= max_doc_count`` filter that drops the
+    head of the Zipf curve BEFORE the ordered cut, so the result is
+    tail-sized.  ES caps rare_terms with a CuckooFilter for the same
+    reason; the aggregation-side filter is the exact equivalent here.
+    No background join — rarity is doc-count-defined, not
+    surprise-defined.  Oracle: ``oracle.oracle_rare_terms``."""
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    if limit is not None and limit <= 0:
+        raise ValueError(f"limit must be positive, got {limit}")
+    from ..index.reader import parse_query
+
+    matched = index.matches(
+        query_text, mode, tombstones=tombstones, scope=scope, analyzed=analyzed, spec=spec
+    )
+    fg = (
+        transcripts.join(matched, ["conv_id", "turn_idx"], "leftsemi")
+        .select("text")
+        .mapInPandas(_distinct_terms_kernel, schema="term string")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg"))
+        .filter(F.col("fg") <= int(max_doc_count))
+    )
+    if not include_query_terms:
+        from ..index.reader import _fetch_terms
+
+        qspec = spec if spec is not None else parse_query(
+            query_text, mode, analyzed=analyzed
+        )
+        if qspec is not None:
+            fg = fg.filter(~F.col("term").isin(_fetch_terms(qspec)))
+    out = fg.orderBy(F.asc("fg"), F.asc("term"))
+    return out.limit(int(limit)) if limit is not None else out
