@@ -821,6 +821,42 @@ def _maybe_qs_spec(idx, tr, args, scope):
     return spec, _scope_for(tr, filters, args.query, scope)
 
 
+def cmd_function_score(args: argparse.Namespace) -> None:
+    """ES function_score rescoring: BM25 shaped by field_value_factor /
+    weight / deterministic random_score function clauses."""
+    from .operators.function_score import function_score_topk
+    from .sources import load_transcripts
+
+    spark = _spark(args.cores)
+    idx = _open_index(spark, args.index)
+    tr = load_transcripts(spark, args.input)
+    scope = tr.filter(args.where) if args.where else None
+    spec, scope = _maybe_qs_spec(idx, tr, args, scope)
+    functions = json.loads(args.functions)
+    t0 = time.time()
+    rows = function_score_topk(
+        idx, tr, args.query, functions, args.mode, args.k,
+        score_mode=args.score_mode, boost_mode=args.boost_mode,
+        scope=scope, spec=spec,
+    ).collect()
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "mode": args.mode,
+                "score_mode": args.score_mode,
+                "boost_mode": args.boost_mode,
+                "seconds": round(time.time() - t0, 3),
+                "results": [
+                    {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+                     "score": r["score"], "final_score": r["final_score"]}
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
 def cmd_significant(args: argparse.Namespace) -> None:
     """Significant terms: what is distinctive about the match set
     (ES significant_terms, JLH scoring)."""
@@ -864,6 +900,32 @@ def cmd_histogram(args: argparse.Namespace) -> None:
     scope = tr.filter(args.where) if args.where else None
     spec, scope = _maybe_qs_spec(idx, tr, args, scope)
     t0 = time.time()
+    if getattr(args, "buckets", False):
+        from .pipeline.histogram import date_histogram_buckets
+
+        rows = date_histogram_buckets(
+            idx, tr, args.query, args.mode, args.interval,
+            lag=args.lag, min_n=args.min_n, sort=args.sort_buckets,
+            descending=args.descending, limit=args.limit,
+            min_doc_count=args.min_doc_count, scope=scope, spec=spec,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "query": args.query,
+                    "mode": args.mode,
+                    "interval": args.interval,
+                    "lag": args.lag,
+                    "seconds": round(time.time() - t0, 3),
+                    "buckets": [
+                        {"bucket": str(r["bucket"]), "n": r["n"],
+                         "serial_diff": r["serial_diff"]}
+                        for r in rows
+                    ],
+                }
+            )
+        )
+        return
     if getattr(args, "pipeline", False):
         from .pipeline.histogram import date_histogram_pipeline
 
@@ -1018,6 +1080,40 @@ def cmd_aggregate(args: argparse.Namespace) -> None:
         ).collect()
         out.update({"col": args.col, "field": args.field,
                     "buckets": [r.asDict() for r in rows]})
+    elif args.agg == "multi_terms":
+        from .pipeline.aggs import multi_terms
+
+        fields = tuple(args.sources.split(","))
+        rows = multi_terms(
+            idx, tr, args.query, fields, args.size, args.mode, scope=scope, spec=spec,
+        ).collect()
+        out.update({"fields": list(fields),
+                    "buckets": [r.asDict() for r in rows]})
+    elif args.agg == "top_metrics":
+        from .pipeline.aggs import top_metrics_by
+
+        rows = top_metrics_by(
+            idx, tr, args.query, args.col, args.sort_field, args.field,
+            args.mode, scope=scope, spec=spec,
+        ).collect()
+        out.update({
+            "col": args.col, "sort_field": args.sort_field,
+            "metric_field": args.field,
+            "buckets": [
+                {"bucket": r["bucket"], "top_sort": str(r["top_sort"]),
+                 "top_metric": r["top_metric"]}
+                for r in rows
+            ],
+        })
+    elif args.agg == "rare_terms":
+        from .pipeline.significant import rare_terms
+
+        rows = rare_terms(
+            idx, tr, args.query, args.mode, max_doc_count=args.max_doc_count,
+            limit=args.size, scope=scope, spec=spec,
+        ).collect()
+        out.update({"max_doc_count": args.max_doc_count,
+                    "terms": [{"term": r["term"], "fg": r["fg"]} for r in rows]})
     else:
         fn = extended_stats if args.agg == "extended_stats" else match_stats
         row = fn(
@@ -1698,6 +1794,28 @@ def main(argv: list[str] | None = None) -> None:
         help="pipeline: 0 gap-fills the calendar grid so derivative "
         "measures true rate-of-change",
     )
+    hg.add_argument(
+        "--buckets", action="store_true",
+        help="run the bucket-pipeline trio instead: serial_diff (lag-N "
+        "differencing) + bucket_selector (--min-n) + bucket_sort "
+        "(--sort-buckets/--descending/--limit)",
+    )
+    hg.add_argument("--lag", type=int, default=1, help="buckets: serial_diff lag")
+    hg.add_argument(
+        "--min-n", type=int, dest="min_n",
+        help="buckets: keep only buckets with n >= this (bucket_selector)",
+    )
+    hg.add_argument(
+        "--sort-buckets", default="bucket", dest="sort_buckets",
+        choices=["bucket", "n", "serial_diff"],
+        help="buckets: bucket_sort key",
+    )
+    hg.add_argument(
+        "--descending", action="store_true", help="buckets: sort descending"
+    )
+    hg.add_argument(
+        "--limit", type=int, help="buckets: bucket_sort truncation"
+    )
     hg.set_defaults(fn=cmd_histogram)
 
     th = sub.add_parser(
@@ -1730,7 +1848,16 @@ def main(argv: list[str] | None = None) -> None:
         "--agg", default="cardinality",
         choices=["cardinality", "stats", "extended_stats", "percentiles",
                  "percentile_ranks", "stats_by", "histogram", "range",
-                 "composite"],
+                 "composite", "multi_terms", "top_metrics", "rare_terms"],
+    )
+    ag.add_argument(
+        "--sort-field", default="ts", dest="sort_field",
+        help="top_metrics: the sort column whose per-bucket max selects "
+        "the reported metric row",
+    )
+    ag.add_argument(
+        "--max-doc-count", type=int, default=1, dest="max_doc_count",
+        help="rare_terms: report terms in at most this many matched turns",
     )
     ag.add_argument(
         "--values", default="50,100,300",
@@ -1790,6 +1917,45 @@ def main(argv: list[str] | None = None) -> None:
         help="SQL predicate over the transcripts columns scoping the match set",
     )
     ag.set_defaults(fn=cmd_aggregate)
+
+    fs = sub.add_parser(
+        "function-score",
+        help="ES function_score rescoring (field_value_factor / weight / "
+        "deterministic random_score)",
+    )
+    fs.add_argument(
+        "--index", required=True,
+        help="index root, or comma-separated base,delta,... segment roots",
+    )
+    fs.add_argument("--input", required=True, help="transcripts (parquet/table:)")
+    fs.add_argument("--query", required=True)
+    fs.add_argument(
+        "--functions", required=True,
+        help='JSON list of function clauses, e.g. \'[{"kind": '
+        '"field_value_factor", "field": "turn_idx", "factor": 0.5, '
+        '"modifier": "log1p"}, {"kind": "weight", "weight": 1.2}, '
+        '{"kind": "random_score", "seed": "s1"}]\'',
+    )
+    fs.add_argument(
+        "--mode", default="disjunctive",
+        choices=["disjunctive", "conjunctive", "phrase", "near", "boolean", "qs"],
+    )
+    fs.add_argument("--k", type=int, default=10)
+    fs.add_argument(
+        "--score-mode", default="multiply", dest="score_mode",
+        choices=["multiply", "sum", "max", "min", "avg"],
+        help="how the function values combine with each other",
+    )
+    fs.add_argument(
+        "--boost-mode", default="multiply", dest="boost_mode",
+        choices=["multiply", "sum", "replace"],
+        help="how the combined function value joins the BM25 score",
+    )
+    fs.add_argument(
+        "--where",
+        help="SQL predicate over the transcripts columns scoping the match set",
+    )
+    fs.set_defaults(fn=cmd_function_score)
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)
