@@ -74,6 +74,7 @@ def search(
     collapse: bool = False,
     synonyms: bool | dict = False,
     recency: dict | None = None,
+    functions: dict | None = None,
     analyzed: bool = False,
     highlight: bool = False,
     hybrid: dict | None = None,
@@ -130,11 +131,25 @@ def search(
     ``recency_score`` and are ordered by the latter.  ``total_results``
     still counts the match set (decay reorders, never filters).  Not
     composable with ``collapse`` (a conversation's best-by-decay turn
-    is not its best-by-BM25 turn; rejected rather than approximated)."""
+    is not its best-by-BM25 turn; rejected rather than approximated).
+
+    ``functions`` ({"functions": [fn, ...][, "score_mode", "boost_mode"]})
+    reranks by the full ES function_score contract
+    (``operators/function_score.py`` — field_value_factor / weight /
+    deterministic random_score): results carry ``score`` and
+    ``final_score`` and order by the latter.  Same composition rules as
+    ``recency`` (its generalization): no collapse, and the two
+    rescorers are mutually exclusive — one rescoring layer per request."""
     if page < 1:
         raise ValueError("page is 1-based")
+    if recency and functions:
+        raise ValueError(
+            "recency and functions are both rescoring layers — pass ONE "
+            "(recency decay is expressible as a functions clause upstream "
+            "if both shapes are needed)"
+        )
     if hybrid is not None and (
-        collapse or recency or tombstones or synonyms or analyzed
+        collapse or recency or functions or tombstones or synonyms or analyzed
         or _has_expansion_tokens(query_text)
     ):
         # the fused ranking is turn-level over raw query text: collapse /
@@ -227,6 +242,22 @@ def search(
             decay_rate=recency.get("decay_rate", DECAY_RATE),
             tombstones=tombstones, scope=scope, analyzed=analyzed, spec=qspec,
         )
+    elif functions:
+        if collapse:
+            raise ValueError(
+                "function_score rescoring does not compose with collapse "
+                "(a conversation's best-by-shaped-score turn is not its "
+                "best-by-BM25 turn)"
+            )
+        from .operators.function_score import function_score_topk
+
+        deep = function_score_topk(
+            index, transcripts, query_text, functions["functions"],
+            mode, page * k,
+            score_mode=functions.get("score_mode", "multiply"),
+            boost_mode=functions.get("boost_mode", "multiply"),
+            tombstones=tombstones, scope=scope, analyzed=analyzed, spec=qspec,
+        )
     elif collapse:
         deep = index.topk_conversations(
             query_text, mode, page * k,
@@ -312,6 +343,11 @@ def search(
             **(
                 {"recency_score": r.recency_score}
                 if "recency_score" in r.__fields__
+                else {}
+            ),
+            **(
+                {"final_score": r.final_score}
+                if "final_score" in r.__fields__
                 else {}
             ),
             "snippet": snippet_map.get((r.conv_id, r.turn_idx), ""),

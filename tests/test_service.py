@@ -486,3 +486,38 @@ def test_search_query_string_facets_and_rejections(spark, xs_full_setup):
     assert page["results"]
     rs = [r["recency_score"] for r in page["results"]]
     assert rs == sorted(rs, reverse=True)
+
+
+def test_search_function_score(spark, xs_full_setup):
+    from search_engine_spark.operators.function_score import function_score_topk
+
+    idx, tr = xs_full_setup
+    fns = {
+        "functions": [
+            {"kind": "field_value_factor", "field": "turn_idx",
+             "factor": 0.5, "modifier": "log1p"},
+            {"kind": "random_score", "seed": "svc"},
+        ],
+    }
+    page = search(idx, tr, "term0001 term0002", k=5, functions=fns)
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9),
+         round(r["final_score"], 9))
+        for r in page["results"]
+    ]
+    want = [
+        (r.conv_id, r.turn_idx, round(r.score, 9), round(r.final_score, 9))
+        for r in function_score_topk(
+            idx, tr, "term0001 term0002", fns["functions"], k=5
+        ).collect()
+    ]
+    assert got == want and len(got) == 5
+    # shaping reorders, never filters: totals count the unshaped match set
+    assert page["total_results"] == idx.match_count("term0001 term0002")
+    for res in page["results"]:
+        assert res["snippet"]
+    with pytest.raises(ValueError, match="collapse"):
+        search(idx, tr, "term0001", k=5, functions=fns, collapse=True)
+    with pytest.raises(ValueError, match="ONE"):
+        search(idx, tr, "term0001", k=5, functions=fns,
+               recency={"now": "2026-01-01 01:00:00", "scale_s": 600.0})
