@@ -86,6 +86,19 @@ ALLOW_RE = r"[^a-zA-Z0-9_+\-.#$%\^&*()\[\]{}<>=/\\|:;,!?]"
 
 WS_RE = r"\s+"
 
+#: Cost note (measured, round 5 — interleaved min-of-3 at 100k docs):
+#: this final allowlist+collapse stage is ~¾ of the whole chain's cost
+#: (its match density — every inter-word space — is ~20× the other
+#: stages').  Two alternatives were implemented, property-tested
+#: equivalent, and MEASURED SLOWER OR EQUAL on the JVM: fusing the two
+#: passes into one run-replace (`[^allow]+` → " ", ~equal — the cost is
+#: position scanning, not pass count) and sparse matching (rewrite only
+#: runs that change, 2× SLOWER — the three-part pattern doubles
+#: per-position work).  The reference-shaped two-pass form below is the
+#: fastest of the three; the filter is a one-time ingest transform,
+#: linear, fused into the scan projection (~20 µs/doc/core at the
+#: measured rate — R5_OPS_PROBE.json).
+
 
 # ---------------------------------------------------------------------------
 # Spark column expression

@@ -111,3 +111,24 @@ def test_build_flag_end_to_end(spark, tmp_path):
         assert ra == rb, q
     # and the filter actually did something: "script" never indexed
     assert ia.meta["n_docs"] == ib.meta["n_docs"]
+
+
+def test_final_stage_variants_equivalent():
+    """Documents the round-5 cost investigation: the fused single-pass
+    (`[^allow]+` -> " ") and the reference's two-pass form are
+    output-equivalent (the space char is itself outside the allowlist).
+    The two-pass form ships because it MEASURED fastest on the JVM;
+    this pins the equivalence so the fused form stays a valid swap."""
+    import random
+    import re
+    import string
+
+    from search_engine_spark.textproc.htmlclean import ALLOW_RE, WS_RE
+
+    rng = random.Random(7)
+    alphabet = string.printable + "\u00e9\u6f22&<>"
+    for _ in range(5000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        two_pass = re.sub(WS_RE, " ", re.sub(ALLOW_RE, " ", s)).strip()
+        fused = re.sub(ALLOW_RE + "+", " ", s).strip()
+        assert two_pass == fused, s
