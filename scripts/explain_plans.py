@@ -827,6 +827,24 @@ def main() -> None:
         )
     )
 
+    from search_engine_spark.textproc.htmlclean import clean_html_col
+
+    sections.append(
+        (
+            "cleanHTML char filter fused into the scan projection",
+            "Expected: ONE Project over the parquet scan — the whole "
+            "regexp chain (comment / code-extract / subtree-drop / "
+            "tag-strip / entity-decode / allowlist) is scalar JVM "
+            "expressions inside a single WholeStageCodegen span; no "
+            "UDF, no exchange, no extra stage at any corpus size.",
+            cap(
+                spark.read.parquet(pq).select(
+                    "conv_id", "turn_idx", clean_html_col("text").alias("clean")
+                )
+            ),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Regenerate with `python scripts/explain_plans.py`. Each section states "

@@ -243,3 +243,96 @@ def test_random_score_is_deterministic_and_uniformish(xs_index, xs_df):
     vals = [r.final_score for r in a]
     assert all(0.0 <= v < 1.0 for v in vals)
     assert len(set(vals)) == len(vals)  # md5 over distinct keys: no collisions
+
+
+# ------------------------------------------------- composition (both readers)
+
+
+@pytest.fixture(scope="module")
+def xs_multi(spark, xs_pdf, tmp_path_factory):
+    from search_engine_spark.index.multi import MultiIndex
+
+    d = tmp_path_factory.mktemp("aggs_r5_multi")
+    lo = xs_pdf[xs_pdf.conv_id < "conv-000010"]
+    hi = xs_pdf[xs_pdf.conv_id >= "conv-000010"]
+    roots = []
+    for name, part in (("lo", lo), ("hi", hi)):
+        out = str(d / name)
+        build_index(
+            spark,
+            spark.createDataFrame(part[["conv_id", "turn_idx", "text"]]),
+            out,
+            BuildConfig(num_groups=2),
+        )
+        roots.append(out)
+    return MultiIndex(spark, roots)
+
+
+def test_r5_ops_multiindex_identity(xs_index, xs_multi, xs_df):
+    """Every round-5 operator goes through index.matches/matches_scored,
+    so a segmented MultiIndex must answer identically to the single
+    index built from the union."""
+    from search_engine_spark.operators.function_score import function_score_topk
+    from search_engine_spark.pipeline.aggs import multi_terms, top_metrics_by
+    from search_engine_spark.pipeline.histogram import date_histogram_buckets
+    from search_engine_spark.pipeline.significant import rare_terms
+
+    q = "term0001 term0002"
+    for fn in (
+        lambda ix: multi_terms(ix, xs_df, q, ("role", "tool"), 10),
+        lambda ix: top_metrics_by(ix, xs_df, q, "role", "ts", "turn_idx"),
+        lambda ix: rare_terms(ix, xs_df, q, max_doc_count=2, limit=20),
+        lambda ix: date_histogram_buckets(
+            ix, xs_df, q, interval="minute", lag=2, sort="n",
+            descending=True, limit=10,
+        ),
+        lambda ix: function_score_topk(
+            ix, xs_df, q, _FNS, k=10
+        ).select("conv_id", "turn_idx"),
+    ):
+        single = [tuple(r) for r in fn(xs_index).collect()]
+        multi = [tuple(r) for r in fn(xs_multi).collect()]
+        assert single == multi
+
+
+def test_r5_ops_scope_composition(xs_index, xs_df, xs_pdf, xs_oracle):
+    """scope= restricts the match set before every round-5 operator —
+    cross-checked against the oracle computed over the scoped pandas
+    frame."""
+    from search_engine_spark.pipeline.aggs import multi_terms
+
+    q = "term0001 term0002"
+    scope = xs_df.filter("role IN ('tool', 'assistant')")
+    got = [
+        tuple(r)
+        for r in multi_terms(
+            xs_index, xs_df, q, ("role", "tool"), 10, scope=scope
+        ).collect()
+    ]
+    # oracle over the scoped doc set: scoped matches ∩ rows with both keys
+    from search_engine_spark.oracle import oracle_matches
+
+    keys = {
+        (str(c), int(t))
+        for c, t, r in zip(
+            xs_pdf["conv_id"], xs_pdf["turn_idx"], xs_pdf["role"]
+        )
+        if r in ("tool", "assistant")
+    }
+    docs = oracle_matches(xs_oracle, q, "disjunctive", scope=keys)
+    import pandas as pd
+
+    counts: dict = {}
+    for c, t, role, tool in zip(
+        xs_pdf["conv_id"], xs_pdf["turn_idx"], xs_pdf["role"], xs_pdf["tool"]
+    ):
+        if (str(c), int(t)) not in docs:
+            continue
+        if tool is None or pd.isna(tool):
+            continue
+        counts[(str(role), str(tool))] = counts.get((str(role), str(tool)), 0) + 1
+    want = [
+        (*k, v)
+        for k, v in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ]
+    assert got == want
