@@ -123,6 +123,13 @@ CONTRACT_QUERIES = [
     "transcripts_query_string_filtered",
     "transcripts_query_string_batch",
     "transcripts_percolate_qs",
+    # round 5
+    "html_clean",
+    "transcripts_function_score",
+    "transcripts_serial_diff",
+    "transcripts_rare_terms",
+    "transcripts_multi_terms",
+    "transcripts_top_metrics",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
