@@ -907,7 +907,8 @@ def cmd_histogram(args: argparse.Namespace) -> None:
             idx, tr, args.query, args.mode, args.interval,
             lag=args.lag, min_n=args.min_n, sort=args.sort_buckets,
             descending=args.descending, limit=args.limit,
-            min_doc_count=args.min_doc_count, scope=scope, spec=spec,
+            min_doc_count=args.min_doc_count, script=args.script,
+            scope=scope, spec=spec,
         ).collect()
         print(
             json.dumps(
@@ -919,7 +920,9 @@ def cmd_histogram(args: argparse.Namespace) -> None:
                     "seconds": round(time.time() - t0, 3),
                     "buckets": [
                         {"bucket": str(r["bucket"]), "n": r["n"],
-                         "serial_diff": r["serial_diff"]}
+                         "serial_diff": r["serial_diff"],
+                         **({"script_value": r["script_value"]}
+                            if args.script else {})}
                         for r in rows
                     ],
                 }
@@ -1807,8 +1810,14 @@ def main(argv: list[str] | None = None) -> None:
     )
     hg.add_argument(
         "--sort-buckets", default="bucket", dest="sort_buckets",
-        choices=["bucket", "n", "serial_diff"],
-        help="buckets: bucket_sort key",
+        choices=["bucket", "n", "serial_diff", "script_value"],
+        help="buckets: bucket_sort key (script_value needs --script)",
+    )
+    hg.add_argument(
+        "--script",
+        help="buckets: ES bucket_script — a scalar SQL arithmetic "
+        "expression over the bucket columns (n, serial_diff), e.g. "
+        "'n * 2.0 + abs(coalesce(serial_diff, 0)) * 0.5'",
     )
     hg.add_argument(
         "--descending", action="store_true", help="buckets: sort descending"

@@ -39,6 +39,7 @@ PRIORITY = [
     "html_clean",  # r5: reference cleanHTML char filter (P1 parity)
     "transcripts_function_score",  # r5: ES function_score (fvf/weight/random)
     "transcripts_serial_diff",  # r5: serial_diff + bucket_selector + bucket_sort
+    "transcripts_bucket_script",  # r5: ES bucket_script (portable expr contract)
     "transcripts_rare_terms",  # r5: ES rare_terms (long-tail complement)
     "transcripts_multi_terms",  # r5: ES multi_terms composite-key counts
     "transcripts_top_metrics",  # r5: ES top_metrics struct-max per bucket
@@ -5071,6 +5072,70 @@ def transcripts_function_score(spark, sf_dir):
         "turn_idx",
         rnd(F.col("score"), 5).alias("score"),
         rnd(F.col("final_score"), 5).alias("final_score"),
+    )
+
+
+_BUCKET_SCRIPT = "n * 2.0 + abs(coalesce(serial_diff, 0)) * 0.5"
+
+
+def _bucket_script_oracle_sql() -> str:
+    """bucket_script oracle: the pure-Python mirror supplies the BASE
+    bucket rows (bucket, n, serial_diff — the already-proven
+    serial_diff surface), then DuckDB evaluates the SAME script
+    expression, ordering, and limit INDEPENDENTLY — both engines parse
+    and execute the arithmetic themselves, so the entry pins the
+    dialect-portable expression contract, not a precomputed value."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_date_histogram_buckets
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_date_histogram_buckets(
+        idx, pdf, "term0003 term0004", "conjunctive", "minute",
+        lag=2, min_n=1, sort="bucket", limit=None, min_doc_count=0,
+    )
+    if not rows:
+        return (
+            "SELECT bucket, n, serial_diff, script_value FROM (VALUES "
+            "('', 0, 0.0, 0.0)) t(bucket, n, serial_diff, script_value) "
+            "WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{b.strftime('%Y-%m-%d %H:%M:%S')}', {n}, "
+        f"{'NULL' if d is None else d})"
+        for b, n, d in rows
+    )
+    return (
+        "SELECT bucket, n, serial_diff, script_value FROM (\n"
+        "  SELECT bucket, n::BIGINT AS n, serial_diff::DOUBLE AS serial_diff,\n"
+        f"         CAST({_BUCKET_SCRIPT} AS DOUBLE) AS script_value\n"
+        f"  FROM (VALUES\n  {values}\n  ) t(bucket, n, serial_diff)\n"
+        ") ORDER BY script_value DESC NULLS LAST, bucket LIMIT 10"
+    )
+
+
+@q("transcripts_bucket_script", _bucket_script_oracle_sql())
+def transcripts_bucket_script(spark, sf_dir):
+    """ES bucket_script + bucket_sort-on-script (pipeline/histogram.py
+    date_histogram_buckets(script=)): a scalar SQL arithmetic
+    expression over the bucket columns, evaluated per bucket and used
+    as the ranking metric — the expression string is compiled by
+    Catalyst on the engine side and by DuckDB on the oracle side, so
+    the entry verifies the portable expression surface end-to-end."""
+    from .corpus import transcripts_spark_df
+    from .pipeline.histogram import date_histogram_buckets
+
+    idx = _xs_index(spark)
+    corpus = transcripts_spark_df(spark, "xs")
+    return date_histogram_buckets(
+        idx, corpus, "term0003 term0004", "conjunctive", "minute",
+        lag=2, min_n=1, sort="script_value", descending=True, limit=10,
+        min_doc_count=0, script=_BUCKET_SCRIPT,
+    ).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        F.col("serial_diff").cast("double").alias("serial_diff"),
+        "script_value",
     )
 
 

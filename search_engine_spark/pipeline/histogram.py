@@ -149,13 +149,14 @@ def date_histogram_buckets(
     descending: bool = False,
     limit: int | None = None,
     min_doc_count: int = 1,
+    script: str | None = None,
     tombstones: list | None = None,
     scope: DataFrame | None = None,
     analyzed: bool = False,
     spec=None,
 ) -> DataFrame:
-    """The remaining ES bucket-pipeline trio over the date histogram →
-    DataFrame(bucket, n, serial_diff):
+    """The remaining ES bucket-pipeline aggregations over the date
+    histogram → DataFrame(bucket, n, serial_diff[, script_value]):
 
     * ``serial_diff`` — ``n - lag(n, lag)`` over ascending buckets, the
       ES ``serial_diff`` aggregation (lag-N differencing for
@@ -169,10 +170,21 @@ def date_histogram_buckets(
       (ties, and NULL serial_diff rows, break by bucket ascending —
       deterministic, unlike raw ES).
 
+    * ``script`` — the ES ``bucket_script`` aggregation: a scalar SQL
+      arithmetic expression over the bucket columns (``n``,
+      ``serial_diff``), evaluated per bucket into a ``script_value``
+      column.  The supported surface is the dialect-portable subset the
+      contract oracle re-evaluates independently in DuckDB: arithmetic
+      (+ - * /), comparison, ``coalesce``/``greatest``/``least``/
+      ``abs``/``round``/``log``/``sqrt``, numeric literals.  A parse
+      error fails loud at plan time (``F.expr``).
+
     Pipeline order is the ES dependency order: serial_diff is computed
-    over the FULL ascending bucket sequence first, THEN the selector
-    filters, THEN the sort/limit — a selector can therefore never
-    change a difference, only hide its row.
+    over the FULL ascending bucket sequence first, THEN the script
+    (which may reference serial_diff), THEN the selector filters, THEN
+    the sort/limit — a selector can never change a difference or a
+    script value, only hide its row; ``sort='script_value'`` ranks by
+    the scripted metric (the ES bucket_sort-on-bucket_script idiom).
 
     Scale shape: identical to ``date_histogram_pipeline`` — the
     distributed match-set aggregation runs exactly once, the bucket
@@ -182,8 +194,11 @@ def date_histogram_buckets(
     Oracle: ``oracle.oracle_date_histogram_buckets``."""
     if lag < 1:
         raise ValueError(f"lag must be >= 1, got {lag}")
-    if sort not in ("bucket", "n", "serial_diff"):
-        raise ValueError(f"sort must be bucket|n|serial_diff, got {sort!r}")
+    sorts = ("bucket", "n", "serial_diff") + (
+        ("script_value",) if script is not None else ()
+    )
+    if sort not in sorts:
+        raise ValueError(f"sort must be one of {sorts}, got {sort!r}")
     if limit is not None and limit <= 0:
         raise ValueError(f"limit must be positive, got {limit}")
     if min_doc_count not in (0, 1):
@@ -212,6 +227,10 @@ def date_histogram_buckets(
         "n",
         (F.col("n") - F.lag("n", lag).over(w)).alias("serial_diff"),
     )
+    if script is not None:
+        # bucket_script: scalar expression over the bucket columns —
+        # F.expr parse errors fail loud HERE, at plan time
+        out = out.withColumn("script_value", F.expr(script).cast("double"))
     if min_n is not None:
         out = out.filter(F.col("n") >= int(min_n))
     key = F.col(sort)

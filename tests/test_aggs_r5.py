@@ -336,3 +336,64 @@ def test_r5_ops_scope_composition(xs_index, xs_df, xs_pdf, xs_oracle):
         for k, v in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------- bucket_script
+
+
+@pytest.mark.parametrize(
+    "script",
+    [
+        "n * 2.0 + abs(coalesce(serial_diff, 0)) * 0.5",
+        "greatest(n * 1.0, coalesce(serial_diff, 0) * 3.0)",
+        "round(sqrt(n * 1.0), 3) - least(n, 2)",
+    ],
+)
+def test_bucket_script_matches_duckdb_twin(xs_index, xs_df, xs_pdf, xs_oracle, script):
+    """The ES bucket_script contract: both engines compile and evaluate
+    the SAME expression string over the same base bucket rows."""
+    import duckdb
+
+    from search_engine_spark.pipeline.histogram import date_histogram_buckets
+
+    qt, mode, interval = "term0003 term0004", "conjunctive", "minute"
+    got = [
+        (r.bucket.strftime("%Y-%m-%d %H:%M:%S"), r.n,
+         None if r.serial_diff is None else int(r.serial_diff),
+         round(r.script_value, 9))
+        for r in date_histogram_buckets(
+            xs_index, xs_df, qt, mode, interval,
+            lag=2, sort="script_value", descending=True, limit=8,
+            min_doc_count=0, script=script,
+        ).collect()
+    ]
+    base = oracle_date_histogram_buckets(
+        xs_oracle, xs_pdf, qt, mode, interval,
+        lag=2, sort="bucket", limit=None, min_doc_count=0,
+    )
+    values = ",".join(
+        f"('{b.strftime('%Y-%m-%d %H:%M:%S')}', {n}, "
+        f"{'NULL' if d is None else d})"
+        for b, n, d in base
+    )
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT bucket, n, serial_diff, CAST({script} AS DOUBLE) AS sv "
+        f"FROM (VALUES {values}) t(bucket, n, serial_diff) "
+        "ORDER BY sv DESC NULLS LAST, bucket LIMIT 8"
+    ).fetchall()
+    want = [(b, int(n), d, round(sv, 9)) for b, n, d, sv in rows]
+    assert got == want, script
+
+
+def test_bucket_script_validation(xs_index, xs_df):
+    from search_engine_spark.pipeline.histogram import date_histogram_buckets
+
+    # sort=script_value without a script is rejected
+    with pytest.raises(ValueError, match="sort must be"):
+        date_histogram_buckets(xs_index, xs_df, "term0001", sort="script_value")
+    # a malformed script fails loud at plan time
+    with pytest.raises(Exception):
+        date_histogram_buckets(
+            xs_index, xs_df, "term0001", script="n ** nope ("
+        ).collect()
