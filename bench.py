@@ -130,6 +130,7 @@ CONTRACT_QUERIES = [
     "transcripts_rare_terms",
     "transcripts_multi_terms",
     "transcripts_top_metrics",
+    "transcripts_bucket_script",
 ]
 
 # the round-1 workload (BENCH_r01 keys) — its subtotal is reported every
