@@ -827,6 +827,21 @@ def main() -> None:
         )
     )
 
+    from search_engine_spark.operators.innerhits import collapse_inner_hits
+
+    sections.append(
+        (
+            "collapse + inner_hits (per-conversation top-N)",
+            "Expected: two kernel passes of the standard class (the "
+            "collapse ranking and matches_scored), broadcast join of "
+            "the k winning conversations into the scored match set, and "
+            "a rank-filtered window Spark rewrites to WindowGroupLimit "
+            "(per-conversation top-N before the exchange) — no stage "
+            "touches O(corpus) rows beyond the candidate kernels.",
+            cap(collapse_inner_hits(idx, "term0001 term0002", k=5, inner_n=3)),
+        )
+    )
+
     from search_engine_spark.textproc.htmlclean import clean_html_col
 
     sections.append(

@@ -424,11 +424,27 @@ def cmd_query(args: argparse.Namespace) -> None:
             analyzed=analyzed,
         ).collect()
     elif getattr(args, "collapse", False):
-        rows = idx.topk_conversations(
-            query_text, args.mode, args.k,
-            tombstones=_load_tombstones(args.tombstones), scope=scope,
-            analyzed=analyzed, min_match=min_match or 1, search_after=search_after,
-        ).collect()
+        inner_n = getattr(args, "inner_hits", None)
+        if inner_n:
+            if search_after is not None:
+                raise SystemExit(
+                    "--inner-hits does not compose with --search-after "
+                    "(page the collapsed ranking, then fetch inner hits)"
+                )
+            from .operators.innerhits import collapse_inner_hits
+
+            rows = collapse_inner_hits(
+                idx, query_text, args.mode, args.k, inner_n,
+                tombstones=_load_tombstones(args.tombstones), scope=scope,
+                analyzed=analyzed, min_match=min_match or 1,
+            ).collect()
+        else:
+            rows = idx.topk_conversations(
+                query_text, args.mode, args.k,
+                tombstones=_load_tombstones(args.tombstones), scope=scope,
+                analyzed=analyzed, min_match=min_match or 1,
+                search_after=search_after,
+            ).collect()
     else:
         rows = idx.topk(
             query_text, args.mode, args.k, algo=args.algo,
@@ -454,6 +470,12 @@ def cmd_query(args: argparse.Namespace) -> None:
                         **(
                             {"recency_score": r["recency_score"]}
                             if "recency_score" in r.__fields__
+                            else {}
+                        ),
+                        **(
+                            {"conv_score": r["conv_score"],
+                             "hit_rank": r["hit_rank"]}
+                            if "hit_rank" in r.__fields__
                             else {}
                         ),
                     }
@@ -1576,6 +1598,12 @@ def main(argv: list[str] | None = None) -> None:
         "--collapse",
         action="store_true",
         help="one result per CONVERSATION (best turn as representative)",
+    )
+    q.add_argument(
+        "--inner-hits", type=int, dest="inner_hits",
+        help="with --collapse: also return each collapsed conversation's "
+        "top-N matching turns (the ES inner_hits block; hit_rank=1 is "
+        "the representative)",
     )
     q.add_argument(
         "--min-match", type=int, default=None,

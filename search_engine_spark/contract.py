@@ -40,6 +40,7 @@ PRIORITY = [
     "transcripts_function_score",  # r5: ES function_score (fvf/weight/random)
     "transcripts_serial_diff",  # r5: serial_diff + bucket_selector + bucket_sort
     "transcripts_bucket_script",  # r5: ES bucket_script (portable expr contract)
+    "transcripts_inner_hits",  # r5: ES collapse + inner_hits
     "transcripts_rare_terms",  # r5: ES rare_terms (long-tail complement)
     "transcripts_multi_terms",  # r5: ES multi_terms composite-key counts
     "transcripts_top_metrics",  # r5: ES top_metrics struct-max per bucket
@@ -5072,6 +5073,56 @@ def transcripts_function_score(spark, sf_dir):
         "turn_idx",
         rnd(F.col("score"), 5).alias("score"),
         rnd(F.col("final_score"), 5).alias("final_score"),
+    )
+
+
+def _inner_hits_oracle_sql(query_text: str, mode: str, k: int, inner_n: int) -> str:
+    """VALUES oracle: the pure-Python collapse + inner_hits mirror."""
+    from .corpus import generate_transcripts
+    from .oracle import build_oracle_index, oracle_collapse_inner_hits
+
+    pdf = generate_transcripts("xs")
+    idx = build_oracle_index(pdf)
+    rows = oracle_collapse_inner_hits(idx, query_text, mode, k, inner_n)
+    cols = "conv_id, conv_score, hit_rank, turn_idx, score"
+    if not rows:
+        return (
+            f"SELECT {cols} FROM (VALUES ('', 0.0, 0, 0, 0.0)) "
+            f"t({cols}) WHERE FALSE"
+        )
+    values = ",\n  ".join(
+        f"('{c}', {float(cs)!r}, {r}, {t}, {float(s)!r})"
+        for c, cs, r, t, s in rows
+    )
+    return (
+        "SELECT conv_id, round(conv_score + 1e-9, 5) AS conv_score, "
+        "hit_rank, turn_idx, round(score + 1e-9, 5) AS score "
+        f"FROM (VALUES\n  {values}\n) t({cols})"
+    )
+
+
+@q(
+    "transcripts_inner_hits",
+    _inner_hits_oracle_sql("term0001 term0002", "disjunctive", 5, 3),
+)
+def transcripts_inner_hits(spark, sf_dir):
+    """ES field-collapsing with inner_hits (operators/innerhits.py):
+    the top-5 collapsed conversations each expanded to their top-3
+    matching turns — the collapse ranking from topk_conversations plus
+    ONE matches_scored pass; the per-conversation window runs after the
+    broadcast semi-join on the winning conversations (k-bounded rows,
+    WindowGroupLimit), and row hit_rank=1 is the representative."""
+    from .operators.innerhits import collapse_inner_hits
+
+    idx = _xs_index(spark)
+    return collapse_inner_hits(
+        idx, "term0001 term0002", "disjunctive", k=5, inner_n=3
+    ).select(
+        "conv_id",
+        rnd(F.col("conv_score"), 5).alias("conv_score"),
+        "hit_rank",
+        "turn_idx",
+        rnd(F.col("score"), 5).alias("score"),
     )
 
 

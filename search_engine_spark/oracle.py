@@ -2312,3 +2312,33 @@ def oracle_function_score_topk(
         out.append((key, score, final))
     out.sort(key=lambda r: (-r[2], r[0][0], r[0][1]))
     return out[:k]
+
+
+def oracle_collapse_inner_hits(
+    index: OracleIndex,
+    query_text: str,
+    mode: str = "disjunctive",
+    k: int = 10,
+    inner_n: int = 3,
+    scope: set[DocKey] | None = None,
+    analyzed: bool = False,
+) -> list[tuple[str, float, int, int, float]]:
+    """Golden collapse + inner_hits: the top-k collapsed conversations
+    (oracle_topk_conversations ranking) each expanded to its top-
+    ``inner_n`` matching turns (score desc, turn asc), 1-based
+    hit_rank — (conv_id, conv_score, hit_rank, turn_idx, score) ordered
+    (conv_score desc, conv_id, hit_rank).  Matches
+    ``operators.innerhits.collapse_inner_hits``; row hit_rank=1 is the
+    collapse representative by construction (identical tie-break)."""
+    tops = oracle_topk_conversations(index, query_text, mode, k, scope, analyzed)
+    by_conv: dict[str, list[tuple[int, float]]] = {}
+    for (conv, turn), score in oracle_topk(
+        index, query_text, mode, 1 << 62, scope, analyzed
+    ):
+        by_conv.setdefault(conv, []).append((turn, score))
+    out = []
+    for (conv, _turn), conv_score in tops:
+        hits = sorted(by_conv[conv], key=lambda ts: (-ts[1], ts[0]))[:inner_n]
+        for r, (turn, score) in enumerate(hits, 1):
+            out.append((conv, conv_score, r, turn, score))
+    return out
