@@ -72,6 +72,7 @@ def search(
     where: str | None = None,
     facet_col: str | None = None,
     collapse: bool = False,
+    inner_hits: int | None = None,
     synonyms: bool | dict = False,
     recency: dict | None = None,
     functions: dict | None = None,
@@ -98,6 +99,10 @@ def search(
     turn as representative — ``topk_conversations``); ``total_results``
     still counts matching TURNS, the Elasticsearch field-collapsing
     contract (collapsed hit counts need a separate cardinality pass).
+    ``inner_hits=N`` (with collapse) expands each collapsed
+    conversation of the page to its top-N matching turns — results
+    carry ``conv_score`` and ``hit_rank`` (1 = the representative) and
+    pagination still slices CONVERSATIONS, so a page holds ≤ k·N rows.
 
     ``synonyms`` layers the query-time synonym splice
     (``index/synonyms.py``) on top of any prefix/fuzzy expansion:
@@ -268,7 +273,28 @@ def search(
             query_text, mode, page * k,
             tombstones=tombstones, scope=scope, analyzed=analyzed, spec=qspec,
         )
-    rows = deep.collect()[(page - 1) * k : page * k]
+    if inner_hits is not None:
+        # the ES inner_hits block: pagination slices CONVERSATIONS (the
+        # collapsed ranking unit), each carrying its top-N turns — so
+        # the page is cut on distinct conv_id in ranking order, not on
+        # raw rows.  Rows per page ≤ k·inner_hits, driver-side like
+        # every other response assembly here.
+        if not collapse:
+            raise ValueError("inner_hits requires collapse=True")
+        from .operators.innerhits import collapse_inner_hits
+
+        all_rows = collapse_inner_hits(
+            index, query_text, mode, page * k, int(inner_hits),
+            tombstones=tombstones, scope=scope, analyzed=analyzed, spec=qspec,
+        ).collect()
+        ranked: list[str] = []
+        for r in all_rows:  # already (conv_score desc, conv_id, hit_rank)
+            if not ranked or ranked[-1] != r.conv_id:
+                ranked.append(r.conv_id)
+        page_convs = set(ranked[(page - 1) * k : page * k])
+        rows = [r for r in all_rows if r.conv_id in page_convs]
+    else:
+        rows = deep.collect()[(page - 1) * k : page * k]
     totals = {}
     if include_total:
         # totalResults/totalPages, served on every reference response
@@ -348,6 +374,11 @@ def search(
             **(
                 {"final_score": r.final_score}
                 if "final_score" in r.__fields__
+                else {}
+            ),
+            **(
+                {"conv_score": r.conv_score, "hit_rank": r.hit_rank}
+                if "hit_rank" in r.__fields__
                 else {}
             ),
             "snippet": snippet_map.get((r.conv_id, r.turn_idx), ""),

@@ -521,3 +521,36 @@ def test_search_function_score(spark, xs_full_setup):
     with pytest.raises(ValueError, match="ONE"):
         search(idx, tr, "term0001", k=5, functions=fns,
                recency={"now": "2026-01-01 01:00:00", "scale_s": 600.0})
+
+
+def test_search_collapse_inner_hits(spark, xs_full_setup):
+    from search_engine_spark.operators.innerhits import collapse_inner_hits
+
+    idx, tr = xs_full_setup
+    qt = "term0001 term0002"
+    page = search(idx, tr, qt, k=3, collapse=True, inner_hits=2)
+    got = [
+        (r["conv_id"], round(r["conv_score"], 9), r["hit_rank"],
+         r["turn_idx"], round(r["score"], 9))
+        for r in page["results"]
+    ]
+    want = [
+        (r.conv_id, round(r.conv_score, 9), r.hit_rank, r.turn_idx,
+         round(r.score, 9))
+        for r in collapse_inner_hits(idx, qt, k=3, inner_n=2).collect()
+    ]
+    assert got == want
+    # 3 conversations × ≤2 hits; every row has a snippet, rank-1 leads
+    assert len({r["conv_id"] for r in page["results"]}) == 3
+    for res in page["results"]:
+        assert res["snippet"]
+    # pagination slices conversations: pages partition the conv ranking
+    p1 = search(idx, tr, qt, k=2, page=1, collapse=True, inner_hits=2)
+    p2 = search(idx, tr, qt, k=2, page=2, collapse=True, inner_hits=2)
+    c1 = {r["conv_id"] for r in p1["results"]}
+    c2 = {r["conv_id"] for r in p2["results"]}
+    assert c1 and c2 and not (c1 & c2)
+    # total_results still counts TURNS (the ES collapse contract)
+    assert page["total_results"] == idx.match_count(qt)
+    with pytest.raises(ValueError, match="collapse"):
+        search(idx, tr, qt, k=3, inner_hits=2)
